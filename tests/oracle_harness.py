@@ -1,0 +1,81 @@
+"""Differential harness: run a registry query on Spark and its oracle on
+DuckDB over the same parquet tables, and compare the way the driver does
+— row count, schema shape, order-insensitive values — with float
+tolerance on top so we catch real semantic drift, not summation-order
+noise.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+
+from nabatshy_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows
+    finally:
+        con.close()
+
+
+def _norm(v):
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return datetime(v.year, v.month, v.day)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _sort_key(row):
+    return tuple(str(v) for v in row)
+
+
+def compare(spark_df, sql: str, sf_dir: str, rel_tol: float = 1e-9, abs_tol: float = 1e-9):
+    """Return (ok, message). Columns are matched by sorted name, rows
+    compared order-insensitively (sorted by stringified values)."""
+    o_cols, o_rows = run_oracle(sql, sf_dir)
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    if len(s_rows) != len(o_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+
+    col_order = sorted(s_cols)
+    s_idx = [s_cols.index(c) for c in col_order]
+    o_idx = [o_cols.index(c) for c in col_order]
+    s_sorted = sorted(
+        (tuple(_norm(r[i]) for i in s_idx) for r in s_rows), key=_sort_key
+    )
+    o_sorted = sorted(
+        (tuple(_norm(r[i]) for i in o_idx) for r in o_rows), key=_sort_key
+    )
+    for rn, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+        for cn, (sv, ov) in enumerate(zip(sr, orow)):
+            if isinstance(sv, float) and isinstance(ov, float):
+                if not math.isclose(sv, ov, rel_tol=rel_tol, abs_tol=abs_tol):
+                    return False, (
+                        f"value mismatch row {rn} col {col_order[cn]}: "
+                        f"spark={sv!r} oracle={ov!r}"
+                    )
+            elif sv != ov:
+                return False, (
+                    f"value mismatch row {rn} col {col_order[cn]}: "
+                    f"spark={sv!r} oracle={ov!r}"
+                )
+    return True, f"ok ({len(s_rows)} rows)"
