@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (SURVEY §2.11).
+
+Baseline: brute-force cosine top-k (exact, one scan, broadcast query
+vector). Scale path: random-hyperplane LSH — signatures are computed
+with engine-portable deterministic planes, candidates come from a
+band-bucket join, and only candidates get the exact cosine.
+
+At 100 TB the brute-force path is a full scan per query — fine for
+batch scoring (it's embarrassingly parallel, no shuffle), wrong for
+interactive lookup; the LSH path reads only matching buckets, and an
+IVF layout (partitionBy coarse cluster id on write) would let the scan
+prune files entirely.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nabatshy_spark.operators.dedup import cosine
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_id: int, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to the vector of ``query_id`` (excluded
+    from results). The 1-row query side is broadcast; ranking is a
+    TakeOrderedAndProject (per-partition top-k, single-reduce merge —
+    no global sort)."""
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# --- random-hyperplane LSH -------------------------------------------------
+
+
+def _planes(dim: int, num: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num)]
+
+
+def lsh_signature(df: DataFrame, vec_col: str, num_planes: int = 16, dim: int = 64) -> DataFrame:
+    """Append a ``__sig`` bit-signature column: bit i = sign of the dot
+    product with deterministic gaussian plane i. Pure array-expression
+    arithmetic (single scan, codegen'd)."""
+    planes = _planes(dim, num_planes)
+    sig = None
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return df.withColumn("__sig", sig)
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band
+    with the query (16 planes → 4 bands of 4 bits), then exact cosine
+    on candidates only. Returns the same schema as ``cosine_topk``;
+    recall is probabilistic (hence no SQL oracle — the driver records
+    a rows-only check)."""
+    bits = num_planes // bands
+    mask = (1 << bits) - 1
+    signed = lsh_signature(df, vec_col, num_planes)
+    band_arr = F.array(
+        *[F.shiftright("__sig", bits * j).bitwiseAND(F.lit(mask)) for j in range(bands)]
+    )
+    banded = signed.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(band_arr).alias("__band", "__key")
+    )
+    qb = banded.filter(F.col(id_col) == query_id).select(
+        F.col("__band").alias("__qband"),
+        F.col("__key").alias("__qkey"),
+        F.col(vec_col).alias("__q"),
+    )
+    candidates = (
+        banded.filter(F.col(id_col) != query_id)
+        .join(
+            F.broadcast(qb),
+            (F.col("__band") == F.col("__qband")) & (F.col("__key") == F.col("__qkey")),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("__q"))
+        .dropDuplicates([id_col])
+    )
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

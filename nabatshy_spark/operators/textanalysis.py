@@ -1,0 +1,103 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.11):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure column expressions — single scan, codegen'd,
+no UDFs — so they run at full parquet-scan speed at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword markers per language for the n-gram/stopword language-ID
+# heuristic; deterministic tie order en > de > es > fr.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "of", "and"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "es", "y", "que"],
+    "fr": ["le", "les", "est", "et", "une"],
+}
+
+STOPWORDS = ["the", "a", "is", "of", "and", "to", "in"]
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _marker_count(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document language scores + argmax prediction ('und' when no
+    marker fires). The scoring is engine-portable arithmetic so the
+    oracle can replicate it verbatim."""
+    toks = _tokens(F.col(text_col))
+    scores = {
+        lang: _marker_count(toks, markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.select(F.col(id_col), *scores.values())
+    se, sd, ss, sf_ = (F.col(f"score_{lang}") for lang in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((se == 0) & (sd == 0) & (ss == 0) & (sf_ == 0), "und")
+        .when((se >= sd) & (se >= ss) & (se >= sf_), "en")
+        .when((sd >= ss) & (sd >= sf_), "de")
+        .when(ss >= sf_, "es")
+        .otherwise("fr")
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality metrics per document: token count, char count, average
+    token length, stopword ratio, and a blended quality score in
+    [0, 1] (length-normalized + stopword presence — the usual cheap
+    pre-filter before expensive model-based scoring)."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # chars excluding separators / tokens
+    avg_token_len = F.round(
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))) / n_tokens, 6
+    )
+    stop_ratio = F.round(_marker_count(toks, STOPWORDS) / n_tokens, 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(_marker_count(toks, STOPWORDS) / F.lit(5.0), F.lit(1.0)) * 0.5,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    subword estimate (ceil of chars/4 — the standard rough tokens-per-
+    char heuristic), both engine-portable."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("ws_tokens"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).alias("subword_est"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (lower/trim),
+    plus a 60-bit rolling-style numeric fingerprint derived from it
+    (usable as a shard/bucket key)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_60bit"),
+    )

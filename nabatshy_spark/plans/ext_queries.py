@@ -1,0 +1,110 @@
+"""Extension query registry (SURVEY §2.11): dedup, similarity search,
+text analysis, multimodal — the training-data-pipeline surface over the
+``documents`` and ``embeddings`` tables. Registered into the same
+QUERIES dict as the core queries; oracles in plans/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.operators import dedup, multimodal, similarity, textanalysis
+from nabatshy_spark.plans.queries import query
+
+
+@query("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via sha256 hash-groupBy: one survivor (min doc_id)
+    per distinct content + duplicate count. The shuffle key is the
+    32-byte digest, never the document body."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via
+    inverted-index self-join."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact verification: 64 bands × 2
+    rows gives P[miss | J≥0.5] ≤ (1-0.25)^64 ≈ 1e-8, so the oracle is
+    the exact-Jaccard SQL — the scale path produces the exact answer."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via the 4×15-bit band
+    pigeonhole join — exact result, no N² compare."""
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("dedup_embedding")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45), brute-force
+    baseline (LSH variant: ann_lsh_topk)."""
+    return dedup.embedding_dup_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+@query("ann_cosine_topk")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 neighbours of vec_id 0 —
+    broadcast query vector + TakeOrderedAndProject."""
+    return similarity.cosine_topk(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0, k=10
+    )
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing + exact
+    rerank of candidates. Probabilistic recall → no SQL oracle (driver
+    records a rows-only check); tests measure recall vs brute force."""
+    return similarity.lsh_topk(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_id=0, k=10
+    )
+
+
+@query("text_stats")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token/char counts, avg token
+    length, stopword ratio, blended quality score)."""
+    return textanalysis.text_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_langid")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic with deterministic argmax."""
+    return textanalysis.lang_scores(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_token_counts")
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate."""
+    return textanalysis.token_counts(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_fingerprint")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint + 60-bit numeric shard key."""
+    return textanalysis.fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: attach payload → Arrow-batched
+    mapInPandas feature extraction (size + sha256). The decode step is
+    a documented stub; the pipeline shape is real."""
+    return multimodal.extract_features(
+        multimodal.attach_binary(load(spark, sf_dir, "documents"), "doc_id", "text")
+    )

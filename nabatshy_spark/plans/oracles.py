@@ -238,3 +238,150 @@ FROM events, mx
 WHERE ts >= mx.m - INTERVAL 1 DAY
 GROUP BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# Extension operators (SURVEY §2.11). ann_lsh_topk is intentionally
+# absent (probabilistic recall → rows-only check).
+# ---------------------------------------------------------------------------
+
+ORACLES["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY sha256(text)
+"""
+
+_JACCARD_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM t
+  WHERE len(w) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz x ON inter.doc_a = x.doc_id
+JOIN sz y ON inter.doc_b = y.doc_id
+WHERE round(i / (x.sz + y.sz - i), 6) >= 0.5
+"""
+
+ORACLES["dedup_ngram_jaccard"] = _JACCARD_PAIRS_SQL
+# LSH at 64 bands x 2 rows has miss probability ~1e-8 at J>=0.5, so its
+# verified output equals the exact operator's (see operators/dedup.py).
+ORACLES["dedup_minhash_lsh"] = _JACCARD_PAIRS_SQL
+
+ORACLES["dedup_simhash"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS hv
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, i.i,
+         sum(CASE WHEN (hv >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 60)) AS i) i
+  GROUP BY doc_id, i.i
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_COS = """list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])
+  / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))
+     * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"""
+
+ORACLES["dedup_embedding"] = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round({_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.45
+"""
+
+ORACLES["ann_cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({_COS.format(a="e.embedding", b="q.qv")}, 6) AS cos
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY cos DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+_STOPWORDS_SQL = "['the','a','is','of','and','to','in']"
+
+ORACLES["text_stats"] = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT
+  doc_id,
+  len(w)::INT                                               AS n_tokens,
+  length(text)::INT                                         AS n_chars_measured,
+  round(length(replace(text, ' ', '')) / len(w), 6)         AS avg_token_len,
+  round(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) / len(w), 6)
+                                                            AS stopword_ratio,
+  round(least(len(w) / 100.0, 1.0) * 0.5
+        + least(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) / 5.0,
+                1.0) * 0.5, 6)                              AS quality_score
+FROM t
+"""
+
+ORACLES["text_langid"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> list_contains(['the','a','is','of','and'], x)))::INT  AS score_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x)))::INT AS score_de,
+    len(list_filter(w, x -> list_contains(['el','los','es','y','que'], x)))::INT  AS score_es,
+    len(list_filter(w, x -> list_contains(['le','les','est','et','une'], x)))::INT AS score_fr
+  FROM t
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE
+    WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+    WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+    WHEN score_es >= score_fr THEN 'es'
+    ELSE 'fr'
+  END AS pred_lang
+FROM s
+"""
+
+ORACLES["text_token_counts"] = """
+SELECT doc_id,
+       len(string_split(text, ' '))::INT      AS ws_tokens,
+       ceil(length(text) / 4.0)::BIGINT       AS subword_est
+FROM documents
+"""
+
+ORACLES["text_fingerprint"] = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp_md5,
+       ('0x' || substr(md5(lower(trim(text))), 1, 15))::UBIGINT::BIGINT AS fp_60bit
+FROM documents
+"""
+
+ORACLES["multimodal_features"] = """
+SELECT doc_id,
+       'application/octet-stream'        AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text)                      AS sha_hex
+FROM documents
+"""
