@@ -1,0 +1,244 @@
+"""Span-table serving operators — the reference's REST query surface
+(api/service.go) re-expressed over the denormalized span DataFrame
+(schema: nabatshy_spark.schema.SPAN_SCHEMA).
+
+Attribute-predicate semantics replicate the reference *exactly*,
+including its independent-arrays quirk: ClickHouse stores attributes
+as parallel key/value arrays and the reference tests
+``has(keys, k)`` and ``has(values, v)`` separately
+(api/service.go:744-771), so ``k=v`` matches a row where k exists and
+v appears under ANY key, and ``k!=v`` rejects it. We keep MapType
+storage but evaluate over map_keys()/map_values() to preserve those
+semantics (SURVEY §7 watch-list: "replicate, don't fix").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nabatshy_spark.operators.search import AttributeQuery, parse_attribute_query
+
+NS_PER_MS = 1_000_000.0
+
+
+def duration_ms_col() -> Column:
+    return F.round(F.col("duration_ns") / F.lit(NS_PER_MS), 6).alias("duration_ms")
+
+
+def _has_key(attrs: Column, key: str) -> Column:
+    return F.array_contains(F.map_keys(attrs), F.lit(key))
+
+
+def _has_value(attrs: Column, value: str) -> Column:
+    return F.array_contains(F.map_values(attrs), F.lit(value))
+
+
+def attr_pair(attrs: Column, key: str, value: str) -> Column:
+    """P6 as the reference does it: key present AND value present —
+    checked independently (api/service.go:744-751)."""
+    return _has_key(attrs, key) & _has_value(attrs, value)
+
+
+def attr_pair_negated(attrs: Column, key: str, value: str) -> Column:
+    """P7: ``NOT has(key,k) OR (has(key,k) AND NOT has(value,v))``
+    (api/service.go:753-771)."""
+    return (~_has_key(attrs, key)) | (_has_key(attrs, key) & ~_has_value(attrs, value))
+
+
+def has_error_col() -> Column:
+    """F10: span carries an event named 'exception'
+    (api/service.go:808-820 projection)."""
+    return F.exists(F.col("events"), lambda e: e["name"] == F.lit("exception")).alias(
+        "has_error"
+    )
+
+
+def _condition(c: AttributeQuery) -> Column:
+    """One DSL condition over a span row (api/service.go:707-771):
+    special keys ``name``/``scope`` hit scalar columns; generic keys
+    check span AND resource attributes (match in either; negation must
+    hold in both)."""
+    if c.key == "name":
+        col = F.col("name")
+        return col != F.lit(c.value) if c.negate else col == F.lit(c.value)
+    if c.key == "scope":
+        col = F.col("scope_name")
+        return col != F.lit(c.value) if c.negate else col == F.lit(c.value)
+    span_attrs, res_attrs = F.col("span_attributes"), F.col("resource_attributes")
+    if c.negate:
+        return attr_pair_negated(span_attrs, c.key, c.value) & attr_pair_negated(
+            res_attrs, c.key, c.value
+        )
+    return attr_pair(span_attrs, c.key, c.value) | attr_pair(res_attrs, c.key, c.value)
+
+
+def _broad_search(q: str) -> Column:
+    """P8 broad OR search (api/service.go:778-789): name, scope,
+    trace_id, span_id, or any attribute key/value."""
+    lit = F.lit(q)
+    return (
+        (F.col("name") == lit)
+        | (F.col("scope_name") == lit)
+        | (F.col("trace_id") == lit)
+        | (F.col("span_id") == lit)
+        | _has_key(F.col("span_attributes"), q)
+        | _has_value(F.col("span_attributes"), q)
+        | _has_key(F.col("resource_attributes"), q)
+        | _has_value(F.col("resource_attributes"), q)
+    )
+
+
+def search_spans(
+    df: DataFrame,
+    query: str = "",
+    trace_or_span: str = "trace",
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    sort_field: str = "start_time_unix_nano",
+    sort_order: str = "desc",
+    page: int = 1,
+    page_size: int = 20,
+) -> DataFrame:
+    """The full search lifecycle (§3.2, api/service.go:698-891):
+    DSL parse (fallback → broad search), trace/span mode (P10), time
+    range (P3), has_error projection, dynamic sort (O3), pagination
+    (O4; span_id appended as total-order tiebreaker)."""
+    pred = F.lit(True)
+    if query:
+        conds = parse_attribute_query(query)
+        if conds is None:
+            pred = _broad_search(query)
+        else:
+            for c in conds:
+                pred = pred & _condition(c)
+    if trace_or_span == "trace":
+        pred = pred & (F.col("parent_span_id") == "")   # P2
+    elif trace_or_span == "span":
+        pred = pred & (F.col("parent_span_id") != "")
+    if start_ns is not None:
+        pred = pred & (F.col("start_time_unix_nano") >= F.lit(start_ns))
+    if end_ns is not None:
+        pred = pred & (F.col("end_time_unix_nano") <= F.lit(end_ns))
+    sort_col = F.col(sort_field)
+    primary = sort_col.desc() if sort_order == "desc" else sort_col.asc()
+    return (
+        df.filter(pred)
+        .select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "scope_name",
+            "start_time_unix_nano",
+            duration_ms_col(),
+            has_error_col(),
+        )
+        .orderBy(primary, F.col("span_id").asc())
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+    )
+
+
+def endpoint_latency(df: DataFrame) -> DataFrame:
+    """Per-endpoint stats (api/service.go:315-363): count, avg, min,
+    max, p50/p95/p99 over duration_ms, sorted by avg desc."""
+    dur = F.col("duration_ns") / F.lit(NS_PER_MS)
+    p = F.percentile(dur, F.lit([0.5, 0.95, 0.99]))
+    return (
+        df.groupBy("name")
+        .agg(
+            F.count("*").alias("call_count"),
+            F.round(F.avg(dur), 6).alias("avg_ms"),
+            F.round(F.min(dur), 6).alias("min_ms"),
+            F.round(F.max(dur), 6).alias("max_ms"),
+            p.alias("__p"),
+        )
+        .select(
+            "name",
+            "call_count",
+            "avg_ms",
+            "min_ms",
+            "max_ms",
+            # percentiles unrounded: interpolation is bit-identical
+            # across engines, and rounding midpoints of 6-decimal ms
+            # values hits the 7th-digit-5 boundary where engine
+            # rounding modes diverge (see plans/queries.py policy)
+            F.col("__p")[0].alias("p50_ms"),
+            F.col("__p")[1].alias("p95_ms"),
+            F.col("__p")[2].alias("p99_ms"),
+        )
+    )
+
+
+def service_dependency_graph(df: DataFrame) -> DataFrame:
+    """J1 (api/service.go:365-398): self equi-join child.parent_span_id
+    = parent.span_id, keep cross-service edges, count call pairs.
+
+    Shuffle partitions on the join key; the ≠ predicate stays a
+    post-join filter exactly like the reference's SQL.
+    """
+    s1 = df.select(
+        F.col("span_id").alias("__pid"), F.col("scope_name").alias("parent_service")
+    )
+    s2 = df.select(
+        F.col("parent_span_id").alias("__pid"), F.col("scope_name").alias("child_service")
+    ).filter(F.col("__pid") != "")
+    return (
+        s1.join(s2, "__pid")
+        .filter(F.col("parent_service") != F.col("child_service"))
+        .groupBy("parent_service", "child_service")
+        .agg(F.count("*").alias("call_count"))
+    )
+
+
+def error_traces(df: DataFrame) -> DataFrame:
+    """A4/F10: per-trace exception rollup — traces with ≥1 span
+    carrying an 'exception' event (api/service.go:598-611 trace list +
+    :817 has_error)."""
+    has_exc = F.exists("events", lambda e: e["name"] == F.lit("exception"))
+    return (
+        df.groupBy("trace_id")
+        .agg(
+            F.count("*").alias("span_count"),
+            F.sum(F.when(has_exc, 1).otherwise(0)).alias("error_spans"),
+            F.round(F.max(F.col("duration_ns") / F.lit(NS_PER_MS)), 6).alias(
+                "max_duration_ms"
+            ),
+        )
+        .filter(F.col("error_spans") > 0)
+    )
+
+
+def trace_details(df: DataFrame, trace_id: str) -> DataFrame:
+    """P11 point lookup: every span of one trace, time-ordered
+    (api/service.go:262, GetTraceSpans)."""
+    return (
+        df.filter(F.col("trace_id") == trace_id)
+        .select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "scope_name",
+            "start_time_unix_nano",
+            duration_ms_col(),
+            has_error_col(),
+        )
+        .orderBy("start_time_unix_nano", "span_id")
+    )
+
+
+def distinct_services(df: DataFrame) -> DataFrame:
+    """A9 (api/service.go:1541-1546): DISTINCT resource attr
+    'service.name' — `arrayElement(value, indexOf(key, ...))` becomes
+    a map lookup."""
+    return (
+        df.select(
+            F.element_at(F.col("resource_attributes"), F.lit("service.name")).alias(
+                "service_name"
+            )
+        )
+        .filter(F.col("service_name").isNotNull())
+        .distinct()
+    )

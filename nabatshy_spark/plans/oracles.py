@@ -41,9 +41,9 @@ SELECT
   round(avg(l_extendedprice), 6)              AS avg_price,
   min(l_extendedprice)                        AS min_price,
   max(l_extendedprice)                        AS max_price,
-  round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50_price,
-  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
-  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+  quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+  quantile_cont(l_extendedprice, 0.99) AS p99_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -214,7 +214,7 @@ WITH buckets AS (
 agg AS (
   SELECT
     (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % {_CM_IV} AS bucket_epoch,
-    round(quantile_cont(value, 0.95), 6) AS p95_value,
+    quantile_cont(value, 0.95) AS p95_value,
     count(*)                             AS n,
     round(avg(value), 6)                 AS avg_value
   FROM events
@@ -384,4 +384,113 @@ SELECT doc_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text)                      AS sha_hex
 FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Span-native queries over the committed fixture (FIXTURES.md §1).
+# DuckDB reads the parquet by path; predicates use the parallel-array
+# layout (ra_keys/ra_values/sa_keys/sa_values) — the reference's
+# physical shape — so the independent-arrays semantics (P6/P7,
+# api/service.go:744-771) are expressed literally.
+# ---------------------------------------------------------------------------
+
+_SPANS = "'/root/repo/tests/data/spans.parquet'"
+
+ORACLES["spans_slowest_traces"] = f"""
+SELECT trace_id, name, scope_name,
+       round(duration_ns / 1000000.0, 6) AS duration_ms,
+       start_time_unix_nano
+FROM {_SPANS}
+WHERE parent_span_id = ''
+ORDER BY duration_ms DESC, start_time_unix_nano DESC, trace_id ASC
+LIMIT 20
+"""
+
+ORACLES["spans_endpoint_latency"] = f"""
+SELECT name,
+       count(*)                                        AS call_count,
+       round(avg(duration_ns / 1000000.0), 6)          AS avg_ms,
+       round(min(duration_ns / 1000000.0), 6)          AS min_ms,
+       round(max(duration_ns / 1000000.0), 6)          AS max_ms,
+       quantile_cont(duration_ns / 1000000.0, 0.5)  AS p50_ms,
+       quantile_cont(duration_ns / 1000000.0, 0.95) AS p95_ms,
+       quantile_cont(duration_ns / 1000000.0, 0.99) AS p99_ms
+FROM {_SPANS}
+GROUP BY name
+"""
+
+ORACLES["spans_service_dependency"] = f"""
+SELECT s1.scope_name AS parent_service,
+       s2.scope_name AS child_service,
+       count(*)      AS call_count
+FROM {_SPANS} s1
+JOIN {_SPANS} s2 ON s1.span_id = s2.parent_span_id
+WHERE s2.parent_span_id != ''
+  AND s1.scope_name != s2.scope_name
+GROUP BY s1.scope_name, s2.scope_name
+"""
+
+ORACLES["spans_error_traces"] = f"""
+SELECT trace_id,
+       count(*) AS span_count,
+       sum(CASE WHEN len(list_filter(events, e -> e.name = 'exception')) > 0
+                THEN 1 ELSE 0 END)::BIGINT AS error_spans,
+       round(max(duration_ns / 1000000.0), 6) AS max_duration_ms
+FROM {_SPANS}
+GROUP BY trace_id
+HAVING sum(CASE WHEN len(list_filter(events, e -> e.name = 'exception')) > 0
+               THEN 1 ELSE 0 END) > 0
+"""
+
+ORACLES["spans_attr_negation"] = f"""
+SELECT span_id, trace_id, name
+FROM {_SPANS}
+WHERE NOT list_contains(sa_keys, 'db.system')
+   OR (list_contains(sa_keys, 'db.system')
+       AND NOT list_contains(sa_values, 'postgres'))
+"""
+
+ORACLES["spans_attr_pair"] = f"""
+SELECT span_id, scope_name
+FROM {_SPANS}
+WHERE list_contains(ra_keys, 'env') AND list_contains(ra_values, 'prod')
+"""
+
+ORACLES["spans_search_page"] = f"""
+SELECT trace_id, span_id, parent_span_id, name, scope_name,
+       start_time_unix_nano,
+       round(duration_ns / 1000000.0, 6) AS duration_ms,
+       len(list_filter(events, e -> e.name = 'exception')) > 0 AS has_error
+FROM {_SPANS}
+WHERE scope_name = 'svc-api'
+  AND list_contains(ra_keys, 'env') AND list_contains(ra_values, 'prod')
+  AND parent_span_id = ''
+ORDER BY start_time_unix_nano DESC, span_id ASC
+LIMIT 15 OFFSET 0
+"""
+
+ORACLES["spans_trace_details"] = f"""
+SELECT trace_id, span_id, parent_span_id, name, scope_name,
+       start_time_unix_nano,
+       round(duration_ns / 1000000.0, 6) AS duration_ms,
+       len(list_filter(events, e -> e.name = 'exception')) > 0 AS has_error
+FROM {_SPANS}
+WHERE trace_id = 'tr0007'
+ORDER BY start_time_unix_nano, span_id
+"""
+
+ORACLES["spans_distinct_services"] = f"""
+SELECT DISTINCT ra_values[list_position(ra_keys, 'service.name')] AS service_name
+FROM {_SPANS}
+WHERE list_contains(ra_keys, 'service.name')
+"""
+
+ORACLES["spans_hourly_heatmap"] = f"""
+SELECT date_trunc('hour', make_timestamp(start_time_unix_nano // 1000)) AS bucket,
+       count(*) AS n,
+       round(avg(duration_ns / 1000000.0), 6) AS avg_duration_ms
+FROM {_SPANS}
+GROUP BY 1
+ORDER BY bucket
+LIMIT 24
 """

@@ -6,10 +6,16 @@ declarative DataFrame plans that Catalyst optimizes (pushdown, pruning,
 broadcast). The matching DuckDB oracle SQL lives in
 ``nabatshy_spark.plans.oracles`` with identical column aliases.
 
-Float policy: double-typed aggregate outputs are rounded (sums → 2
-decimals, avg/percentile/ratios → 6) on BOTH the Spark and oracle side,
-so partition-order-dependent low bits never flip the comparison hash.
-Min/max/count are exact and left unrounded.
+Float policy: double aggregates whose value depends on summation order
+(sum/avg and ratios derived from them) are rounded identically on both
+sides (sums → 2 decimals, avg/ratios → 6) so partition-order low bits
+never flip the comparison hash. Percentiles are NOT rounded: exact
+interpolation over sorted values is bit-identical across engines,
+while rounding them actually *breaks* parity — midpoints of
+k-decimal inputs sit exactly on the k+1-th-digit-5 boundary, where
+Spark (BigDecimal of shortest decimal repr, HALF_UP) and DuckDB
+(binary-value rounding) disagree. Min/max/count are exact and left
+unrounded.
 """
 
 from __future__ import annotations
@@ -102,9 +108,9 @@ def endpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price",
             "min_price",
             "max_price",
-            r6(F.col("__p")[0]).alias("p50_price"),
-            r6(F.col("__p")[1]).alias("p95_price"),
-            r6(F.col("__p")[2]).alias("p99_price"),
+            F.col("__p")[0].alias("p50_price"),
+            F.col("__p")[1].alias("p95_price"),
+            F.col("__p")[2].alias("p99_price"),
         )
     )
 
@@ -428,7 +434,7 @@ def combined_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ep = _epoch_s(F.col("ts"))
     agg = sliced.groupBy((ep - ep % F.lit(iv)).alias("bucket_epoch")).agg(
-        r6(F.percentile("value", F.lit(0.95))).alias("p95_value"),
+        F.percentile("value", F.lit(0.95)).alias("p95_value"),
         F.count("*").alias("n"),
         r6(F.avg("value")).alias("avg_value"),
     )

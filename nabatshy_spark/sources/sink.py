@@ -1,0 +1,52 @@
+"""Span table sink (SURVEY §2.1 S7): partitioned, append-only parquet.
+
+The reference's storage contract is ClickHouse MergeTree ORDER BY
+(start_time_unix_nano, trace_id) (db/clickhouse.go:107-109) — i.e.
+time-ordered storage enabling range pruning. The Spark equivalent:
+
+- directory partitioning on an hour bucket of the span start time →
+  partition pruning for the time-range predicates (P3/P4);
+- ``sortWithinPartitions(start, trace_id)`` before write → parquet
+  row-group min/max on both keys, so point lookups and sub-hour
+  ranges skip row groups.
+
+At 100 TB the hour bucket yields manageable partition counts
+(24×365 ≈ 9k dirs/year, each internally parallel); switch the bucket
+to day + add trace-id bucketing if span volume per hour exceeds a few
+GB per file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARTITION_COL = "ingest_hour"
+
+
+def with_partition_col(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        PARTITION_COL,
+        F.date_format(
+            F.timestamp_micros(F.expr("start_time_unix_nano div 1000")),
+            "yyyy-MM-dd-HH",
+        ),
+    )
+
+
+def append_spans(df: DataFrame, path: str) -> None:
+    """Append a batch of wide span rows, time-partitioned and
+    row-group-sorted. At-least-once (no dedup), matching the
+    reference's replay behavior (SURVEY §2.9)."""
+    (
+        with_partition_col(df)
+        .sortWithinPartitions("start_time_unix_nano", "trace_id")
+        .write.mode("append")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def read_spans(spark, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df

@@ -1,0 +1,58 @@
+"""Structured Streaming ingest (SURVEY §2.9, §3.1).
+
+The reference's collector is a continuous push pipeline: each POST to
+:4318 becomes one batch insert (collector/service.go:176, main.go:29).
+The faithful Spark mapping is a micro-batch stream:
+
+    readStream (files of OTLP JSON documents; Kafka in production)
+      → parse_otlp_json (same transform as batch — one code path)
+      → foreachBatch append to the partitioned span table
+
+Semantics matched to the reference: at-least-once, no dedup (replayed
+payloads duplicate rows in ClickHouse too), no watermarks — all
+windowing stays query-time (T1–T5). ``foreachBatch`` keeps the sink
+pluggable: the same function body can `.write.format("jdbc")` into
+ClickHouse per BASELINE's spark_approach, with parquet as the test
+sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from nabatshy_spark.sources.otlp import parse_otlp_json
+from nabatshy_spark.sources.sink import append_spans
+
+RAW_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+def start_file_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream OTLP JSON documents (one per line, text files) into the
+    partitioned span table."""
+    raw = spark.readStream.schema(RAW_SCHEMA).text(input_dir).withColumnRenamed(
+        "value", "value"
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        append_spans(parse_otlp_json(batch, "value"), output_path)
+
+    return (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_batch(spark: SparkSession, json_docs: list[str]) -> DataFrame:
+    """Batch entry: a list of OTLP JSON documents → wide span rows
+    (used by tests and by any non-streaming bulk import)."""
+    df = spark.createDataFrame([(d,) for d in json_docs], RAW_SCHEMA)
+    return parse_otlp_json(df, "value")
