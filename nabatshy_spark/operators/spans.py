@@ -242,3 +242,53 @@ def distinct_services(df: DataFrame) -> DataFrame:
         .filter(F.col("service_name").isNotNull())
         .distinct()
     )
+
+
+def slow_vs_baseline(df: DataFrame, pct: float = 0.95) -> DataFrame:
+    """Slow-spans-vs-baseline (api/service.go:560-592): spans slower
+    than their endpoint's p95, with the percent-over-baseline (F11).
+    The reference issues a second aggregate query and compares
+    app-side; here the baseline is a percentile window over the
+    endpoint partition — one shuffle, no second scan."""
+    from pyspark.sql import Window
+
+    dur = F.col("duration_ns") / F.lit(NS_PER_MS)
+    w = Window.partitionBy("name")
+    return (
+        df.withColumn("p95_ms", F.percentile(dur, F.lit(pct)).over(w))
+        .filter(dur > F.col("p95_ms"))
+        .select(
+            "span_id",
+            "name",
+            "scope_name",
+            F.round(dur, 6).alias("duration_ms"),
+            "p95_ms",
+            F.round((dur - F.col("p95_ms")) / F.col("p95_ms") * 100.0, 6).alias(
+                "pct_over"
+            ),
+        )
+    )
+
+
+def service_issues(df: DataFrame) -> DataFrame:
+    """Issues endpoint (api/service.go:983-1006): per service, spans
+    slower than 2× the service average — the A5 nested aggregate
+    (`countIf(duration > avg*2)`), rewritten two-phase with a window
+    over the same key as the final groupBy (single exchange)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("scope_name")
+    flagged = df.withColumn("__avg", F.avg("duration_ns").over(w))
+    return (
+        flagged.groupBy(F.col("scope_name").alias("service"))
+        .agg(
+            F.count("*").alias("total_spans"),
+            F.sum(
+                F.when(F.col("duration_ns") > 2 * F.col("__avg"), 1).otherwise(0)
+            ).alias("issue_count"),
+        )
+        .withColumn(
+            "issue_rate",
+            F.round(F.col("issue_count") / F.col("total_spans") * 100.0, 6),
+        )
+    )

@@ -494,3 +494,31 @@ GROUP BY 1
 ORDER BY bucket
 LIMIT 24
 """
+
+ORACLES["spans_slow_vs_baseline"] = f"""
+WITH p AS (
+  SELECT name, quantile_cont(duration_ns / 1000000.0, 0.95) AS p95_ms
+  FROM {_SPANS} GROUP BY name
+)
+SELECT s.span_id, s.name, s.scope_name,
+       round(s.duration_ns / 1000000.0, 6) AS duration_ms,
+       p.p95_ms,
+       round((s.duration_ns / 1000000.0 - p.p95_ms) / p.p95_ms * 100.0, 6)
+         AS pct_over
+FROM {_SPANS} s JOIN p USING (name)
+WHERE s.duration_ns / 1000000.0 > p.p95_ms
+"""
+
+ORACLES["spans_service_issues"] = f"""
+WITH a AS (
+  SELECT scope_name, avg(duration_ns) AS avg_ns FROM {_SPANS} GROUP BY scope_name
+)
+SELECT s.scope_name AS service,
+       count(*) AS total_spans,
+       sum(CASE WHEN s.duration_ns > 2 * a.avg_ns THEN 1 ELSE 0 END)::BIGINT
+         AS issue_count,
+       round(sum(CASE WHEN s.duration_ns > 2 * a.avg_ns THEN 1 ELSE 0 END)
+             / count(*) * 100.0, 6) AS issue_rate
+FROM {_SPANS} s JOIN a USING (scope_name)
+GROUP BY s.scope_name
+"""

@@ -155,3 +155,27 @@ def parse_otlp_json(df: DataFrame, json_col: str = "value") -> DataFrame:
             lambda k: F.element_at(F.col("span_attributes"), k),
         ).alias("sa_values"),
     )
+
+
+def parse_otlp_json_with_dead_letter(
+    df: DataFrame, json_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Like ``parse_otlp_json`` but splits out undecodable documents.
+
+    The reference panics the handler on decode errors
+    (collector/controller.go:83) — no retry, no dead letter. Here the
+    bad documents (``from_json`` → null, or no resourceSpans) are
+    returned as a second DataFrame with the raw payload, for replay or
+    inspection, while the good path proceeds unchanged.
+    """
+    tagged = df.select(
+        F.col(json_col).alias("__raw"),
+        F.from_json(F.col(json_col), otlp_request_schema()).alias("__req"),
+    )
+    bad = tagged.filter(
+        F.col("__req").isNull() | F.col("__req.resourceSpans").isNull()
+    ).select(F.col("__raw").alias("raw_payload"))
+    good = tagged.filter(
+        F.col("__req").isNotNull() & F.col("__req.resourceSpans").isNotNull()
+    ).select(F.col("__raw").alias(json_col))
+    return parse_otlp_json(good, json_col), bad

@@ -183,3 +183,20 @@ def test_sink_partition_layout(spark, tmp_path):
 
     parts = [d for d in os.listdir(out) if d.startswith("ingest_hour=")]
     assert parts, "expected hour-partitioned directory layout"
+
+
+def test_dead_letter_split(spark):
+    from nabatshy_spark.sources.otlp import parse_otlp_json_with_dead_letter
+    from nabatshy_spark.streaming.ingest import RAW_SCHEMA
+
+    docs = [
+        _payload(),                      # good: 4 spans
+        "{this is not json",             # malformed
+        '{"unrelated": true}',           # valid JSON, not OTLP
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], RAW_SCHEMA)
+    good, bad = parse_otlp_json_with_dead_letter(df, "value")
+    assert good.count() == 4
+    bad_rows = [r.raw_payload for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "{this is not json" in bad_rows

@@ -1,0 +1,42 @@
+"""ClickHouse sink option-builder and compaction tests."""
+
+from __future__ import annotations
+
+import os
+
+from nabatshy_spark.sources.clickhouse import jdbc_options
+from nabatshy_spark.sources.compact import compact
+from nabatshy_spark.sources.sink import append_spans, read_spans
+from nabatshy_spark.streaming.ingest import ingest_batch
+
+
+def test_jdbc_options_mapping():
+    opts = jdbc_options("jdbc:clickhouse://ch:8123/otel", "denormalized_span", batchsize="500")
+    assert opts["url"].startswith("jdbc:clickhouse://")
+    assert opts["dbtable"] == "denormalized_span"
+    assert opts["batchsize"] == "500"          # override wins
+    assert opts["socket_timeout"] == "60000"   # 60s ceiling (db/clickhouse.go:21)
+    assert opts["compress"] == "1"             # LZ4 (db/clickhouse.go:24-25)
+
+
+def test_compaction_preserves_rows(spark, tmp_path):
+    from tests.test_otlp_ingest import _payload
+
+    out = str(tmp_path / "spans")
+    for _ in range(3):  # three epochs → multiple files per partition
+        append_spans(ingest_batch(spark, [_payload()]), out)
+    before = read_spans(spark, out).count()
+    part_dirs = [d for d in os.listdir(out) if d.startswith("ingest_hour=")]
+    files_before = sum(
+        len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+        for d in part_dirs
+    )
+    n = compact(spark, out, target_files_per_partition=1)
+    assert n == before
+    after = read_spans(spark, out)
+    assert after.count() == before
+    files_after = sum(
+        len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+        for d in [d for d in os.listdir(out) if d.startswith("ingest_hour=")]
+    )
+    assert files_after < files_before
