@@ -1,0 +1,73 @@
+"""Sessionization + top-K-per-group — window-function operators beyond
+the reference's surface (SURVEY §2.8 notes the reference exposes no
+window functions; these are the standard log-analytics extensions a
+user of an events table expects, built on Window specs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    user's previous event exceeds ``gap_minutes`` (lag + running sum —
+    the classic batch sessionization; the streaming twin is
+    ``F.session_window``).
+
+    One shuffle on user_id; both window functions share the same
+    partitioning and ordering, so Catalyst plans a single sort+exchange.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: event count, start/end, duration seconds."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return s.groupBy(F.col(user_col), F.col("session_seq")).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_secs"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-K rows per group via row_number — per-group heaps after one
+    shuffle on the group key; never a global sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -108,3 +108,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.attach_binary(load(spark, sf_dir, "documents"), "doc_id", "text")
     )
+
+
+@query("sessionization")
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization (lag + running sum, 30-min gap)
+    with per-session rollup — standard log-analytics extension beyond
+    the reference's surface (SURVEY §2.8)."""
+    from nabatshy_spark.operators.sessions import session_stats
+
+    return session_stats(load(spark, sf_dir, "events"))
+
+
+@query("topk_per_group")
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type via row_number window."""
+    from nabatshy_spark.operators.sessions import topk_per_group
+
+    return topk_per_group(
+        load(spark, sf_dir, "events"), "event_type", "value", "event_id", k=3
+    ).select("event_type", "event_id", "value", "rank")
+
+
+@query("endpoint_stats_approx")
+def endpoint_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB switch of endpoint_stats, executable:
+    t-digest percentile_approx + HLL approx_count_distinct (mergeable
+    sketches, bounded memory). Approximate ⇒ rows-only check; the
+    tolerance test lives in tests/test_extensions.py."""
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    p = F.percentile_approx("l_extendedprice", F.lit([0.5, 0.95, 0.99]), F.lit(10000))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("call_count"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            p.alias("__p"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "call_count",
+            "approx_parts",
+            F.col("__p")[0].alias("p50_price"),
+            F.col("__p")[1].alias("p95_price"),
+            F.col("__p")[2].alias("p99_price"),
+        )
+    )
+
+
+@query("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the scale path of
+    dedup_embedding (probabilistic recall ⇒ rows-only check; overlap
+    measured in tests)."""
+    return similarity.lsh_dup_pairs(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )

@@ -522,3 +522,36 @@ SELECT s.scope_name AS service,
 FROM {_SPANS} s JOIN a USING (scope_name)
 GROUP BY s.scope_name
 """
+
+ORACLES["sessionization"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seq AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts)  AS session_start,
+       max(ts)  AS session_end,
+       ((epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000)) AS duration_secs
+FROM seq
+GROUP BY user_id, session_seq
+"""
+
+ORACLES["topk_per_group"] = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC)::INT AS rank
+  FROM events
+) WHERE rank <= 3
+"""

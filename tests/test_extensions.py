@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 
+import nabatshy_spark.plans.ext_queries  # noqa: F401
 from nabatshy_spark.catalog import load
 from nabatshy_spark.operators import multimodal, similarity
 
@@ -37,3 +38,59 @@ def test_multimodal_plumbing(spark, sf_dir):
     ).collect()
     assert len(out) == 20
     assert all(len(r.sha_hex) == 64 and r.n_bytes > 0 for r in out)
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators.skew import salted_count_sum
+
+    ev = load(spark, sf_dir, "events")
+    salted = {
+        (r.event_type,): (r.n, round(r.sum_value, 2))
+        for r in salted_count_sum(ev, ["event_type"], "value").collect()
+    }
+    plain = {
+        (r.event_type,): (r.n, round(r.s, 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from nabatshy_spark.operators.skew import salted_broadcastable_join
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = c.join(n, "c_nationkey").count()
+    salted = salted_broadcastable_join(c, n, "c_nationkey").count()
+    assert salted == plain
+
+
+def test_embedding_lsh_recall(spark, sf_dir):
+    from nabatshy_spark.operators.dedup import embedding_dup_pairs
+    from nabatshy_spark.operators.similarity import lsh_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r.doc_a, r.doc_b) for r in embedding_dup_pairs(emb, "vec_id", "embedding").collect()}
+    approx = {(r.doc_a, r.doc_b) for r in lsh_dup_pairs(emb, "vec_id", "embedding").collect()}
+    assert approx <= exact                      # verification is exact → no false pairs
+    if exact:
+        assert len(approx) / len(exact) >= 0.9  # recall floor at 32 planes / 16 x 2-bit bands
+
+
+def test_approx_stats_near_exact(spark, sf_dir):
+    from nabatshy_spark.plans.queries import QUERIES
+
+    exact = {
+        (r.l_returnflag, r.l_linestatus): r.p95_price
+        for r in QUERIES["endpoint_stats"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.l_returnflag, r.l_linestatus): r.p95_price
+        for r in QUERIES["endpoint_stats_approx"](spark, sf_dir).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.02    # sketch within 2%
