@@ -167,3 +167,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_dup_pairs(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
     )
+
+
+@query("cube_pricing")
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — grouping-sets surface the
+    reference lacks (SURVEY §2.4 'not present'), native in both
+    engines."""
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("distinct_customers_by_priority")
+def distinct_customers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — absent from the reference (SURVEY §2.4);
+    exact distinct per group (the approx twin is approx_count_distinct
+    in endpoint_stats_approx)."""
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )

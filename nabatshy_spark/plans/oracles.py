@@ -555,3 +555,19 @@ SELECT event_type, event_id, value, rank FROM (
   FROM events
 ) WHERE rank <= 3
 """
+
+ORACLES["cube_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["distinct_customers_by_priority"] = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""

@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the optimizer properties SCALE.md
+claims are asserted here against the actual physical plans, so a
+refactor that silently loses a pushdown, broadcasts nothing, or adds a
+shuffle fails CI — not just a perf review."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import nabatshy_spark.plans.ext_queries  # noqa: F401
+import nabatshy_spark.plans.span_queries  # noqa: F401
+from nabatshy_spark.plans.queries import QUERIES
+
+
+def _plan(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _hash_exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange hashpartitioning", plan))
+
+
+def test_pricing_summary_pushdown_and_single_exchange(spark, sf_dir):
+    p = _plan(spark, "pricing_summary", sf_dir)
+    assert "PushedFilters: [" in p and "LessThanOrEqual(l_shipdate" in p, (
+        "l_shipdate filter must reach the parquet scan"
+    )
+    assert _hash_exchanges(p) == 1, "partial agg then one shuffle of ~6 groups"
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, "region_nation_rollup", sf_dir)
+    assert p.count("BroadcastHashJoin") == 2, "nation and region must broadcast"
+    assert "SortMergeJoin" not in p, "fact table must not shuffle for the join"
+    assert _hash_exchanges(p) == 1, "only the final aggregation shuffles"
+
+
+def test_endpoint_stats_partial_percentile(spark, sf_dir):
+    p = _plan(spark, "endpoint_stats", sf_dir)
+    assert "partial_percentile" in p, (
+        "percentile must aggregate map-side before the exchange"
+    )
+    assert _hash_exchanges(p) == 1
+
+
+def test_nested_aggregate_single_exchange(spark, sf_dir):
+    """A5 two-phase rewrite: the Window and the groupBy share the
+    partitioning key → exactly one hash exchange."""
+    p = _plan(spark, "error_rate_by_priority", sf_dir)
+    assert _hash_exchanges(p) == 1
+
+
+def test_topn_plans_take_ordered(spark, sf_dir):
+    for name in ("trace_rollup", "slowest_traces"):
+        p = _plan(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in p, f"{name}: top-N must not global-sort"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must not read the whole lineitem schema."""
+    p = _plan(spark, "service_dependency", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag"}, (
+        f"scan reads more columns than the query needs: {cols}"
+    )
