@@ -62,9 +62,12 @@ def main() -> None:
         if name not in QUERIES:
             continue
         QUERIES[name](spark, sf_dir).collect()  # warm: compile + codegen
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # min of 2 measured runs damps GC/scheduler noise
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -195,3 +195,42 @@ def distinct_customers_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query("asof_join_orders")
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 'not present' — extension): for each
+    event, the o_orderdate of the latest order (key: user_id ≡
+    o_custkey mod 150) at or before the event time. Union +
+    last-value-window — one shuffle, no range cross product. The
+    matched date (value-determined) is projected so boundary ties
+    can't make the output nondeterministic."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        orders,
+        left_key=F.col("user_id"),
+        right_key=F.col("o_custkey") % 150,
+        left_ts=F.col("ts"),
+        right_ts=F.col("o_orderdate"),
+        payload={"matched_date": F.col("o_orderdate")},
+    )
+
+
+@query("pivot_status_price")
+def pivot_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.4 'not present' — extension): order totals by
+    priority × status, statuses as columns."""
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )

@@ -571,3 +571,19 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+ORACLES["asof_join_orders"] = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS matched_date
+FROM events e
+ASOF JOIN orders o
+  ON e.user_id = o.o_custkey % 150 AND e.ts >= o.o_orderdate
+"""
+
+ORACLES["pivot_status_price"] = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
