@@ -234,3 +234,29 @@ def pivot_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.round(F.sum("o_totalprice"), 2))
     )
+
+
+@query("range_join_events")
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (SURVEY §2.3 'not present' — extension): error
+    events paired with purchase events within 60 seconds, via bucketed
+    equi-join (no cross product). Aggregated per error event to keep
+    the output compact."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators.joins import range_join_buckets
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"), F.col("ts").alias("pur_ts")
+    )
+    pairs = range_join_buckets(
+        errors, purchases, F.col("err_ts"), F.col("pur_ts"), max_gap_seconds=60
+    )
+    return pairs.groupBy("err_id").agg(
+        F.count("*").alias("n_nearby"),
+        F.min("pur_id").alias("first_pur_id"),
+    )

@@ -587,3 +587,14 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+ORACLES["range_join_events"] = """
+WITH e AS (SELECT event_id AS err_id, ts AS err_ts FROM events WHERE event_type = 'error'),
+     p AS (SELECT event_id AS pur_id, ts AS pur_ts FROM events WHERE event_type = 'purchase')
+SELECT e.err_id,
+       count(*)       AS n_nearby,
+       min(p.pur_id)  AS first_pur_id
+FROM e JOIN p
+  ON abs(epoch_us(e.err_ts) - epoch_us(p.pur_ts)) <= 60 * 1000000
+GROUP BY e.err_id
+"""
