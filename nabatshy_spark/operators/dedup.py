@@ -226,8 +226,11 @@ def minhash_lsh_pairs(
     # single-file table would otherwise pin the whole pipeline to one
     # task — and persist: the frame is referenced four times in the
     # DAG (banding + both join sides of candidate verification) and
-    # must not be recomputed per reference.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # must not be recomputed per reference. The Python-stage fan-out
+    # is capped below core count: each task costs a worker spawn +
+    # Arrow channel, and the vectorized batch work is cheap, so fewer,
+    # larger batches win until data volume actually needs the width.
+    parallelism = max(8, df.sparkSession.sparkContext.defaultParallelism // 4)
     hs = (
         df.repartition(parallelism, id_col)
         .select(
