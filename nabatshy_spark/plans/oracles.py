@@ -598,3 +598,57 @@ FROM e JOIN p
   ON abs(epoch_us(e.err_ts) - epoch_us(p.pur_ts)) <= 60 * 1000000
 GROUP BY e.err_id
 """
+
+ORACLES["spans_search_sorted"] = f"""
+SELECT trace_id, span_id, parent_span_id, name, scope_name,
+       start_time_unix_nano,
+       round(duration_ns / 1000000.0, 6) AS duration_ms,
+       len(list_filter(events, e -> e.name = 'exception')) > 0 AS has_error
+FROM {_SPANS}
+WHERE name = 'GET /api/v1/users' AND parent_span_id != ''
+ORDER BY duration_ms ASC, span_id ASC
+LIMIT 10 OFFSET 10
+"""
+
+ORACLES["spans_search_timerange"] = f"""
+SELECT trace_id, span_id, parent_span_id, name, scope_name,
+       start_time_unix_nano,
+       round(duration_ns / 1000000.0, 6) AS duration_ms,
+       len(list_filter(events, e -> e.name = 'exception')) > 0 AS has_error
+FROM {_SPANS}
+WHERE (name = 'svc-db' OR scope_name = 'svc-db'
+       OR trace_id = 'svc-db' OR span_id = 'svc-db'
+       OR list_contains(sa_keys, 'svc-db') OR list_contains(sa_values, 'svc-db')
+       OR list_contains(ra_keys, 'svc-db') OR list_contains(ra_values, 'svc-db'))
+  AND parent_span_id = ''
+  AND start_time_unix_nano >= 1706745600000000000
+  AND end_time_unix_nano <= 1706752800000000000
+ORDER BY start_time_unix_nano ASC, span_id ASC
+LIMIT 50 OFFSET 0
+"""
+
+ORACLES["spans_search_metrics"] = f"""
+WITH buckets AS (
+  SELECT unnest(generate_series(1706745600, 1706745600 + 4*3600 - 1, 960))
+           AS bucket_epoch
+),
+agg AS (
+  SELECT
+    (start_time_unix_nano // 1000000000)
+      - (start_time_unix_nano // 1000000000) % 960 AS bucket_epoch,
+    quantile_cont(duration_ns / 1000000.0, 0.95)   AS p95_ms,
+    count(*)                                       AS n,
+    round(avg(duration_ns / 1000000.0), 6)         AS avg_ms
+  FROM {_SPANS}
+  WHERE scope_name = 'svc-api'
+    AND start_time_unix_nano >= 1706745600000000000
+    AND start_time_unix_nano <  1706760000000000000
+  GROUP BY 1
+)
+SELECT b.bucket_epoch,
+       COALESCE(a.p95_ms, 0.0) AS p95_ms,
+       COALESCE(a.n, 0)::BIGINT AS n,
+       COALESCE(a.avg_ms, 0.0) AS avg_ms
+FROM buckets b LEFT JOIN agg a ON b.bucket_epoch = a.bucket_epoch
+ORDER BY b.bucket_epoch
+"""
