@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import nabatshy_spark.plans.ext_queries  # noqa: F401
 import nabatshy_spark.plans.span_queries  # noqa: F401
+import nabatshy_spark.plans.sql_queries  # noqa: F401
 from nabatshy_spark.catalog import TABLES, load
 from nabatshy_spark.plans.queries import QUERIES
 from nabatshy_spark.session import get_spark

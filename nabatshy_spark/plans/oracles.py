@@ -652,3 +652,31 @@ SELECT b.bucket_epoch,
 FROM buckets b LEFT JOIN agg a ON b.bucket_epoch = a.bucket_epoch
 ORDER BY b.bucket_epoch
 """
+
+ORACLES["spans_trace_waterfall"] = f"""
+SELECT trace_id,
+       count(*) AS span_count,
+       round(sum(duration_ns / 1000000.0), 6) AS total_ms,
+       list(span_id ORDER BY start_time_unix_nano, span_id) AS span_sequence
+FROM {_SPANS}
+GROUP BY trace_id
+"""
+
+ORACLES["sql_top_revenue_brands"] = """
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY revenue DESC, p.p_brand ASC
+LIMIT 10
+"""
+
+ORACLES["sql_segment_order_stats"] = """
+SELECT c.c_mktsegment,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       count(o.o_orderkey)         AS n_orders,
+       round(avg(o.o_totalprice), 6) AS avg_order_price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""

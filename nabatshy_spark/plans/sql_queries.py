@@ -1,0 +1,47 @@
+"""SQL-front-end queries — the same engine served through
+``spark.sql`` over registered views (SURVEY §3.2 note: Catalyst
+produces the same plan either way; these prove the SQL surface works
+against the same catalog, for users who speak SQL rather than the
+DataFrame API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nabatshy_spark.catalog import register_views
+from nabatshy_spark.plans.queries import query
+
+
+@query("sql_top_revenue_brands")
+def sql_top_revenue_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup via the SQL API: lineitem ⋈ part, grouped by
+    brand, top 10 by revenue."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY revenue DESC, p.p_brand ASC
+        LIMIT 10
+        """
+    )
+
+
+@query("sql_segment_order_stats")
+def sql_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment customer/order stats via the SQL API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               count(o.o_orderkey)         AS n_orders,
+               round(avg(o.o_totalprice), 6) AS avg_order_price
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )

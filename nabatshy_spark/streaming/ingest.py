@@ -33,18 +33,43 @@ def start_file_ingest(
     input_dir: str,
     output_path: str,
     checkpoint_dir: str,
+    dedupe_watermark: str | None = None,
 ) -> StreamingQuery:
     """Stream OTLP JSON documents (one per line, text files) into the
-    partitioned span table."""
-    raw = spark.readStream.schema(RAW_SCHEMA).text(input_dir).withColumnRenamed(
-        "value", "value"
-    )
+    partitioned span table.
 
-    def sink(batch: DataFrame, epoch_id: int) -> None:
-        append_spans(parse_otlp_json(batch, "value"), output_path)
+    Default semantics are the reference's: at-least-once, no dedup
+    (replayed POSTs duplicate rows in ClickHouse too, SURVEY §2.9).
+    Pass ``dedupe_watermark`` (e.g. ``"10 minutes"``) to upgrade to
+    stateful dedup on (trace_id, span_id) within the event-time
+    watermark — duplicates arriving inside the window are dropped
+    exactly once; state is bounded by the watermark.
+    """
+    raw = spark.readStream.schema(RAW_SCHEMA).text(input_dir)
+
+    if dedupe_watermark is None:
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            append_spans(parse_otlp_json(batch, "value"), output_path)
+
+        stream = raw
+    else:
+        from pyspark.sql import functions as F
+
+        stream = (
+            parse_otlp_json(raw, "value")
+            .withColumn(
+                "__et", F.timestamp_micros(F.expr("start_time_unix_nano div 1000"))
+            )
+            .withWatermark("__et", dedupe_watermark)
+            .dropDuplicatesWithinWatermark(["trace_id", "span_id"])
+            .drop("__et")
+        )
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            append_spans(batch, output_path)
 
     return (
-        raw.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -11,6 +11,7 @@ import pytest
 
 import nabatshy_spark.plans.ext_queries  # noqa: F401
 import nabatshy_spark.plans.span_queries  # noqa: F401
+import nabatshy_spark.plans.sql_queries  # noqa: F401
 from nabatshy_spark.plans.queries import QUERIES
 
 
