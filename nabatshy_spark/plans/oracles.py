@@ -680,3 +680,42 @@ SELECT c.c_mktsegment,
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+ORACLES["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+ORACLES["segments_with_big_orders"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+ORACLES["order_coverage_left_join"] = """
+SELECT c.c_mktsegment,
+       count(*) AS n_rows,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_orderless_rows
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+ORACLES["running_user_value"] = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+WHERE user_id = 7
+"""
+
+ORACLES["unpivot_status_price"] = """
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+"""

@@ -468,3 +468,92 @@ def relative_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_value"))
     )
+
+
+@query("customers_without_orders")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (SURVEY §2.3 'not present' — extension): customers
+    with no order over 400k — NOT EXISTS as left_anti (no row
+    materialization of the non-matching side). The price filter keeps
+    the anti side non-empty at every sf, so the check discriminates."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query("segments_with_big_orders")
+def segments_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: segments of customers having at least one order over
+    400k — EXISTS as left_semi, then rollup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000).select(
+        "o_custkey"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query("order_coverage_left_join")
+def order_coverage_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-side aggregation: every customer with
+    their order count (0 when unmatched) — outer joins are absent from
+    the reference (SURVEY §2.3)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "n_orderless_rows"
+            ),
+        )
+    )
+
+
+@query("running_user_value")
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (rowsBetween unbounded-preceding → current):
+    running value sum per user over event time — frame-specified
+    windows are beyond the reference's surface (SURVEY §2.8). Limited
+    to one user for compact output."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query("unpivot_status_price")
+def unpivot_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→unpivot roundtrip: the pivoted status columns melted back
+    to (priority, status, total) rows — equals a plain GROUP BY, which
+    is exactly what the oracle states."""
+    wide = QUERIES["pivot_status_price"](spark, sf_dir)
+    return (
+        wide.selectExpr(
+            "o_orderpriority",
+            "stack(3, 'O', O, 'F', F, 'P', P) AS (o_orderstatus, total_price)",
+        )
+        .filter(F.col("total_price").isNotNull())
+    )
