@@ -101,3 +101,36 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_60bit"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — corpus-statistics scoring for
+    training-data curation (which documents are dominated by which
+    rare terms).
+
+    tf = term count within the doc; idf = ln(N / df) over the corpus.
+    The df table is tiny (vocabulary-sized) and broadcasts; the only
+    wide shuffle is the (doc, term) count. Deterministic ranking by
+    (score desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )

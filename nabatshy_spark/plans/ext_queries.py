@@ -260,3 +260,12 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nearby"),
         F.min("pur_id").alias("first_pur_id"),
     )
+
+
+@query("text_tfidf_top_terms")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus-statistics text
+    analysis; df table broadcasts, one wide shuffle)."""
+    return textanalysis.tfidf_top_terms(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )

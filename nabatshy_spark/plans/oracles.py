@@ -719,3 +719,23 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY o_orderpriority, o_orderstatus
 """
+
+ORACLES["text_tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, rank, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
