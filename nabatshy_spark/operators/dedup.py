@@ -440,3 +440,57 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Group near-dup *pairs* into duplicate clusters: every node gets
+    ``component`` = the minimum doc id reachable from it. This is the
+    step after any pair-finder (MinHash/SimHash/Jaccard/embedding) —
+    training-data dedup keeps one survivor per component, not per pair.
+
+    Iterative min-label propagation on DataFrames: each round every
+    node takes min(own label, neighbours' labels); converges in
+    O(graph diameter) rounds. Duplicate clusters are near-cliques, so
+    the diameter is tiny in practice. Each round is one shuffle on the
+    node id; ``localCheckpoint`` truncates the lineage so plans don't
+    grow superlinearly with rounds. For adversarially long chains at
+    100 TB the drop-in upgrade is the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log n) rounds with the same per-round shape.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("new_component"),
+            )
+        ).localCheckpoint()  # eager: one materialization per round
+        changed = updated.filter(
+            F.col("new_component") < F.col("component")
+        ).limit(1).count()
+        labels = updated.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

@@ -55,6 +55,65 @@ def session_stats(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    step_within_hours: int = 24,
+) -> DataFrame:
+    """Ordered-sequence funnel: for each user, the first event of
+    step[i] must occur strictly after — and within ``step_within_hours``
+    of — their first qualifying event of step[i-1]. Returns one row:
+    per-step distinct-user counts plus the overall conversion rate
+    (last step / first step, rounded).
+
+    Each step is a groupBy(user) min(ts) followed by a join back on
+    user — all stages share the user_id hash partitioning, so after the
+    first exchange the per-step joins and aggregations co-locate and
+    AQE collapses them without extra shuffles. The per-step frontier
+    (one row per surviving user) only shrinks, so later stages are
+    broadcast-size long before the funnel ends even at 100 TB of raw
+    events.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    for i, step in enumerate(steps[1:], 1):
+        nxt = df.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("e_ts")
+        )
+        keep = [F.first(f"t{j}").alias(f"t{j}") for j in range(i)]
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(user_col)
+            .agg(
+                *keep,
+                F.min(
+                    F.when(
+                        (F.col("e_ts") > F.col(f"t{i-1}"))
+                        & (
+                            F.col("e_ts")
+                            <= F.col(f"t{i-1}")
+                            + F.expr(f"INTERVAL {step_within_hours} HOURS")
+                        ),
+                        F.col("e_ts"),
+                    )
+                ).alias(f"t{i}"),
+            )
+        )
+    last = len(steps) - 1
+    return cur.agg(
+        *[F.count(f"t{i}").alias(f"n_{s}") for i, s in enumerate(steps)],
+        F.round(F.count(f"t{last}") / F.count("t0"), 6).alias("conv_rate"),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_col: str,

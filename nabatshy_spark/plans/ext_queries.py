@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from nabatshy_spark.catalog import load
-from nabatshy_spark.operators import dedup, multimodal, similarity, textanalysis
+from nabatshy_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    sessions,
+    similarity,
+    textanalysis,
+)
 from nabatshy_spark.plans.queries import query
 
 
@@ -268,4 +275,52 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis; df table broadcasts, one wide shuffle)."""
     return textanalysis.tfidf_top_terms(
         load(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+@query("sample_hash")
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% consistent sample of documents via md5-prefix
+    hash sampling (reproducible across engines and reruns; pure filter,
+    no shuffle, no RNG)."""
+    return sampling.hash_sample(
+        load(spark, sf_dir, "documents"), "doc_id", bps=6554
+    ).select("doc_id", "lang", "source")
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-25% longest documents via percent_rank —
+    quality-filtered stratified sampling for corpus curation."""
+    return sampling.stratified_topfrac(
+        load(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id", frac=0.25
+    )
+
+
+@query("text_normalize")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass (lowercase / punct→space / collapse
+    / trim) + token count; the JVM-side pre-pass feeding fingerprints."""
+    return textanalysis.normalize_text(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query("dedup_components")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: exact 3-gram Jaccard pairs (threshold 0.5)
+    grouped into connected components by iterative min-label
+    propagation; component = min doc_id reachable."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return dedup.connected_components(pairs)
+
+
+@query("event_funnel")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel over events: per-step
+    user counts + overall conversion rate in one declarative plan."""
+    return sessions.funnel(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )

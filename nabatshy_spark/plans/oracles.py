@@ -739,3 +739,59 @@ SELECT doc_id, term, rank, score FROM (
   FROM scored
 ) WHERE rank <= 3
 """
+
+ORACLES["sample_hash"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '199a'
+"""
+
+ORACLES["sample_stratified"] = """
+SELECT doc_id, lang, n_chars, pr FROM (
+  SELECT doc_id, lang, n_chars,
+         round(percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id ASC), 6) AS pr
+  FROM documents
+) WHERE pr <= 0.25
+"""
+
+ORACLES["text_normalize"] = """
+SELECT doc_id, norm_text, len(string_split(norm_text, ' '))::INT AS n_tokens
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+"""
+
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+"""
+
+ORACLES["event_funnel"] = """
+WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT v.user_id, min(e.ts) AS t1 FROM v JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 24 HOURS
+      GROUP BY v.user_id),
+p AS (SELECT c.user_id, min(e.ts) AS t2 FROM c JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 24 HOURS
+      GROUP BY c.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM p) / (SELECT count(*) FROM v), 6) AS conv_rate
+"""

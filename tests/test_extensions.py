@@ -95,3 +95,58 @@ def test_approx_stats_near_exact(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.02    # sketch within 2%
+
+
+def test_connected_components_chain_and_clique(spark):
+    from nabatshy_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique {10,11}, and an isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_funnel_window_and_order(spark):
+    import datetime as dt
+
+    from nabatshy_spark.operators.sessions import funnel
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # u1 converts: view@0 -> click@1 -> purchase@2
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click BEFORE first view only -> drops at click step
+        (2, t(1), "view"), (2, t(0), "click"),
+        # u3: click too late (>24h after view) -> drops at click step
+        (3, t(0), "view"), (3, dt.datetime(2024, 1, 3), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel(df, ["view", "click", "purchase"]).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == (3, 1, 1)
+    assert abs(out.conv_rate - round(1 / 3, 6)) < 1e-9
+
+
+def test_hash_sample_bounds_and_determinism(spark, sf_dir):
+    import pytest as _pytest
+
+    from nabatshy_spark.operators.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", bps=70000)
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 6554).collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 6554).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone: a bigger budget strictly contains a smaller one
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 32768).collect()}
+    assert a <= big
