@@ -109,9 +109,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     rare terms).
 
     tf = term count within the doc; idf = ln(N / df) over the corpus.
-    The df table is tiny (vocabulary-sized) and broadcasts; the only
-    wide shuffle is the (doc, term) count. Deterministic ranking by
-    (score desc, term asc).
+
+    Single-pass shape: the corpus is exploded exactly once into the
+    (doc, term) count; document frequency is then a window count over
+    that aggregate (tf has one row per doc-term, so count(*) per term
+    IS df) — no second corpus scan, no dfreq join. The only row-count
+    proportional shuffle is the (doc, term) aggregation; the two window
+    exchanges move the much smaller tf relation. N arrives as a 1-row
+    broadcast. Deterministic ranking by (score desc, term asc).
     """
     from pyspark.sql import Window
 
@@ -119,12 +124,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = toks.select(id_col, "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .join(F.broadcast(n_docs))
         .withColumn("score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
     )

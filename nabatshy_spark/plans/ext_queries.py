@@ -272,7 +272,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_tfidf_top_terms")
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (corpus-statistics text
-    analysis; df table broadcasts, one wide shuffle)."""
+    analysis; single corpus explode, df via window count — no join)."""
     return textanalysis.tfidf_top_terms(
         load(spark, sf_dir, "documents"), "doc_id", "text", k=3
     )

@@ -69,3 +69,30 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert set(cols) <= {"l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag"}, (
         f"scan reads more columns than the query needs: {cols}"
     )
+
+
+def test_hash_sample_scan_only(spark, sf_dir):
+    p = _plan(spark, "sample_hash", sf_dir)
+    assert _hash_exchanges(p) == 0, "consistent sampling must be a pure filter"
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert m and set(c.split("#")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "lang", "source"
+    }, "scan must be pruned to the projected columns"
+
+
+def test_text_normalize_scan_only(spark, sf_dir):
+    p = _plan(spark, "text_normalize", sf_dir)
+    assert _hash_exchanges(p) == 0, "normalization is a scan-shaped map"
+
+
+def test_stratified_sample_single_exchange(spark, sf_dir):
+    p = _plan(spark, "sample_stratified", sf_dir)
+    assert _hash_exchanges(p) == 1, "one shuffle on the stratum key"
+
+
+def test_tfidf_single_corpus_pass(spark, sf_dir):
+    p = _plan(spark, "text_tfidf_top_terms", sf_dir)
+    assert p.count("Generate explode") == 1, "corpus must be exploded exactly once"
+    assert "SortMergeJoin" not in p, "no row-count-proportional join allowed"
+    # 4th exchange = countDistinct(doc_id) over a one-column pruned scan
+    assert _hash_exchanges(p) <= 4, "tf agg + term window + doc window + N"
