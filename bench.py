@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats",
+    "text_tfidf_top_terms",
+    "sample_hash",
+    "event_funnel",
 ]
 
 

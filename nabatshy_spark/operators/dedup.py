@@ -460,11 +460,15 @@ def connected_components(
     algorithm (Kiveris et al., "Connected Components in MapReduce"),
     which converges in O(log n) rounds with the same per-round shape.
     """
+    # Materialize the (usually expensive) pair-finder output once —
+    # every propagation round re-reads edges, and without this the
+    # whole upstream plan (e.g. a MinHash/Jaccard self-join) would
+    # re-execute per round.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
