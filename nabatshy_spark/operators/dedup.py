@@ -498,3 +498,33 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus dedup — the composition a training-data
+    pipeline actually runs: (1) exact dedup by content hash, (2) exact
+    n-gram Jaccard near-dup pairs over the exact survivors, (3) pairs
+    clustered into components, (4) keep the min-id doc per cluster.
+    Returns the surviving rows of ``df`` (all original columns).
+
+    Stage shapes at scale: (1) shuffles 32-byte digests, (2) shuffles
+    (shingle-hash, id) postings, (3) iterates over the tiny pair
+    relation, (4) is a shuffle-on-id anti join. Nothing ever shuffles
+    document bodies except the final survivor join, which moves only
+    the surviving rows.
+    """
+    exact_sur = exact_dedup(df, id_col, text_col).select(id_col)
+    sur_docs = df.join(exact_sur, id_col, "left_semi")
+    pairs = ngram_jaccard_pairs(sur_docs, id_col, text_col, n, threshold)
+    removed = (
+        connected_components(pairs)
+        .filter(F.col("component") < F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return sur_docs.join(removed, id_col, "left_anti")

@@ -324,3 +324,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.funnel(
         load(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+@query("dedup_pipeline")
+def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup composition: exact content-hash dedup, then
+    3-gram Jaccard (≥0.5) components over survivors, keep min-id per
+    cluster; returns the surviving corpus rows."""
+    return dedup.dedup_pipeline(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    ).select("doc_id", "lang", "source")

@@ -795,3 +795,46 @@ SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM p) AS n_purchase,
        round((SELECT count(*) FROM p) / (SELECT count(*) FROM v), 6) AS conv_rate
 """
+
+ORACLES["dedup_pipeline"] = """
+WITH RECURSIVE
+ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+sdocs AS (SELECT d.doc_id, d.text, d.lang, d.source
+          FROM documents d JOIN ex USING (doc_id)),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM sdocs),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM t
+  WHERE len(w) >= 3
+),
+exx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM exx a JOIN exx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz x ON inter.doc_a = x.doc_id
+  JOIN sz y ON inter.doc_b = y.doc_id
+  WHERE round(i / (x.sz + y.sz - i), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+removed AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(node) < src
+)
+SELECT s.doc_id, s.lang, s.source FROM sdocs s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM removed)
+"""
