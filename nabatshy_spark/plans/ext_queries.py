@@ -334,3 +334,24 @@ def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_pipeline(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     ).select("doc_id", "lang", "source")
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via the IVF file layout: embeddings written
+    partitioned by coarse LSH cell, probe list → partition pruning →
+    exact cosine rerank (nprobe=8 of 16 cells). Probabilistic recall →
+    no SQL oracle (driver records a rows-only check); tests assert the
+    recall shape and the PartitionFilters plan."""
+    import os as _os
+    import tempfile as _tf
+
+    from nabatshy_spark.operators import ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = _os.path.join(_tf.gettempdir(), f"nabatshy_ivf_{tag}")
+    if not _os.path.exists(path):
+        ivf.build_ivf(emb, path)
+    qvec = [float(x) for x in emb.filter(emb.vec_id == 0).first()["embedding"]]
+    return ivf.ivf_topk(spark, path, qvec, k=10, cell_bits=4, nprobe=8)
