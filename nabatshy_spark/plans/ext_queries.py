@@ -355,3 +355,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf.build_ivf(emb, path)
     qvec = [float(x) for x in emb.filter(emb.vec_id == 0).first()["embedding"]]
     return ivf.ivf_topk(spark, path, qvec, k=10, cell_bits=4, nprobe=8)
+
+
+@query("corpus_length_stats")
+def corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length distribution (count, avg, p50/p95/p99
+    of n_chars, total chars) — the curation dashboard query a
+    training-data pipeline watches; one partial-agg shuffle of ~|source|
+    groups."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95_chars"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )

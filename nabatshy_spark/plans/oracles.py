@@ -838,3 +838,15 @@ removed AS (
 SELECT s.doc_id, s.lang, s.source FROM sdocs s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM removed)
 """
+
+ORACLES["corpus_length_stats"] = """
+SELECT source,
+       count(*)                        AS n_docs,
+       round(avg(n_chars), 6)          AS avg_chars,
+       quantile_cont(n_chars, 0.5)     AS p50_chars,
+       quantile_cont(n_chars, 0.95)    AS p95_chars,
+       quantile_cont(n_chars, 0.99)    AS p99_chars,
+       sum(n_chars)                    AS total_chars
+FROM documents
+GROUP BY source
+"""
