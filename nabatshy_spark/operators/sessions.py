@@ -110,7 +110,11 @@ def funnel(
     last = len(steps) - 1
     return cur.agg(
         *[F.count(f"t{i}").alias(f"n_{s}") for i, s in enumerate(steps)],
-        F.round(F.count(f"t{last}") / F.count("t0"), 6).alias("conv_rate"),
+        # try_divide: an empty funnel (no step-0 users) yields NULL
+        # conv_rate, not an ANSI DIVIDE_BY_ZERO error
+        F.round(F.try_divide(F.count(f"t{last}"), F.count("t0")), 6).alias(
+            "conv_rate"
+        ),
     )
 
 

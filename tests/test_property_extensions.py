@@ -1,0 +1,109 @@
+"""Property tests for the iterative/compositional extension operators,
+checked against simple pure-Python references (few examples — each one
+is a full Spark job; the references are the spec, not mocks)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SLOW
+@given(edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from nabatshy_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+    )
+    got = {(r.doc_id, r.component) for r in connected_components(pairs).collect()}
+    assert got == set(_union_find(edges).items())
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 4),                      # user
+        st.integers(0, 5000),                   # minutes offset
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _ref_funnel(rows, steps, gap_hours=24):
+    t0 = dt.datetime(2024, 1, 1)
+    by_user = {}
+    for uid, m, typ in rows:
+        by_user.setdefault(uid, []).append((t0 + dt.timedelta(minutes=m), typ))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [
+                t
+                for t, typ in evs
+                if typ == step
+                and (
+                    i == 0
+                    or (prev is not None
+                        and prev < t <= prev + dt.timedelta(hours=gap_hours))
+                )
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    return tuple(counts)
+
+
+@SLOW
+@given(events_strategy)
+def test_funnel_matches_reference(spark, rows):
+    from nabatshy_spark.operators.sessions import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(uid, t0 + dt.timedelta(minutes=m), typ) for uid, m, typ in rows],
+        ["user_id", "ts", "event_type"],
+    )
+    steps = ["view", "click", "purchase"]
+    expected = _ref_funnel(rows, steps)
+    if expected[0] == 0:
+        # no user enters the funnel → single all-zero row
+        expected_row = (0, 0, 0)
+    else:
+        expected_row = expected
+    out = funnel(df, steps).collect()[0]
+    assert (out.n_view, out.n_click, out.n_purchase) == expected_row
