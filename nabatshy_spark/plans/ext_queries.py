@@ -374,3 +374,20 @@ def corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query("skew_salted_value_by_user")
+def skew_salted_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase count+sum over events grouped by user —
+    the salted aggregation produces results identical to the plain
+    groupBy (which is what the oracle checks); the salt exists to split
+    a hot user across reducers at scale."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators.skew import salted_count_sum
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_count_sum(ev, ["user_id"], "value", salt_buckets=16)
+    return out.select(
+        "user_id", "n", F.round(F.col("sum_value"), 6).alias("sum_value")
+    )

@@ -850,3 +850,9 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+ORACLES["skew_salted_value_by_user"] = """
+SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY user_id
+"""
