@@ -391,3 +391,26 @@ def skew_salted_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n", F.round(F.col("sum_value"), 6).alias("sum_value")
     )
+
+
+@query("props_json_stats")
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time JSON path extraction (surface the reference lacks —
+    SURVEY §2.7 'not present'): pull props.k out of the JSON string
+    column and aggregate per event type. get_json_object is codegen'd;
+    at scale the answer is to materialize hot paths as columns at
+    ingest, but ad-hoc extraction must still work."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -856,3 +856,17 @@ SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM events
 GROUP BY user_id
 """
+
+ORACLES["props_json_stats"] = """
+SELECT event_type,
+       count(k)            AS n_with_k,
+       round(avg(k), 6)    AS avg_k,
+       min(k)              AS min_k,
+       max(k)              AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
