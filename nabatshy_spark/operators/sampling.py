@@ -64,3 +64,79 @@ def stratified_topfrac(
         .filter(F.col("pr") <= frac)
         .select(id_col, stratum_col, score_col, "pr")
     )
+
+
+def _u01(key: Column) -> Column:
+    """Deterministic uniform-ish [0,1) from a key: first 4 md5 hex
+    chars as an integer / 65536. Same value in any engine — the
+    portable substitute for rand() in curation pipelines."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("double")
+        / 65536.0
+    )
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
+    """Importance sampling / domain reweighting: keep each row with
+    probability ``weight`` (a column in [0,1]), decided by the
+    deterministic per-key uniform — so the mixture is reproducible and
+    a weight bump strictly grows the kept set for unchanged keys.
+
+    Pure filter over the scan: no shuffle, no RNG state, retry-safe.
+    """
+    return df.filter(_u01(F.col(key_col)) < weight)
+
+
+def capped_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Corpus balancing: keep at most ``cap`` rows per group (source /
+    domain / language), chosen by the deterministic per-key uniform so
+    the survivors are an unbiased, reproducible sample of each group.
+
+    One shuffle on the group key; WindowGroupLimit prunes each
+    partition to ``cap`` rows before the final sort, so a giant group
+    never materializes fully in one task's sort buffer.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _u01(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def pack_token_chunks(
+    df: DataFrame,
+    id_col: str,
+    n_tokens: Column,
+    group_col: str,
+    chunk_tokens: int,
+) -> DataFrame:
+    """Sequence-packing planner: concatenate each group's documents in
+    deterministic (id) order and assign every document its token
+    start-offset and training-chunk id (chunk k covers token offsets
+    [k·B, (k+1)·B)) — the metadata a tokenizer shard needs to pack
+    examples without a driver-side loop.
+
+    One shuffle on the group key; the running sum is a single window
+    pass. At 100 TB each group's offsets are independent, so groups
+    parallelize perfectly; within a group the window is the standard
+    sorted-prefix-sum and never buffers more than a partition.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = n_tokens.cast("long")
+    cum = F.sum(toks).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        toks.alias("n_tokens"),
+        (cum - toks).alias("start_offset"),
+        F.floor((cum - toks) / chunk_tokens).cast("long").alias("chunk_id"),
+    )

@@ -414,3 +414,42 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query("sample_weighted")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling / domain reweighting: keep doc with
+    probability least(n_chars/200, 1) via the deterministic per-key
+    uniform — reproducible mixture, pure filter."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+    return sampling.weighted_sample(docs, "doc_id", w).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query("sample_capped_per_source")
+def sample_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: at most 15 docs per source, chosen by the
+    deterministic per-key uniform (reproducible unbiased survivors)."""
+    return sampling.capped_per_group(
+        load(spark, sf_dir, "documents"), "source", "doc_id", cap=15
+    ).select("doc_id", "source")
+
+
+@query("pack_chunks")
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner: per-source token start-offsets and
+    512-token training-chunk ids from one windowed prefix sum."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.pack_token_chunks(
+        docs,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        "source",
+        chunk_tokens=512,
+    )

@@ -870,3 +870,37 @@ FROM (
 )
 GROUP BY event_type
 """
+
+ORACLES["sample_weighted"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT / 65536.0
+      < least(n_chars / 200.0, 1.0)
+"""
+
+ORACLES["sample_capped_per_source"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT / 65536.0 ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+ORACLES["pack_chunks"] = """
+SELECT doc_id, source,
+       n_tokens,
+       (cum - n_tokens)                          AS start_offset,
+       floor((cum - n_tokens) / 512)::BIGINT     AS chunk_id
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         sum(len(string_split(text, ' '))::BIGINT) OVER (
+           PARTITION BY source ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+"""
