@@ -185,3 +185,23 @@ def lsh_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid of a vector column, emitted as (label, dim,
+    centroid_v, n) rows — the aggregation a clustering / prototype /
+    drift-monitoring job runs over an embedding table.
+
+    Row-form on purpose: posexplode → groupBy(label, dim) is a plain
+    partial-aggregated hash agg (|labels|×|dims| groups), which scales
+    to any corpus without ever holding arrays in agg state; re-assemble
+    with array_agg ordered by dim when an array is needed.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+        F.count("*").alias("n"),
+    )

@@ -453,3 +453,12 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         chunk_tokens=512,
     )
+
+
+@query("embedding_centroids")
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, centroid_v, n)
+    rows — posexplode + hash agg, the scale form of vector averaging."""
+    return similarity.label_centroids(
+        load(spark, sf_dir, "embeddings"), "label", "embedding"
+    )

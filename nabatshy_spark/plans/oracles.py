@@ -904,3 +904,11 @@ FROM (
   FROM documents
 )
 """
+
+ORACLES["embedding_centroids"] = """
+SELECT label, i::INT AS dim,
+       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid_v,
+       count(*) AS n
+FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+GROUP BY label, i
+"""
