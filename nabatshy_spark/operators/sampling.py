@@ -30,6 +30,8 @@ def hash_sample(df: DataFrame, key_col: str, bps: int) -> DataFrame:
     """
     if not 0 <= bps <= 65536:
         raise ValueError("bps must be in [0, 65536]")
+    if bps == 65536:  # keep-all: '10000' is 5 chars and would compare wrong
+        return df
     thresh = format(bps, "04x")
     return df.filter(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < F.lit(thresh)

@@ -29,11 +29,13 @@ def parse_attribute_query(query: str) -> list[AttributeQuery] | None:
     """Parse ``"k1=v1,k2!=v2"`` into conditions.
 
     Reference semantics (api/service.go:651-696): split on ``,``; each
-    pair must be ``k=v`` or ``k!=v`` with non-empty key and value. If
-    *any* pair is invalid the whole query falls back to broad search —
-    return None (the all-pairs-valid-or-fallback rule, :690-695).
+    pair must contain ``=`` (checked ``!=`` first, longer match); keys
+    and values are trimmed but MAY be empty — ``k=`` filters on the
+    empty string, exactly as the reference's SplitN produces. If *any*
+    pair is invalid the whole query falls back to broad search — return
+    None (the all-pairs-valid-or-fallback rule, :690-695).
     """
-    if not query:
+    if not query or "=" not in query:
         return None
     out: list[AttributeQuery] = []
     for raw in query.split(","):
@@ -46,11 +48,8 @@ def parse_attribute_query(query: str) -> list[AttributeQuery] | None:
             neg = False
         else:
             return None
-        key, value = key.strip(), value.strip()
-        if not key or not value:
-            return None
-        out.append(AttributeQuery(key, value, neg))
-    return out if out else None
+        out.append(AttributeQuery(key.strip(), value.strip(), neg))
+    return out
 
 
 # --- events-table adapter (testdata analog of the span search) ---------

@@ -20,45 +20,107 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nabatshy_spark.functions.exprs import go_float_string
 from nabatshy_spark.schema import otlp_request_schema
 
+_ANYVALUE_DEPTH = 2  # matches schema.otlp_anyvalue_schema() nesting
 
-def normalize_anyvalue(v: Column) -> Column:
-    """OTLP AnyValue → String, replicating the reference's rules
-    (collector/service.go:184-237):
 
-    - string as-is; int/double/bool → decimal/bool literal string;
-    - bytes → base64 (OTLP JSON already carries base64 — kept verbatim);
-    - array of simple strings → comma join (collector/service.go:210);
-      other arrays → JSON;
-    - kvlist → JSON object (collector/service.go:222).
-    """
-    arr = v["arrayValue"]["values"]
-    all_strings = F.forall(arr, lambda e: e["stringValue"].isNotNull())
+def _extract_single(e: Column) -> Column:
+    """Scalar-only AnyValue → string, mirroring extractSingleValue
+    (collector/service.go:240-258): nested array/kvlist (and absent)
+    values yield '' so the caller drops them."""
     return (
-        F.when(v["stringValue"].isNotNull(), v["stringValue"])
-        .when(v["intValue"].isNotNull(), v["intValue"])
-        .when(v["doubleValue"].isNotNull(), v["doubleValue"].cast("string"))
-        .when(v["boolValue"].isNotNull(), v["boolValue"].cast("string"))
-        .when(v["bytesValue"].isNotNull(), v["bytesValue"])
-        .when(
-            arr.isNotNull() & all_strings,
-            F.array_join(F.transform(arr, lambda e: e["stringValue"]), ","),
-        )
-        .when(arr.isNotNull(), F.to_json(arr))
-        .when(
-            v["kvlistValue"]["values"].isNotNull(), F.to_json(v["kvlistValue"]["values"])
-        )
+        F.when(e.isNull(), F.lit(""))
+        .when(e["stringValue"].isNotNull(), e["stringValue"])
+        .when(e["intValue"].isNotNull(), e["intValue"])
+        .when(e["doubleValue"].isNotNull(), go_float_string(e["doubleValue"]))
+        .when(e["boolValue"].isNotNull(), e["boolValue"].cast("string"))
+        .when(e["bytesValue"].isNotNull(), e["bytesValue"])
         .otherwise(F.lit(""))
     )
 
 
-def attrs_to_map(attrs: Column) -> Column:
-    """[{key, value:AnyValue}] → Map<String,String> (S5)."""
-    entries = F.transform(
-        attrs, lambda a: F.struct(a["key"].alias("key"), normalize_anyvalue(a["value"]).alias("value"))
+def normalize_anyvalue(v: Column, depth: int = _ANYVALUE_DEPTH) -> Column:
+    """OTLP AnyValue → String, replicating the reference's rules
+    (collector/service.go:184-237) exactly:
+
+    - string as-is; int → decimal string; double → Go ``'f'`` shortest
+      form (1.0 → "1"); bool → true/false;
+    - bytes → base64 (OTLP JSON already carries base64 — kept verbatim);
+    - array → per-element *stringified* values with empty extractions
+      dropped (:199-206); all-strings arrays comma-joined (:210), mixed
+      arrays JSON-marshaled as the extracted strings ``["1","2"]``
+      (:212-214), empty extraction ⇒ the attribute is NOT set;
+    - kvlist → recursive flatten to {key: stringified} with
+      lexicographically sorted keys, matching Go ``json.Marshal`` of the
+      map (:222-228);
+    - absent/unknown value ⇒ NULL, and ``attrs_to_map`` drops the key
+      (reference sets no map entry).
+
+    Recursion is Python-side composition bounded by the schema's
+    nesting depth, so everything stays a single codegen'd CASE tree.
+    Divergence note: Go ``json.Marshal`` escapes ``& < >`` as ``\\u0026``
+    etc. inside kvlist/array JSON; Spark ``to_json`` does not.
+    """
+    out = (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(v["stringValue"].isNotNull(), v["stringValue"])
+        .when(v["intValue"].isNotNull(), v["intValue"])
+        .when(v["doubleValue"].isNotNull(), go_float_string(v["doubleValue"]))
+        .when(v["boolValue"].isNotNull(), v["boolValue"].cast("string"))
+        .when(v["bytesValue"].isNotNull(), v["bytesValue"])
     )
-    return F.when(attrs.isNotNull(), F.map_from_entries(entries)).otherwise(
+    if depth > 0:
+        arr = v["arrayValue"]["values"]
+        vals = F.filter(
+            F.transform(arr, _extract_single), lambda x: x != F.lit("")
+        )
+        # isSimpleStringArray checks the raw elements (nil ⇒ skipped)
+        all_strings = F.forall(
+            arr, lambda e: e.isNull() | e["stringValue"].isNotNull()
+        )
+        kv = v["kvlistValue"]["values"]
+        out = (
+            out.when(
+                arr.isNotNull() & (F.size(vals) > 0) & all_strings,
+                F.array_join(vals, ","),
+            )
+            .when(arr.isNotNull() & (F.size(vals) > 0), F.to_json(vals))
+            .when(arr.isNotNull(), F.lit(None).cast("string"))  # nothing extracted → key unset
+            .when(kv.isNotNull(), F.to_json(_kvlist_to_map(kv, depth - 1)))
+        )
+    return out.otherwise(F.lit(None).cast("string"))
+
+
+def _kvlist_to_map(kv: Column, depth: int) -> Column:
+    """kvlist entries → Map<String,String> with entries sorted by key so
+    ``to_json`` matches Go's sorted-key map marshal; entries whose value
+    normalizes to NULL are dropped (extractAttributes sets no key)."""
+    entries = F.transform(
+        kv,
+        lambda a: F.struct(
+            a["key"].alias("key"),
+            normalize_anyvalue(a["value"], depth).alias("value"),
+        ),
+    )
+    kept = F.filter(entries, lambda s: s["value"].isNotNull())
+    return F.map_from_entries(F.array_sort(kept))
+
+
+def attrs_to_map(attrs: Column, depth: int = _ANYVALUE_DEPTH) -> Column:
+    """[{key, value:AnyValue}] → Map<String,String> (S5). Keys whose
+    value normalizes to NULL (absent value / empty array extraction) are
+    omitted, matching extractAttributes (collector/service.go:184-237)."""
+    entries = F.transform(
+        attrs,
+        lambda a: F.struct(
+            a["key"].alias("key"),
+            normalize_anyvalue(a["value"], depth).alias("value"),
+        ),
+    )
+    kept = F.filter(entries, lambda s: s["value"].isNotNull())
+    return F.when(attrs.isNotNull(), F.map_from_entries(kept)).otherwise(
         F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
     )
 

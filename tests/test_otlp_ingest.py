@@ -142,8 +142,10 @@ def test_batch_ingest_denormalizes(spark):
     assert sa["bool_attr"] == "true"
     assert sa["bytes_attr"] == "aGVsbG8="
     assert sa["arr_attr"] == "a,b"                   # simple string array → comma join
-    assert json.loads(sa["mixed_arr"])               # mixed array → JSON
-    assert json.loads(sa["kv_attr"])[0]["key"] == "k"  # kvlist → JSON
+    # mixed array → JSON of the *stringified* elements (service.go:199-214)
+    assert json.loads(sa["mixed_arr"]) == ["1", "x"]
+    # kvlist → flat {key: stringified} object (service.go:222-228)
+    assert json.loads(sa["kv_attr"]) == {"k": "v"}
     # events with their own attribute maps
     assert rows["s0"].events[0].name == "exception"
     assert rows["s0"].events[0].attributes["exception.type"] == "E"
@@ -218,3 +220,49 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     spans = read_spans(spark, out_dir)
     assert spans.count() == 4                     # not 8
     assert spans.select("span_id").distinct().count() == 4
+
+
+def test_anyvalue_reference_semantics(spark):
+    """Exact extractAttributes parity (collector/service.go:184-258):
+    stringified array elements, dropped empty extractions, unset keys,
+    flat sorted kvlist objects, Go 'f' double format."""
+    attrs = [
+        {"key": "d_int", "value": {"doubleValue": 2.0}},
+        {"key": "d_big", "value": {"doubleValue": 1e10}},
+        {"key": "d_tiny", "value": {"doubleValue": 1.23e-7}},
+        # int array → JSON of stringified elements, not raw structs
+        {"key": "int_arr", "value": {"arrayValue": {"values": [
+            {"intValue": "1"}, {"intValue": "2"}]}}},
+        # empty-string elements are dropped from the joined output
+        {"key": "gappy_arr", "value": {"arrayValue": {"values": [
+            {"stringValue": "a"}, {"stringValue": ""}, {"stringValue": "b"}]}}},
+        # nothing extractable → the key is NOT set at all
+        {"key": "empty_arr", "value": {"arrayValue": {"values": [
+            {"stringValue": ""}]}}},
+        {"key": "no_value", "value": {}},
+        # kvlist flattens to {key: stringified}, keys sorted like Go json.Marshal
+        {"key": "kv", "value": {"kvlistValue": {"values": [
+            {"key": "z", "value": {"intValue": "9"}},
+            {"key": "a", "value": {"doubleValue": 0.5}}]}}},
+        # empty string value IS kept (only nil values are skipped)
+        {"key": "empty_str", "value": {"stringValue": ""}},
+    ]
+    payload = json.dumps({"resourceSpans": [{
+        "resource": {"attributes": []},
+        "scopeSpans": [{"scope": {"name": "svc"}, "spans": [{
+            "traceId": "t", "spanId": "s", "parentSpanId": "",
+            "name": "op", "startTimeUnixNano": "1", "endTimeUnixNano": "2",
+            "attributes": attrs, "events": [],
+        }]}],
+    }]})
+    sa = ingest_batch(spark, [payload]).collect()[0].span_attributes
+    assert sa["d_int"] == "2"
+    assert sa["d_big"] == "10000000000"
+    assert sa["d_tiny"] == "0.000000123"
+    assert sa["int_arr"] == '["1","2"]'
+    assert sa["gappy_arr"] == "a,b"
+    assert "empty_arr" not in sa
+    assert "no_value" not in sa
+    assert json.loads(sa["kv"]) == {"a": "0.5", "z": "9"}
+    assert list(json.loads(sa["kv"])) == ["a", "z"]   # sorted key order
+    assert sa["empty_str"] == ""

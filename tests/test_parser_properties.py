@@ -24,14 +24,25 @@ def test_roundtrip_valid_queries(pairs):
     assert parsed == [AttributeQuery(k, v, neg) for k, v, neg in pairs]
 
 
-@given(st.lists(st.tuples(key, value), min_size=1, max_size=3), st.integers(0, 2))
-def test_one_bad_pair_forces_fallback(pairs, mode):
+@given(st.lists(st.tuples(key, value), min_size=1, max_size=3))
+def test_one_bad_pair_forces_fallback(pairs):
     """The all-pairs-valid-or-fallback rule (api/service.go:690-695):
-    one malformed pair anywhere → whole query falls back (None)."""
+    one pair without '=' anywhere → whole query falls back (None)."""
     parts = [f"{k}={v}" for k, v in pairs]
-    bad = ["novalue=", "=nokey", "plaintext"][mode]
-    parts.insert(len(parts) // 2, bad)
+    parts.insert(len(parts) // 2, "plaintext")
     assert parse_attribute_query(",".join(parts)) is None
+
+
+def test_empty_key_or_value_is_valid():
+    """The reference's SplitN keeps empty keys/values as conditions
+    (api/service.go:668-688): 'k=' filters on empty value, '=v' on
+    empty key — they do NOT force fallback."""
+    assert parse_attribute_query("novalue=") == [AttributeQuery("novalue", "", False)]
+    assert parse_attribute_query("=nokey") == [AttributeQuery("", "nokey", False)]
+    assert parse_attribute_query("a=b,c!=") == [
+        AttributeQuery("a", "b", False),
+        AttributeQuery("c", "", True),
+    ]
 
 
 @given(st.text(max_size=30).filter(lambda s: "=" not in s))
