@@ -81,3 +81,46 @@ def ingest_batch(spark: SparkSession, json_docs: list[str]) -> DataFrame:
     (used by tests and by any non-streaming bulk import)."""
     df = spark.createDataFrame([(d,) for d in json_docs], RAW_SCHEMA)
     return parse_otlp_json(df, "value")
+
+
+def start_protobuf_file_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream ``application/x-protobuf`` request payloads (one request
+    per file, the unit a collector POST would produce —
+    collector/controller.go:46-53) into the partitioned span table.
+
+    Uses the ``binaryFile`` streaming source; decode + explode is the
+    S2 path (sources/otlp_pb.py), identical row semantics to JSON
+    ingest. Undecodable payloads are dropped per micro-batch (the
+    dead-letter variant is available for capture)."""
+    from nabatshy_spark.sources.otlp_pb import parse_otlp_protobuf
+
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.pb")
+        .load(input_dir)
+        .select("content")
+    )
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        append_spans(parse_otlp_protobuf(batch, "content"), output_path)
+
+    return (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
