@@ -40,13 +40,60 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB: image decode (PIL/opencv not available in this container).
+def decode_image(payload: bytes):
+    """Decode an image payload. PNG is decoded for real by the
+    pure-stdlib codec (operators/pngcodec.py — zlib inflate + scanline
+    unfiltering per the public spec); other formats (JPEG etc.) still
+    raise, since their codecs aren't in this container. A production
+    deployment swaps in libpng/libjpeg here; the Spark-side plumbing is
+    unchanged by that swap."""
+    data = bytes(payload)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from nabatshy_spark.operators.pngcodec import decode_png
 
-    A real deployment swaps this for the codec; everything around it
-    (batching, schema, partitioning) is already in place.
-    """
-    raise NotImplementedError("image decoding unavailable: no codec libs in container")
+        return decode_png(data)
+    raise NotImplementedError(
+        "only PNG decode is available in-container (no JPEG/video codecs)"
+    )
+
+
+IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "mean_pixel double, decode_error string"
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract over binary image payloads via
+    Arrow-batched ``mapInPandas``: dimensions, channel count, mean pixel
+    intensity. Undecodable payloads yield a ``decode_error`` row instead
+    of failing the batch (poison-payload safety at scale).
+
+    Narrow (shuffle-free) stage; batch size rides
+    ``maxPartitionBytes``/Arrow batch sizing like the byte-level
+    extractor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(payload)
+                    rows.append(
+                        (doc_id, img.width, img.height, img.channels,
+                         float(img.pixels.mean()), None)
+                    )
+                except Exception as ex:
+                    rows.append((doc_id, None, None, None, None, str(ex)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_pixel", "decode_error",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
