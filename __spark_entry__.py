@@ -61,6 +61,8 @@ _PRIORITY = [
     # row no longer describes the current plan, so re-check them
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
     "dedup_components", "sample_hash",
+    # new this round
+    "search_page_keyset",
 ]
 
 

@@ -51,10 +51,49 @@ HEADLINE = [
 ]
 
 
+def _ensure_scaled_spans(sf: float) -> None:
+    """Point the span-native queries at a span table sized to the sf
+    (~10 spans per sf0.001-trace-unit, ≈660k spans at sf0.1 — the same
+    order as lineitem) so they exercise real parallelism; the committed
+    1.1k-row fixture remains the correctness/oracle source."""
+    import tempfile
+
+    from tools.gen_spans_fixture import write_scaled
+
+    n_traces = max(250, int(1_500_000 * sf))
+    path = os.path.join(tempfile.gettempdir(), f"nabatshy_spans_{n_traces}tr")
+    os.environ["NABATSHY_SPANS_PATH"] = write_scaled(path, n_traces)
+
+
+def _prev_bench(here: str) -> tuple[int | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json in the repo root → (round, per-query times)."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+            # the driver wraps our JSON line under "parsed"
+            q = (data.get("queries") or data.get("parsed", {}).get("queries")) or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, {k: float(v) for k, v in q.items()})
+    return (best[0], best[1]) if best else (None, {})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.1
+    _ensure_scaled_spans(sf_num)
     spark = get_spark("nabatshy_bench")
 
     # Warm footers/schemas once so scans measure data, not metadata.
@@ -74,6 +113,13 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Per-query delta vs the previous round's recorded bench: the
+    # headline set grows round over round, so the comparable signal is
+    # per-query, not the total.
+    prev_round, prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    delta = {
+        k: round(v - prev[k], 4) for k, v in timings.items() if k in prev
+    }
     print(
         json.dumps(
             {
@@ -82,6 +128,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "prev_round": prev_round,
+                "delta_vs_prev": delta,
             }
         )
     )

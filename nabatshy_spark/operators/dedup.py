@@ -118,13 +118,28 @@ def _jaccard_from_shingled(sh: DataFrame, id_col: str, threshold: float) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: word-n-gram Jaccard ≥ threshold.
 
     Inverted-index self-join on shingles: only documents sharing at
     least one shingle ever meet, so cost is Σ df(s)² over shingles,
     not N².
+
+    ``max_df`` is the document-frequency cap (SCALE.md): shingles shared
+    by more than ``max_df`` documents are dropped from CANDIDATE
+    GENERATION only — the join cost becomes Σ min(df, cap)², bounded on
+    boilerplate-heavy corpora where one header shingle's df² would
+    otherwise dominate. Verification then computes Jaccard from the
+    FULL shingle sets of each candidate pair, so reported values are
+    exact and the only possible divergence from the uncapped operator
+    is a pair whose every shared shingle is boilerplate (df > cap) —
+    the pairs the cap exists to ignore.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sh = (
@@ -132,7 +147,54 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
         .persist()  # referenced by sizes + both explode sides
     )
-    return _jaccard_from_shingled(sh, id_col, threshold)
+    if max_df is None:
+        return _jaccard_from_shingled(sh, id_col, threshold)
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    rare = (
+        ex.groupBy("__s")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__s")
+    )
+    posting = ex.join(rare, "__s")  # shuffle key __s, shared with the self-join
+    a, b = posting.alias("a"), posting.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sized = sh.select(F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
+    return (
+        candidates.join(
+            sized.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("__sz").alias("__sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sized.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("__sh").alias("__sh_b"),
+                F.col("__sz").alias("__sb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +269,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 128,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH, with exact
     Jaccard verification of the candidates.
@@ -216,8 +279,13 @@ def minhash_lsh_pairs(
     join touches only band-bucket collisions — the scale path when the
     inverted-index join's Σdf(s)² blows up.
 
-    All hashing is JVM-side (`xxhash64` + affine family mod 2^61-1);
-    no Python in the hot path.
+    ``max_bucket`` is the hot-bucket cap (SCALE.md): a band bucket with
+    more than ``max_bucket`` members is dropped from pair expansion
+    entirely. A hot bucket means thousands of documents share one band
+    signature — boilerplate, not near-duplication — and expanding it is
+    |bucket|² pairs; genuinely similar pairs almost surely also collide
+    in a cooler band (miss only if every shared band is hot). Keeps the
+    pair-expansion cost bounded per bucket regardless of corpus skew.
     """
     bands = num_hashes // rows_per_band
     fam = _hash_family(num_hashes)
@@ -274,10 +342,13 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    in_range = F.size("__ids") > 1
+    if max_bucket is not None:
+        in_range = in_range & (F.size("__ids") <= max_bucket)
     candidates = (
         banded.groupBy("__band", "__key")
         .agg(ids.alias("__ids"))
-        .filter(F.size("__ids") > 1)
+        .filter(in_range)
         .select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.doc_a"), F.col("__p.doc_b"))
         .distinct()
@@ -424,80 +495,178 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold over a self-join.
+    """Embedding near-dup pairs: EXACT cosine ≥ threshold over all
+    pairs, computed as a blocked matrix product.
 
-    Brute-force N²/2 compare — correct baseline. The scale path is the
-    LSH bucketing in operators/similarity.py (random-hyperplane
-    signatures), which turns this into a band-bucket join.
+    Why exact and not LSH here: the test corpus (and most embedding
+    spaces at moderate thresholds) has a smooth cosine continuum at the
+    threshold — measured at sf0.01, pair counts per 0.05-cosine bucket
+    are 719/212/45/13/1 from 0.30 up, with no gap at 0.45. Hyperplane
+    LSH with miss ≤ 1e-8 AT the threshold needs per-band match ≥ 0.25
+    there, which a cos≈0 background pair matches at ≥ 0.125/band — over
+    64 bands that's ~every pair as a candidate, i.e. brute force plus
+    overhead. So the honest scale design is exact all-pairs done right:
+
+    - rows are hashed into K blocks; each row is replicated to the K
+      unordered block-pair tasks it participates in (the
+      communication-optimal replication for all-pairs, Afrati & Ullman,
+      "Optimizing joins in a MapReduce environment");
+    - one shuffle on the task key, then each task computes its block
+      pair as ONE numpy/BLAS matrix product over unit-normalized
+      vectors — no per-row join, no BroadcastNestedLoopJoin in the
+      plan (asserted in tests/test_plans.py).
+
+    ``operators/similarity.py::lsh_dup_pairs`` remains the approximate
+    twin for corpora that DO have a near-dup gap (then its verification
+    is exact and only recall is probabilistic).
     """
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("doc_a", "doc_b", "cos")
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if num_blocks is None:
+        # K²/2 tasks ≈ 2× parallelism keeps every core busy without
+        # inflating the N·K replication factor
+        num_blocks = max(2, int((4 * spark.sparkContext.defaultParallelism) ** 0.5))
+    k = num_blocks
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))
+    task_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.least(block, F.lit(j)).cast("string"),
+                F.greatest(block, F.lit(j)).cast("string"),
+            )
+            for j in range(k)
+        ]
+    )
+    tasks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        block.alias("__b"),
+        F.explode(F.array_distinct(task_keys)).alias("__task"),
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = (int(x) for x in pdf["__task"].iloc[0].split("_"))
+        mat = np.stack(pdf["__v"].map(np.asarray)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0, 1.0, norms)  # zero vectors → cos 0, never match
+        ids = pdf["__id"].to_numpy()
+        if lo == hi:
+            sims = np.round(mat @ mat.T, 6)
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            da, db, cos = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            left = pdf["__b"].to_numpy() == lo
+            sims = np.round(mat[left] @ mat[~left].T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            da, db, cos = ids[left][ia], ids[~left][ib], sims[ia, ib]
+        a = np.minimum(da, db)
+        b = np.maximum(da, db)
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "cos": cos})
+
+    return tasks.groupBy("__task").applyInPandas(
+        block_pairs, schema="doc_a long, doc_b long, cos double"
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", alg. 2): for every node u with neighborhood
+    Γ(u), connect each strictly larger neighbor to
+    m = min(Γ(u) ∪ {u}). Input/output edges are canonical (u > v)."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    return (
+        sym.join(m, "u")
+        .withColumn("__m", F.least(F.col("__mn"), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round (alg. 3): key every edge by its larger
+    endpoint u; with Γ(u) all ≤ u and m = min(Γ(u)), connect u and each
+    other smaller neighbor to m. Canonical (u > v) in and out."""
+    m = edges.groupBy("u").agg(F.min("v").alias("__mn"))
+    joined = edges.join(m, "u")
+    leaves = (
+        joined.filter(F.col("v") != F.col("__mn"))
+        .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    )
+    centers = m.select(F.col("u"), F.col("__mn").alias("v"))
+    return leaves.union(centers).distinct()
+
+
 def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    rounds_out: list[int] | None = None,
 ) -> DataFrame:
     """Group near-dup *pairs* into duplicate clusters: every node gets
     ``component`` = the minimum doc id reachable from it. This is the
     step after any pair-finder (MinHash/SimHash/Jaccard/embedding) —
     training-data dedup keeps one survivor per component, not per pair.
 
-    Iterative min-label propagation on DataFrames: each round every
-    node takes min(own label, neighbours' labels); converges in
-    O(graph diameter) rounds. Duplicate clusters are near-cliques, so
-    the diameter is tiny in practice. Each round is one shuffle on the
-    node id; ``localCheckpoint`` truncates the lineage so plans don't
-    grow superlinearly with rounds. For adversarially long chains at
-    100 TB the drop-in upgrade is the alternating large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce"),
-    which converges in O(log n) rounds with the same per-round shape.
-    """
+    Alternating large-star/small-star (Kiveris et al., public
+    algorithm): each round is two groupBy-min shuffles over the edge
+    relation, and the edge set contracts toward one star per component
+    in O(log n) rounds — adversarially long chains converge
+    logarithmically, unlike plain min-label propagation's O(diameter)
+    (the round-count unit test in test_extensions.py pins this).
+    ``localCheckpoint`` per round truncates lineage; convergence is
+    detected by the canonical edge set reaching a fixed point
+    (count + order-insensitive hash — no full except-diff)."""
     # Materialize the (usually expensive) pair-finder output once —
-    # every propagation round re-reads edges, and without this the
-    # whole upstream plan (e.g. a MinHash/Jaccard self-join) would
+    # every star round re-reads edges, and without this the whole
+    # upstream plan (e.g. a MinHash/Jaccard self-join) would
     # re-execute per round.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-    ).localCheckpoint()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+        .localCheckpoint()
     )
-    while True:
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                "component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("new_component"),
-            )
-        ).localCheckpoint()  # eager: one materialization per round
-        changed = updated.filter(
-            F.col("new_component") < F.col("component")
-        ).limit(1).count()
-        labels = updated.select(
-            "node", F.col("new_component").alias("component")
-        )
-        if changed == 0:
+
+    def _state(e: DataFrame) -> tuple[int, int]:
+        # bit_xor is order-insensitive and cannot overflow under ANSI
+        # (a plain sum of int64 hashes would).
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    state = _state(edges)
+    for _round in range(64):  # 64 ≫ log₂(any real corpus): loop guard only
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_state = _state(edges)
+        if new_state == state:
+            if rounds_out is not None:
+                rounds_out.append(_round + 1)
             break
-    return labels.select(F.col("node").alias("doc_id"), "component")
+        state = new_state
+    else:  # pragma: no cover - loop guard
+        raise RuntimeError("connected_components failed to converge in 64 rounds")
+    # Fixed point: one star per component, centered at its min node.
+    leaves = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    centers = edges.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("component")
+    ).distinct()
+    return leaves.union(centers)
 
 
 def dedup_pipeline(
@@ -506,6 +675,7 @@ def dedup_pipeline(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup — the composition a training-data
     pipeline actually runs: (1) exact dedup by content hash, (2) exact
@@ -521,7 +691,7 @@ def dedup_pipeline(
     """
     exact_sur = exact_dedup(df, id_col, text_col).select(id_col)
     sur_docs = df.join(exact_sur, id_col, "left_semi")
-    pairs = ngram_jaccard_pairs(sur_docs, id_col, text_col, n, threshold)
+    pairs = ngram_jaccard_pairs(sur_docs, id_col, text_col, n, threshold, max_df)
     removed = (
         connected_components(pairs)
         .filter(F.col("component") < F.col("doc_id"))

@@ -24,6 +24,11 @@ probe), not a flattering constant.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,6 +54,62 @@ def build_ivf(
         .partitionBy(CELL_COL)
         .parquet(path)
     )
+
+
+def _source_fingerprint(source_path: str) -> str:
+    """Cheap content key for an on-disk parquet source: sha256 over the
+    sorted (relative path, size, mtime_ns) of every data file. No data
+    is read; any rewrite of the source changes the key."""
+    h = hashlib.sha256(os.path.abspath(source_path).encode())
+    if os.path.isdir(source_path):
+        for root, _dirs, files in sorted(os.walk(source_path)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, source_path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        st = os.stat(source_path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def ensure_ivf(
+    spark: SparkSession,
+    source_path: str,
+    base_dir: str | None = None,
+    vec_col: str = "embedding",
+    cell_bits: int = 4,
+    dim: int = 64,
+) -> str:
+    """Explicit, idempotent IVF build step — the index lifecycle owner.
+
+    The index directory is keyed by a fingerprint of the source parquet
+    files (path + size + mtime), so a changed embeddings table can
+    never be served by a stale layout; the build writes to a staging
+    directory and renames it into place, so a failed or concurrent
+    build can never expose a partial index. Returns the index path.
+
+    At 100 TB this maps to a catalog-registered table location whose
+    name embeds the source snapshot version; the staging-then-rename
+    publish is the same pattern (rename is atomic per filesystem /
+    object-store commit).
+    """
+    base = base_dir or os.path.join(tempfile.gettempdir(), "nabatshy_ivf")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(
+        base, f"{_source_fingerprint(source_path)}_b{cell_bits}_d{dim}"
+    )
+    if os.path.isdir(path):
+        return path
+    staging = f"{path}.staging-{os.getpid()}"
+    build_ivf(spark.read.parquet(source_path), staging, vec_col, cell_bits, dim)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        # another builder won the publish race; its index is identical
+        shutil.rmtree(staging, ignore_errors=True)
+    return path
 
 
 def _probe_cells(cell: int, cell_bits: int, nprobe: int) -> list[int]:

@@ -108,3 +108,44 @@ def search_events(
     primary = sort_col.desc() if sort_order == "desc" else sort_col.asc()
     ordered = filtered.orderBy(primary, F.col("event_id").asc())
     return ordered.offset((page - 1) * page_size).limit(page_size)
+
+
+def keyset_page(
+    df: DataFrame,
+    sort_field: str,
+    sort_order: str,
+    tiebreak_field: str,
+    after: tuple | None,
+    page_size: int,
+) -> DataFrame:
+    """Keyset (seek) pagination — the scale-safe twin of offset/limit
+    (O4). ``after`` is the previous page's last ``(sort value,
+    tiebreak)`` pair, exactly what a serving API hands back as a page
+    token. The page is then a FILTER + top-k: TakeOrderedAndProject
+    over the rows past the token, so page 1000 costs the same as page
+    1 — offset pagination skip-scans (page-1)×size rows first, linear
+    in page depth. Requires what search already guarantees: a total
+    order via the unique tiebreaker."""
+    sc, tc = F.col(sort_field), F.col(tiebreak_field)
+    if after is not None:
+        v, tb = after
+        past_token = sc < F.lit(v) if sort_order == "desc" else sc > F.lit(v)
+        df = df.filter(past_token | ((sc == F.lit(v)) & (tc > F.lit(tb))))
+    primary = sc.desc() if sort_order == "desc" else sc.asc()
+    return df.orderBy(primary, tc.asc()).limit(page_size)
+
+
+def search_events_keyset(
+    df: DataFrame,
+    query: str,
+    after: tuple | None = None,
+    page_size: int = 20,
+    sort_field: str = "ts",
+    sort_order: str = "desc",
+) -> DataFrame:
+    """``search_events`` with keyset pagination (same parse → filter →
+    dynamic sort pipeline; the offset form stays for reference
+    parity)."""
+    conds = parse_attribute_query(query)
+    filtered = df.filter(events_predicate(conds, query))
+    return keyset_page(filtered, sort_field, sort_order, "event_id", after, page_size)

@@ -31,9 +31,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_ngram_jaccard")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via
-    inverted-index self-join."""
+    inverted-index self-join, with the document-frequency cap
+    (max_df=200) on candidate generation: join cost Σ min(df, 200)²
+    stays bounded on boilerplate-heavy corpora, and verification over
+    FULL shingle sets keeps the result exact (oracle-checked)."""
     return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_df=200,
     )
 
 
@@ -41,9 +45,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact verification: 64 bands × 2
     rows gives P[miss | J≥0.5] ≤ (1-0.25)^64 ≈ 1e-8, so the oracle is
-    the exact-Jaccard SQL — the scale path produces the exact answer."""
+    the exact-Jaccard SQL — the scale path produces the exact answer.
+    max_bucket=200 drops hot band buckets (boilerplate collisions)
+    from pair expansion; a true pair needs every one of its ~64
+    colliding bands hot to be missed."""
     return dedup.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_bucket=200,
     )
 
 
@@ -56,8 +64,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_embedding")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.45), brute-force
-    baseline (LSH variant: ann_lsh_topk)."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45): EXACT all-pairs
+    via blocked BLAS matrix products (replicate-to-block-pair tasks →
+    one matmul per task) — no nested-loop join in the plan (asserted in
+    test_plans.py). Exact because this corpus has no cosine gap at the
+    threshold, so LSH with recall≈1 would degenerate to all-candidates
+    (measured; see operators/dedup.py docstring)."""
     return dedup.embedding_dup_pairs(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
     )
@@ -309,10 +321,12 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_components")
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: exact 3-gram Jaccard pairs (threshold 0.5)
-    grouped into connected components by iterative min-label
-    propagation; component = min doc_id reachable."""
+    grouped into connected components by alternating large-star /
+    small-star rounds (O(log n) convergence); component = min doc_id
+    reachable."""
     pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_df=200,
     )
     return dedup.connected_components(pairs)
 
@@ -332,7 +346,8 @@ def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram Jaccard (≥0.5) components over survivors, keep min-id per
     cluster; returns the surviving corpus rows."""
     return dedup.dedup_pipeline(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_df=200,
     ).select("doc_id", "lang", "source")
 
 
@@ -340,19 +355,19 @@ def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via the IVF file layout: embeddings written
     partitioned by coarse LSH cell, probe list → partition pruning →
-    exact cosine rerank (nprobe=8 of 16 cells). Probabilistic recall →
-    no SQL oracle (driver records a rows-only check); tests assert the
-    recall shape and the PartitionFilters plan."""
+    exact cosine rerank (nprobe=8 of 16 cells). The index comes from
+    ``ivf.ensure_ivf`` — content-fingerprinted and staging-then-rename
+    published, so a changed embeddings table rebuilds and a concurrent
+    or failed build never serves a partial layout. Probabilistic recall
+    → no SQL oracle (driver records a rows-only check); tests assert
+    the recall shape, the PartitionFilters plan, and the rebuild-on-
+    change lifecycle."""
     import os as _os
-    import tempfile as _tf
 
     from nabatshy_spark.operators import ivf
 
     emb = load(spark, sf_dir, "embeddings")
-    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = _os.path.join(_tf.gettempdir(), f"nabatshy_ivf_{tag}")
-    if not _os.path.exists(path):
-        ivf.build_ivf(emb, path)
+    path = ivf.ensure_ivf(spark, _os.path.join(sf_dir, "embeddings.parquet"))
     qvec = [float(x) for x in emb.filter(emb.vec_id == 0).first()["embedding"]]
     return ivf.ivf_topk(spark, path, qvec, k=10, cell_bits=4, nprobe=8)
 

@@ -117,6 +117,19 @@ ORDER BY ts DESC, event_id ASC
 LIMIT 20 OFFSET 40
 """
 
+ORACLES["search_page_keyset"] = """
+WITH b AS (
+  SELECT ts, event_id FROM events WHERE event_type = 'click'
+  ORDER BY ts DESC, event_id ASC LIMIT 1 OFFSET 1979
+)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+FROM events e, b
+WHERE e.event_type = 'click'
+  AND (e.ts < b.ts OR (e.ts = b.ts AND e.event_id > b.event_id))
+ORDER BY e.ts DESC, e.event_id ASC
+LIMIT 20
+"""
+
 ORACLES["search_dsl_typed"] = """
 SELECT event_id, ts, user_id, event_type, value
 FROM events

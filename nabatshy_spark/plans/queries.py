@@ -245,6 +245,28 @@ def search_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_events(ev, "type=click", page=3, page_size=20, sort_field="ts", sort_order="desc")
 
 
+@query("search_page_keyset")
+def search_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 keyset twin (operators/search.py:keyset_page): DEEP page —
+    page 100 of click events. The token is the last (ts, event_id) of
+    page 99, exactly what a serving API returns to the client; the
+    measured query is then filter + top-20 (TakeOrderedAndProject), so
+    its cost is independent of page depth — the offset form
+    (search_page) skip-scans the 1,980-row prefix and degrades
+    linearly. Result rows = offset page 100 exactly (total order via
+    the event_id tiebreaker)."""
+    from nabatshy_spark.operators.search import search_events_keyset
+
+    ev = load(spark, sf_dir, "events")
+    prev_page = search_events(
+        ev, "type=click", page=99, page_size=20, sort_field="ts", sort_order="desc"
+    ).collect()
+    token = (prev_page[-1].ts, prev_page[-1].event_id)
+    return search_events_keyset(
+        ev, "type=click", after=token, page_size=20, sort_field="ts", sort_order="desc"
+    )
+
+
 @query("search_dsl_typed")
 def search_dsl_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 mini-DSL, all-pairs-valid path (api/service.go:651-696):

@@ -150,3 +150,65 @@ def test_hash_sample_bounds_and_determinism(spark, sf_dir):
     # monotone: a bigger budget strictly contains a smaller one
     big = {r.doc_id for r in hash_sample(docs, "doc_id", 32768).collect()}
     assert a <= big
+
+
+def test_ngram_jaccard_df_cap_boilerplate(spark):
+    from nabatshy_spark.operators.dedup import ngram_jaccard_pairs
+
+    # Every doc shares the same boilerplate header (a hot shingle whose
+    # df == N); docs 0/1 are near-dups via rare shingles on top of it.
+    header = "terms of service apply to all content on this site"
+    rows = [(0, header + " alpha beta gamma delta epsilon zeta"),
+            (1, header + " alpha beta gamma delta epsilon eta")]
+    rows += [(i, header + f" unique{i} filler{i} words{i} here{i} now{i} end{i}")
+             for i in range(2, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    # cap of 10 drops every boilerplate shingle (df == 40) from candidate
+    # generation, yet the true pair survives via its rare shingles and
+    # its jaccard is computed over the FULL sets — values unchanged
+    capped = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in ngram_jaccard_pairs(df, "doc_id", "text", max_df=10).collect()}
+    assert capped == uncapped
+    assert any(a == 0 and b == 1 for a, b, _ in capped)
+
+
+def test_minhash_bucket_cap_boilerplate(spark):
+    from nabatshy_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    # 60 identical boilerplate docs → one giant LSH bucket in every
+    # band; two near-dup docs with distinct content must still pair up
+    # when the hot buckets are dropped.
+    rows = [(0, "the quick brown fox jumps over the lazy dog again today"),
+            (1, "the quick brown fox jumps over the lazy dog again tomorrow")]
+    rows += [(i, "identical boilerplate body repeated verbatim in every document")
+             for i in range(2, 62)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r.doc_a, r.doc_b)
+              for r in minhash_lsh_pairs(df, "doc_id", "text", max_bucket=30).collect()}
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    # the boilerplate clique (all jaccard 1.0 pairs among ids >= 2) is
+    # intentionally dropped — its buckets are hot; the true cross-pair stays
+    assert (0, 1) in capped
+    assert capped <= exact
+    assert not any(a >= 2 and b >= 2 for a, b in capped)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    from nabatshy_spark.operators.dedup import connected_components
+
+    # 256-node chain: min-label propagation needs ~255 rounds; the
+    # large-star/small-star alternation must converge in O(log n).
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    rounds: list[int] = []
+    got = {(r.doc_id, r.component)
+           for r in connected_components(pairs, rounds_out=rounds).collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds and rounds[0] <= 12, f"expected O(log n) rounds, got {rounds}"

@@ -51,3 +51,31 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir, tmp_path):
     got = [r.vec_id for r in allprobe.collect() if r.vec_id != 0][:10]
     exact = [r.vec_id for r in cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()]
     assert got == exact
+
+
+def test_ensure_ivf_lifecycle(spark, sf_dir, tmp_path):
+    """ensure_ivf is idempotent, rebuilds when the source changes, and
+    never serves a partially-built directory."""
+    import os
+    import shutil
+
+    from nabatshy_spark.operators.ivf import ensure_ivf
+
+    src = str(tmp_path / "emb_src.parquet")
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"), src)
+    base = str(tmp_path / "idx")
+
+    p1 = ensure_ivf(spark, src, base_dir=base)
+    assert os.path.isdir(p1)
+    assert ensure_ivf(spark, src, base_dir=base) == p1  # cache hit, no rebuild
+
+    # mutate the source (touch mtime + change bytes) → a NEW index path;
+    # the stale one is never reused for the new content
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    emb.write.mode("overwrite").parquet(src + ".tmp")
+    os.remove(src)
+    os.rename(src + ".tmp", src)
+    p2 = ensure_ivf(spark, src, base_dir=base)
+    assert p2 != p1
+    n = spark.read.parquet(p2).count()
+    assert n == 50

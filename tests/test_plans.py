@@ -96,3 +96,18 @@ def test_tfidf_single_corpus_pass(spark, sf_dir):
     assert "SortMergeJoin" not in p, "no row-count-proportional join allowed"
     # 4th exchange = countDistinct(doc_id) over a one-column pruned scan
     assert _hash_exchanges(p) <= 4, "tf agg + term window + doc window + N"
+
+
+def test_embedding_dedup_no_nested_loop(spark, sf_dir):
+    p = _plan(spark, "dedup_embedding", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+        "blocked-BLAS all-pairs must not plan a nested-loop join"
+    )
+
+
+def test_keyset_page_no_skip_scan(spark, sf_dir):
+    p = _plan(spark, "search_page_keyset", sf_dir)
+    assert "TakeOrderedAndProject" in p, (
+        "keyset page must be filter + top-k, not a global sort"
+    )
+    assert "Offset" not in p, "keyset page must not skip-scan a prefix"

@@ -32,11 +32,14 @@ ENDPOINTS = [
 ]
 
 
-def build_rows():
-    rng = random.Random(7)
+def build_rows(n_traces: int = 250, seed: int = 7, trace_offset: int = 0):
+    """Span rows for ``n_traces`` traces. ``trace_offset`` shifts trace
+    and span id ranges so independently-generated chunks never collide
+    (each trace has ≤ 8 spans)."""
+    rng = random.Random(seed)
     rows = []
-    span_no = 0
-    for t in range(250):
+    span_no = trace_offset * 8
+    for t in range(trace_offset, trace_offset + n_traces):
         trace_id = f"tr{t:04d}"
         n_spans = rng.randint(1, 8)
         trace_span_ids: list[str] = []
@@ -116,8 +119,7 @@ def build_rows():
     return rows
 
 
-def main() -> None:
-    rows = build_rows()
+def rows_to_table(rows) -> pa.Table:
     attr_map = pa.map_(pa.string(), pa.string())
     schema = pa.schema(
         [
@@ -166,10 +168,50 @@ def main() -> None:
         ]
         for r in rows
     ]
-    table = pa.table(cols, schema=schema)
+    return pa.table(cols, schema=schema)
+
+
+def main() -> None:
+    rows = build_rows()
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    pq.write_table(table, OUT, compression="snappy")
+    pq.write_table(rows_to_table(rows), OUT, compression="snappy")
     print(f"wrote {len(rows)} spans to {OUT}")
+
+
+def write_scaled(
+    path: str, n_traces: int, seed: int = 7, chunks: int = 16
+) -> str:
+    """Scaled span table for benchmarks: ``chunks`` parquet files under
+    ``path`` (a single file would serialize the whole scan on one task
+    — the committed 1,101-row fixture is for semantics, this is for
+    parallelism). Deterministic for a given (n_traces, seed); chunk i
+    generates its own trace-id range so files are independent. Writes
+    to a staging dir and renames, so a partial build is never read."""
+    import shutil
+
+    if os.path.isdir(path):
+        return path
+    staging = f"{path}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    per = (n_traces + chunks - 1) // chunks
+    off = 0
+    for i in range(chunks):
+        n = min(per, n_traces - off)
+        if n <= 0:
+            break
+        rows = build_rows(n, seed=seed + i, trace_offset=off)
+        pq.write_table(
+            rows_to_table(rows),
+            os.path.join(staging, f"part-{i:03d}.parquet"),
+            compression="snappy",
+        )
+        off += n
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return path
 
 
 if __name__ == "__main__":
