@@ -89,21 +89,15 @@ def _broad_search(q: str) -> Column:
     )
 
 
-def search_spans(
-    df: DataFrame,
+def search_predicate(
     query: str = "",
     trace_or_span: str = "trace",
     start_ns: int | None = None,
     end_ns: int | None = None,
-    sort_field: str = "start_time_unix_nano",
-    sort_order: str = "desc",
-    page: int = 1,
-    page_size: int = 20,
-) -> DataFrame:
-    """The full search lifecycle (§3.2, api/service.go:698-891):
-    DSL parse (fallback → broad search), trace/span mode (P10), time
-    range (P3), has_error projection, dynamic sort (O3), pagination
-    (O4; span_id appended as total-order tiebreaker)."""
+) -> Column:
+    """The WHERE clause shared by search and the search-metrics
+    endpoints (api/service.go:698-811 and :1341-1428 paste the same
+    SQL fragments; here it's one Column builder)."""
     pred = F.lit(True)
     if query:
         conds = parse_attribute_query(query)
@@ -120,6 +114,25 @@ def search_spans(
         pred = pred & (F.col("start_time_unix_nano") >= F.lit(start_ns))
     if end_ns is not None:
         pred = pred & (F.col("end_time_unix_nano") <= F.lit(end_ns))
+    return pred
+
+
+def search_spans(
+    df: DataFrame,
+    query: str = "",
+    trace_or_span: str = "trace",
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    sort_field: str = "start_time_unix_nano",
+    sort_order: str = "desc",
+    page: int = 1,
+    page_size: int = 20,
+) -> DataFrame:
+    """The full search lifecycle (§3.2, api/service.go:698-891):
+    DSL parse (fallback → broad search), trace/span mode (P10), time
+    range (P3), has_error projection, dynamic sort (O3), pagination
+    (O4; span_id appended as total-order tiebreaker)."""
+    pred = search_predicate(query, trace_or_span, start_ns, end_ns)
     sort_col = F.col(sort_field)
     primary = sort_col.desc() if sort_order == "desc" else sort_col.asc()
     return (
@@ -267,6 +280,84 @@ def slow_vs_baseline(df: DataFrame, pct: float = 0.95) -> DataFrame:
                 "pct_over"
             ),
         )
+    )
+
+
+def search_metric_series(
+    df: DataFrame,
+    start_s: int,
+    end_s: int,
+    query: str = "",
+    trace_or_span: str = "",
+    percentile: float = 0.95,
+    include_errors: bool = False,
+) -> DataFrame:
+    """Search-scoped metric time series (api/service.go:1341-1428 +
+    1431-1531, backing /api/metrics/{search,pseries,avg,traces,errors}):
+    the search predicate slices the spans, rows bucket by start time at
+    the dynamic range/15 interval (T2), and each bucket aggregates
+    percentile + count + avg (+ error count), gap-filled with zeros
+    (T5). The reference string-pastes this SQL per endpoint; here every
+    metrics route is the same single-scan DataFrame plan."""
+    from nabatshy_spark.functions.timeutil import gap_fill, interval_seconds
+
+    iv = interval_seconds(end_s - start_s)
+    pcol = f"p{int(round(percentile * 100))}_ms"
+    sliced = df.filter(
+        search_predicate(query, trace_or_span)
+        & (F.col("start_time_unix_nano") >= F.lit(start_s * 1_000_000_000))
+        & (F.col("start_time_unix_nano") < F.lit(end_s * 1_000_000_000))
+    )
+    ep = F.expr("start_time_unix_nano div 1000000000")
+    dur_ms = F.col("duration_ns") / F.lit(NS_PER_MS)
+    aggs = [
+        F.percentile(dur_ms, F.lit(percentile)).alias(pcol),
+        F.count("*").alias("n"),
+        F.round(F.avg(dur_ms), 6).alias("avg_ms"),
+    ]
+    fills: dict = {pcol: 0.0, "n": 0, "avg_ms": 0.0}
+    if include_errors:
+        aggs.append(
+            F.sum(has_error_col().cast("long")).alias("n_errors")
+        )
+        fills["n_errors"] = 0
+    agg = sliced.groupBy((ep - ep % F.lit(iv)).alias("bucket_epoch")).agg(*aggs)
+    agg_ts = agg.select(
+        F.timestamp_seconds("bucket_epoch").alias("bucket"), *fills.keys()
+    )
+    filled = gap_fill(agg_ts, "bucket", fills, start_s, end_s - 1, iv)
+    out = [
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        pcol,
+        F.col("n").cast("long").alias("n"),
+        "avg_ms",
+    ]
+    if include_errors:
+        out.append(F.col("n_errors").cast("long").alias("n_errors"))
+    return filled.select(*out)
+
+
+def service_metrics(
+    df: DataFrame, start_s: int, end_s: int, percentile: float = 0.95
+) -> DataFrame:
+    """Per-service rollup in a time range (api/service.go
+    GetServiceMetrics, /api/metrics/services): count, avg, pNN, error
+    count — one partial-agg shuffle of |services| groups."""
+    pcol = f"p{int(round(percentile * 100))}_ms"
+    dur_ms = F.col("duration_ns") / F.lit(NS_PER_MS)
+    return (
+        df.filter(
+            (F.col("start_time_unix_nano") >= F.lit(start_s * 1_000_000_000))
+            & (F.col("start_time_unix_nano") < F.lit(end_s * 1_000_000_000))
+        )
+        .groupBy(F.col("scope_name").alias("service"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(dur_ms), 6).alias("avg_ms"),
+            F.round(F.percentile(dur_ms, F.lit(percentile)), 6).alias(pcol),
+            F.sum(has_error_col().cast("long")).alias("n_errors"),
+        )
+        .orderBy("service")
     )
 
 

@@ -34,6 +34,7 @@ def start_file_ingest(
     output_path: str,
     checkpoint_dir: str,
     dedupe_watermark: str | None = None,
+    trigger_interval: str | None = None,
 ) -> StreamingQuery:
     """Stream OTLP JSON documents (one per line, text files) into the
     partitioned span table.
@@ -68,12 +69,16 @@ def start_file_ingest(
         def sink(batch: DataFrame, epoch_id: int) -> None:
             append_spans(batch, output_path)
 
-    return (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    # availableNow = drain-and-stop (tests, bulk import); a processing-
+    # time trigger makes it the reference's continuous collector
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
 
 
 def ingest_batch(spark: SparkSession, json_docs: list[str]) -> DataFrame:
@@ -88,6 +93,7 @@ def start_protobuf_file_ingest(
     input_dir: str,
     output_path: str,
     checkpoint_dir: str,
+    trigger_interval: str | None = None,
 ) -> StreamingQuery:
     """Stream ``application/x-protobuf`` request payloads (one request
     per file, the unit a collector POST would produce —
@@ -118,9 +124,11 @@ def start_protobuf_file_ingest(
     def sink(batch: DataFrame, epoch_id: int) -> None:
         append_spans(parse_otlp_protobuf(batch, "content"), output_path)
 
-    return (
-        raw.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
