@@ -62,7 +62,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
     "dedup_components", "sample_hash",
     # new this round
-    "search_page_keyset",
+    "search_page_keyset", "decontaminate_corpus", "kmeans_embeddings",
 ]
 
 

@@ -698,3 +698,47 @@ def dedup_pipeline(
         .select(F.col("doc_id").alias(id_col))
     )
     return sur_docs.join(removed, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation/benchmark set
+    — the decontamination pass a training-data pipeline runs before
+    every release (no reference counterpart, SURVEY §2.11).
+
+    A corpus document is contaminated when it shares ≥ ``min_hits``
+    distinct word ``n``-grams with ANY benchmark document. Returns
+    (id, n_hits) for contaminated documents only.
+
+    Scale shape: the benchmark side is orders of magnitude smaller
+    than the corpus (thousands of eval documents vs billions of
+    training documents), so its distinct shingle set is broadcast —
+    the corpus is scanned once, never shuffled, and each task does a
+    local hash-probe per shingle. If a benchmark ever outgrows
+    broadcast, drop the hint and the same plan becomes a shuffle
+    equi-join on the shingle.
+    """
+    c = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    )
+    b = (
+        bench.select(F.explode(shingles(F.col(text_col), n)).alias("__s"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "__s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__s").alias("n_hits"))
+        .filter(F.col("n_hits") >= F.lit(min_hits))
+    )

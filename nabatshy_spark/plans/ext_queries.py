@@ -7,6 +7,7 @@ QUERIES dict as the core queries; oracles in plans/oracles.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nabatshy_spark.catalog import load
 from nabatshy_spark.operators import (
@@ -72,6 +73,34 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured; see operators/dedup.py docstring)."""
     return dedup.embedding_dup_pairs(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+@query("kmeans_embeddings")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding table (k=4,
+    2 rounds): per-round centroid literals → narrow argmin scan →
+    k·dim-group mean update (operators/clustering.py). Exactly
+    reproducible, so the oracle replays both rounds in SQL."""
+    from nabatshy_spark.operators import clustering
+
+    return clustering.kmeans(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iters=2
+    )
+
+
+@query("decontaminate_corpus")
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:decontaminate):
+    training docs sharing ≥3 distinct word 3-grams with the held-out
+    eval slice (doc_id % 50 == 0 stands in for the benchmark table)
+    are flagged with their hit counts. The eval side's shingle set is
+    broadcast — the corpus scans once and never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(
+        corpus, bench, "doc_id", "text", n=3, min_hits=3
     )
 
 

@@ -289,6 +289,69 @@ JOIN sz y ON inter.doc_b = y.doc_id
 WHERE round(i / (x.sz + y.sz - i), 6) >= 0.5
 """
 
+ORACLES["kmeans_embeddings"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+  FROM e ORDER BY vec_id LIMIT 4
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c0.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_sum([ (e.v[i] - c0.v[i]) * (e.v[i] - c0.v[i])
+                                       for i in range(1, len(e.v) + 1) ]), 9),
+                      c0.cluster
+           ) AS rn
+    FROM e CROSS JOIN c0
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a1.cluster, d.x['d'] AS dim, d.x['val'] AS val
+  FROM a1 JOIN e USING (vec_id),
+       LATERAL (SELECT unnest([{'d': i, 'val': e.v[i]}
+                               for i in range(1, len(e.v) + 1)]) AS x) d
+),
+c1m AS (
+  SELECT cluster, dim, round(avg(val), 6) AS m FROM u1 GROUP BY 1, 2
+),
+c1 AS (
+  SELECT c0.cluster,
+         coalesce(cm.v, c0.v) AS v
+  FROM c0 LEFT JOIN (
+    SELECT cluster, list(m ORDER BY dim) AS v FROM c1m GROUP BY cluster
+  ) cm USING (cluster)
+)
+SELECT vec_id, cluster::INT AS cluster FROM (
+  SELECT e.vec_id, c1.cluster,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_sum([ (e.v[i] - c1.v[i]) * (e.v[i] - c1.v[i])
+                                     for i in range(1, len(e.v) + 1) ]), 9),
+                    c1.cluster
+         ) AS rn
+  FROM e CROSS JOIN c1
+) WHERE rn = 1
+"""
+
+ORACLES["decontaminate_corpus"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM t WHERE len(w) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0)
+SELECT e.doc_id, count(DISTINCT e.g) AS n_hits
+FROM ex e JOIN bench b ON e.g = b.g
+WHERE e.doc_id % 50 != 0
+GROUP BY 1
+HAVING count(DISTINCT e.g) >= 3
+"""
+
 ORACLES["dedup_ngram_jaccard"] = _JACCARD_PAIRS_SQL
 # LSH at 64 bands x 2 rows has miss probability ~1e-8 at J>=0.5, so its
 # verified output equals the exact operator's (see operators/dedup.py).

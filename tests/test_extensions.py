@@ -212,3 +212,37 @@ def test_connected_components_long_chain_log_rounds(spark):
            for r in connected_components(pairs, rounds_out=rounds).collect()}
     assert got == {(i, 0) for i in range(n)}
     assert rounds and rounds[0] <= 12, f"expected O(log n) rounds, got {rounds}"
+
+
+def test_kmeans_deterministic_and_sane(spark, sf_dir):
+    from nabatshy_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = {(r.vec_id, r.cluster) for r in kmeans(emb, "vec_id", "embedding", k=4, iters=4).collect()}
+    b = {(r.vec_id, r.cluster) for r in kmeans(emb, "vec_id", "embedding", k=4, iters=4).collect()}
+    assert a == b                                   # deterministic across runs
+    assert {c for _, c in a} <= {0, 1, 2, 3}
+    assert len(a) == emb.count()                    # every vector assigned
+    # more rounds only refine: round-4 assignment differs from round-2
+    # for some points but cluster count stays k
+    two = {(r.vec_id, r.cluster) for r in kmeans(emb, "vec_id", "embedding", k=4, iters=2).collect()}
+    assert len({c for _, c in two}) == len({c for _, c in a}) == 4
+
+
+def test_decontaminate_flags_overlap(spark):
+    from nabatshy_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the exact secret benchmark question about spark joins")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro text then the exact secret benchmark question about spark joins copied verbatim"),
+         (2, "completely unrelated training document with different words entirely"),
+         (3, "mentions spark joins once")],  # 1 shared trigram < min_hits
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_hits for r in
+           decontaminate(corpus, bench, "doc_id", "text", n=3, min_hits=2).collect()}
+    assert 1 in got and got[1] >= 5
+    assert 2 not in got and 3 not in got

@@ -111,3 +111,10 @@ def test_keyset_page_no_skip_scan(spark, sf_dir):
         "keyset page must be filter + top-k, not a global sort"
     )
     assert "Offset" not in p, "keyset page must not skip-scan a prefix"
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    p = _plan(spark, "decontaminate_corpus", sf_dir)
+    assert "BroadcastHashJoin" in p, (
+        "benchmark shingle set must broadcast — the corpus side never shuffles"
+    )
