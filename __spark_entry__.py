@@ -63,6 +63,7 @@ _PRIORITY = [
     "dedup_components", "sample_hash",
     # new this round
     "search_page_keyset", "decontaminate_corpus", "kmeans_embeddings",
+    "audio_wav_features", "video_frame_sample",
 ]
 
 

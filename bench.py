@@ -48,6 +48,11 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "sample_hash",
     "event_funnel",
+    # round 2 additions
+    "search_page_keyset",
+    "decontaminate_corpus",
+    "kmeans_embeddings",
+    "audio_wav_features",
 ]
 
 

@@ -13,6 +13,8 @@ path and nothing else changes.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,7 +35,35 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the ``nabatshy_spark`` package to executors via
+    ``sc.addPyFile`` so cloudpickled pandas-UDF closures (which
+    reference this package by module name) import on workers even when
+    the driver's cwd isn't the repo root. Cluster-ready: the same call
+    distributes the zip to every executor; in local mode it lands on
+    the worker ``sys.path`` via SparkFiles. Idempotent per context."""
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "nabatshy_spark_pyfiles.zip")
+    staging = f"{zpath}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(staging, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    os.replace(staging, zpath)  # atomic: no partially-written zip is ever added
+    sc.addPyFile(zpath)
+    _PYFILES_SHIPPED.add(id(sc))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_worker_imports(spark)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":

@@ -149,14 +149,18 @@ def ngram_jaccard_pairs(
     )
     if max_df is None:
         return _jaccard_from_shingled(sh, id_col, threshold)
+    # The HOT set (df > cap) is small BY DEFINITION (≤ postings/cap
+    # distinct shingles), so it broadcasts and the posting filter is a
+    # narrow anti-join — the corpus postings are never shuffled to
+    # apply the cap. The capped self-join then costs Σ min(df, cap)².
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
-    rare = (
+    hot = (
         ex.groupBy("__s")
         .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") <= max_df)
+        .filter(F.col("__df") > max_df)
         .select("__s")
     )
-    posting = ex.join(rare, "__s")  # shuffle key __s, shared with the self-join
+    posting = ex.join(F.broadcast(hot), "__s", "left_anti")
     a, b = posting.alias("a"), posting.alias("b")
     candidates = (
         a.join(
@@ -164,12 +168,23 @@ def ngram_jaccard_pairs(
             (F.col("a.__s") == F.col("b.__s"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
+        .agg(F.count("*").alias("__i_rare"))
+        .drop("__i_rare")
+    )
+    # exact verification moves only CANDIDATE docs' shingle arrays
+    # (semi-join first), not the whole corpus's
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sized = sh.select(F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
+    sized = (
+        sh.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
+    )
     return (
         candidates.join(
             sized.select(

@@ -76,6 +76,30 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("audio_wav_features")
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode (stdlib wave) over a binary audio column: the
+    deterministic square-wave synth (operators/multimodal.py
+    attach_audio) makes every decoded feature analytically known, so
+    the oracle checks the actual byte-level decode, not a fake."""
+    return multimodal.audio_features(
+        multimodal.attach_audio(load(spark, sf_dir, "documents"), "doc_id")
+    ).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "duration_s", "rms"
+    )
+
+
+@query("video_frame_sample")
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a keyframe-array video column (every 2nd of
+    4 PNG frames, decoded for real by the stdlib codec); per-frame
+    mean pixel is analytic so the oracle is exact."""
+    return multimodal.frame_sample_features(
+        multimodal.attach_frames(load(spark, sf_dir, "documents"), "doc_id"),
+        every_n=2,
+    ).select("doc_id", "frame_idx", "width", "height", "mean_pixel")
+
+
 @query("kmeans_embeddings")
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding table (k=4,

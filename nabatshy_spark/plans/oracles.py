@@ -289,6 +289,22 @@ JOIN sz y ON inter.doc_b = y.doc_id
 WHERE round(i / (x.sz + y.sz - i), 6) >= 0.5
 """
 
+ORACLES["audio_wav_features"] = """
+SELECT doc_id,
+       16000::INT AS sample_rate,
+       1::INT AS n_channels,
+       (8000 + (doc_id % 5) * 1000)::BIGINT AS n_samples,
+       round((8000 + (doc_id % 5) * 1000) / 16000.0, 6) AS duration_s,
+       round((1000 + (doc_id % 7) * 100)::DOUBLE, 6) AS rms
+FROM documents
+"""
+
+ORACLES["video_frame_sample"] = """
+SELECT d.doc_id, f.i::INT AS frame_idx, 8::INT AS width, 6::INT AS height,
+       round(((d.doc_id * 7 + f.i * 13) % 256)::DOUBLE, 6) AS mean_pixel
+FROM documents d, (SELECT unnest([0, 2]) AS i) f
+"""
+
 ORACLES["kmeans_embeddings"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c0 AS (

@@ -261,6 +261,19 @@ def search_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_page = search_events(
         ev, "type=click", page=99, page_size=20, sort_field="ts", sort_order="desc"
     ).collect()
+    if not prev_page:
+        # tiny SFs don't have 99 pages of clicks: clamp to the deepest
+        # non-empty previous page (sf0.01+ never takes this branch, so
+        # the oracle's fixed page-100 semantics are unaffected)
+        from nabatshy_spark.operators.search import events_predicate, parse_attribute_query
+
+        n = ev.filter(
+            events_predicate(parse_attribute_query("type=click"), "type=click")
+        ).count()
+        prev_page = search_events(
+            ev, "type=click", page=min(99, max(1, (n - 1) // 20)),
+            page_size=20, sort_field="ts", sort_order="desc",
+        ).collect()
     token = (prev_page[-1].ts, prev_page[-1].event_id)
     return search_events_keyset(
         ev, "type=click", after=token, page_size=20, sort_field="ts", sort_order="desc"

@@ -246,3 +246,48 @@ def test_decontaminate_flags_overlap(spark):
            decontaminate(corpus, bench, "doc_id", "text", n=3, min_hits=2).collect()}
     assert 1 in got and got[1] >= 5
     assert 2 not in got and 3 not in got
+
+
+def test_audio_resample_and_poison(spark):
+    from nabatshy_spark.operators.multimodal import (
+        attach_audio,
+        audio_features,
+        decode_audio,
+        resample_audio,
+    )
+
+    docs = spark.range(3).selectExpr("id as doc_id", "'x' as text")
+    wavs = attach_audio(docs, "doc_id")
+
+    # nearest-neighbor resample halves the sample count and keeps the
+    # square wave's amplitude (RMS invariant under decimation of ±A)
+    out = {r.doc_id: r.payload for r in resample_audio(wavs, 8000).collect()}
+    rate, nch, s = decode_audio(out[0])
+    assert rate == 8000 and nch == 1 and len(s) == 4000
+
+    # poison payload → decode_error row, batch survives
+    import pandas as pd
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "payload": [b"not a wav"]})
+    )
+    rows = audio_features(wavs.unionByName(bad)).collect()
+    errs = {r.doc_id: r.decode_error for r in rows}
+    assert errs[99] is not None and errs[0] is None
+    assert {r.rms for r in rows if r.doc_id == 0} == {1000.0}
+
+
+def test_frame_sample_poison_frame(spark):
+    import numpy as np
+    import pandas as pd
+
+    from nabatshy_spark.operators.multimodal import frame_sample_features
+    from nabatshy_spark.operators.pngcodec import encode_png
+
+    good = encode_png(np.full((6, 8), 42, dtype=np.uint8))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "frames": [[good, b"JUNK", b"also junk"]]})
+    )
+    rows = {r.frame_idx: r for r in frame_sample_features(df, every_n=2).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0].mean_pixel == 42.0 and rows[0].decode_error is None
+    assert rows[2].decode_error is not None
