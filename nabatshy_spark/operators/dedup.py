@@ -46,18 +46,28 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram strings (space-joined) of a text column."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram strings (space-joined) of a text column.
+
+    The token array is bound ONCE through a single-element-array
+    ``transform`` so the lambda variable ``t`` is a materialized value:
+    referencing the raw ``tokens(col)`` expression inside the n-gram
+    lambda instead re-evaluates the split per ``element_at`` (HOFs are
+    interpreted, no common-subexpression elimination) — measured 9×
+    slower at sf0.1."""
+
+    def gram_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), gram_of), 1)
 
 
 def _md5_60bit(col: Column) -> Column:
@@ -151,18 +161,31 @@ def ngram_jaccard_pairs(
         return _jaccard_from_shingled(sh, id_col, threshold)
     # The HOT set (df > cap) is small BY DEFINITION (≤ postings/cap
     # distinct shingles), so it broadcasts and the posting filter is a
-    # narrow anti-join — the corpus postings are never shuffled to
-    # apply the cap. The capped self-join then costs Σ min(df, cap)².
+    # narrow join — the corpus postings are never shuffled to apply
+    # the cap. The capped self-join then costs Σ min(df, cap)².
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
     hot = (
         ex.groupBy("__s")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") > max_df)
-        .select("__s")
+        .select("__s", F.lit(True).alias("__hot"))
     )
-    posting = ex.join(F.broadcast(hot), "__s", "left_anti")
-    a, b = posting.alias("a"), posting.alias("b")
-    candidates = (
+    flagged = ex.join(F.broadcast(hot), "__s", "left")
+    rare = flagged.filter(F.col("__hot").isNull()).select(F.col(id_col), "__s")
+    # per-doc count of hot shingles: nonzero only for docs touching
+    # boilerplate, so this side table is small on clean corpora
+    hot_cnt = (
+        flagged.filter(F.col("__hot"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__h"))
+    )
+    # Rare-posting self-join gives the EXACT intersection count over
+    # non-hot shingles — no array payloads move. The hot contribution
+    # is bounded per pair by min(hot_a, hot_b), so only pairs where
+    # that slack could push Jaccard over the threshold need their full
+    # shingle arrays compared; everything else resolves from counts.
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.__s") == F.col("b.__s"))
@@ -171,22 +194,66 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").alias("__i_rare"))
-        .drop("__i_rare")
+        .agg(F.count("*").alias("__i"))
     )
-    # exact verification moves only CANDIDATE docs' shingle arrays
-    # (semi-join first), not the whole corpus's
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select(F.col("doc_b").alias(id_col)))
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    scored = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__sb")),
+            "doc_b",
+        )
+        .join(
+            hot_cnt.select(F.col(id_col).alias("doc_a"), F.col("__h").alias("__ha")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot_cnt.select(F.col(id_col).alias("doc_b"), F.col("__h").alias("__hb")),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "__slack",
+            F.least(F.coalesce("__ha", F.lit(0)), F.coalesce("__hb", F.lit(0))),
+        )
+        .withColumn(
+            "__ub",
+            F.least(F.col("__i") + F.col("__slack"), F.least("__sa", "__sb")),
+        )
+        # upper-bound Jaccard ≥ true Jaccard (monotonic in i), so this
+        # filter never drops a qualifying pair
+        .filter(
+            F.round(F.col("__ub") / (F.col("__sa") + F.col("__sb") - F.col("__ub")), 6)
+            >= threshold
+        )
+        # tiny (only threshold-crossing pairs) but referenced by four
+        # downstream branches — without this the posting self-join
+        # re-executes per branch (measured 8× the query)
+        .persist()
+    )
+    exact_now = (
+        scored.filter(F.col("__slack") == 0)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__i") / (F.col("__sa") + F.col("__sb") - F.col("__i")), 6),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    maybe = scored.filter(F.col("__slack") > 0).select("doc_a", "doc_b")
+    maybe_ids = (
+        maybe.select(F.col("doc_a").alias(id_col))
+        .union(maybe.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sized = (
-        sh.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
+    sized = sh.join(maybe_ids, id_col, "left_semi").select(
+        F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz")
     )
-    return (
-        candidates.join(
+    verified = (
+        maybe.join(
             sized.select(
                 F.col(id_col).alias("doc_a"),
                 F.col("__sh").alias("__sh_a"),
@@ -210,6 +277,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return exact_now.unionByName(verified)
 
 
 # ---------------------------------------------------------------------------
