@@ -481,12 +481,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the fingerprint is 1 iff Σ_tokens (±1 by token-hash bit i) > 0.
     Everything is array-expression arithmetic — single scan, no UDF.
     """
-    hs = df.select(
-        F.col(id_col),
-        F.transform(tokens(F.col(text_col)), _md5_60bit).alias("__hs"),
-    )
-
-    def _bit_sum(i: int):
+    def _bit_sum(i: int, hs: Column):
         # factory, not a default-arg lambda: pyspark dispatches on the
         # lambda's arity, so an extra bound parameter would be
         # misread as the (acc, x, idx) form.
@@ -495,19 +490,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
 
-        return merge
+        return F.aggregate(hs, F.lit(0).cast("long"), merge)
 
-    bit_sums = [
-        F.aggregate("__hs", F.lit(0).cast("long"), _bit_sum(i))
-        for i in range(SIMHASH_BITS)
-    ]
-    fp = None
-    for i, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return hs.select(F.col(id_col), fp.alias("simhash"))
+    def _fp_of(hs: Column) -> Column:
+        # bound lambda variable: the token-hash array is materialized
+        # ONCE per row; referencing the raw md5-transform expression in
+        # each of the 60 bit aggregates instead re-hashes every token
+        # 60 times (projection collapse inlines it; HOF aggregates are
+        # interpreted, no CSE)
+        fp = None
+        for i in range(SIMHASH_BITS):
+            term = F.when(
+                _bit_sum(i, hs) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            fp = term if fp is None else fp + term
+        return fp
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(
+                F.array(F.transform(tokens(F.col(text_col)), _md5_60bit)), _fp_of
+            ),
+            1,
+        ).alias("simhash"),
+    )
 
 
 def simhash_pairs(
