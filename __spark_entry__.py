@@ -60,10 +60,11 @@ _PRIORITY = [
     # queries whose implementation changed in round 2 — the round-1 pass
     # row no longer describes the current plan, so re-check them
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
-    "dedup_components", "sample_hash",
+    "dedup_components", "sample_hash", "dedup_simhash",
     # new this round
     "search_page_keyset", "decontaminate_corpus", "kmeans_embeddings",
-    "audio_wav_features", "video_frame_sample",
+    "audio_wav_features", "video_frame_sample", "pii_redaction",
+    "text_repetition",
 ]
 
 

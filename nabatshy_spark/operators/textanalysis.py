@@ -160,3 +160,46 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         norm.alias("norm_text"),
         F.size(F.split(norm, " ")).alias("n_tokens"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repeated-n-gram ratios per document (the Gopher-style quality
+    filter: heavily self-repeating documents are low-quality or
+    machine-generated). For word 2-grams and 3-grams: dup ratio =
+    1 - distinct/total, 0.0 when the document is too short to have any.
+
+    Pure column expressions with the token array bound once through a
+    single-element ``transform`` (see dedup.shingles — referencing the
+    raw split expression inside the gram lambda re-tokenizes per
+    element). Single narrow scan, engine-portable arithmetic, exact
+    DuckDB oracle.
+    """
+
+    def _ratio(n: int) -> Column:
+        def of(t: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+            grams = F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            )
+            return F.when(
+                F.size(t) >= n,
+                F.round(
+                    1
+                    - F.size(F.array_distinct(grams))
+                    / F.size(grams).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0))
+
+        return F.element_at(
+            F.transform(F.array(F.split(F.col(text_col), " ")), of), 1
+        )
+
+    return df.select(
+        F.col(id_col),
+        _ratio(2).alias("dup2_ratio"),
+        _ratio(3).alias("dup3_ratio"),
+    )

@@ -13,6 +13,7 @@ from nabatshy_spark.catalog import load
 from nabatshy_spark.operators import (
     dedup,
     multimodal,
+    pii,
     sampling,
     sessions,
     similarity,
@@ -170,6 +171,61 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized md5 fingerprint + 60-bit numeric shard key."""
     return textanalysis.fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("pii_redaction")
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py): deterministic PII snippets are
+    planted expression-side (doc_id % 4 picks email/phone/SSN/IPv4), so
+    the regex redaction + per-type counts are verified end-to-end by an
+    exact DuckDB oracle running the same plant + same patterns."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                )
+            ),
+        ),
+    )
+    return pii.redact_pii(planted, "doc_id", "text")
+
+
+@query("text_repetition")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-n-gram quality filter
+    (operators/textanalysis.py:repetition_stats): word 2-/3-gram dup
+    ratios per document, exact oracle."""
+    return textanalysis.repetition_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
 
 
 @query("multimodal_features")

@@ -1004,3 +1004,39 @@ SELECT label, i::INT AS dim,
 FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
 GROUP BY label, i
 """
+
+ORACLES["pii_redaction"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || doc_id || '@example.com'
+           WHEN 1 THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           WHEN 2 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           ELSE ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+         END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::INT AS n_email,
+  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))::INT AS n_ssn,
+  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::INT AS n_phone,
+  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ipv4,
+  (n_email + n_ssn + n_phone + n_ipv4)::INT AS n_pii
+FROM planted
+"""
+
+ORACLES["text_repetition"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  CASE WHEN len(toks) >= 2 THEN round(
+    1 - len(list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]))::DOUBLE
+        / (len(toks) - 1), 6) ELSE 0.0 END AS dup2_ratio,
+  CASE WHEN len(toks) >= 3 THEN round(
+    1 - len(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)]))::DOUBLE
+        / (len(toks) - 2), 6) ELSE 0.0 END AS dup3_ratio
+FROM t
+"""

@@ -291,3 +291,36 @@ def test_frame_sample_poison_frame(spark):
     assert set(rows) == {0, 2}
     assert rows[0].mean_pixel == 42.0 and rows[0].decode_error is None
     assert rows[2].decode_error is not None
+
+
+def test_pii_redaction_unit(spark):
+    from nabatshy_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-a.co and 10.1.2.3 plus 123-45-6789"),
+            (2, "call 555-123-4567 twice: 555-123-4567; order #123-45 ok"),
+            (3, "clean text 12345 no hits 1.2.3 (not an ip)"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert rows[1].redacted == "mail <EMAIL> and <IP> plus <SSN>"
+    assert (rows[1].n_email, rows[1].n_ssn, rows[1].n_ipv4, rows[1].n_pii) == (1, 1, 1, 3)
+    assert rows[2].redacted == "call <PHONE> twice: <PHONE>; order #123-45 ok"
+    assert rows[2].n_phone == 2 and rows[2].n_pii == 2
+    assert rows[3].redacted == rows[3].redacted and rows[3].n_pii == 0
+
+
+def test_repetition_stats_unit(spark):
+    from nabatshy_spark.operators.textanalysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "all words here differ fully")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    # 5 bigrams, 2 distinct -> 0.6; 4 trigrams, 2 distinct -> 0.5
+    assert (rows[1].dup2_ratio, rows[1].dup3_ratio) == (0.6, 0.5)
+    assert (rows[2].dup2_ratio, rows[2].dup3_ratio) == (0.0, 0.0)
+    assert (rows[3].dup2_ratio, rows[3].dup3_ratio) == (0.0, 0.0)
