@@ -64,7 +64,8 @@ _PRIORITY = [
     # new this round
     "search_page_keyset", "decontaminate_corpus", "kmeans_embeddings",
     "audio_wav_features", "video_frame_sample", "pii_redaction",
-    "text_repetition",
+    "text_repetition", "bucketed_revenue_join", "dedup_incremental",
+    "zorder_pruning_stats",
 ]
 
 

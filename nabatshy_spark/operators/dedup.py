@@ -833,3 +833,90 @@ def decontaminate(
         .agg(F.count_distinct("__s").alias("n_hits"))
         .filter(F.col("n_hits") >= F.lit(min_hits))
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the steady-state
+    production mode of a crawl pipeline: the corpus was deduped long
+    ago; each incoming batch only needs checking against it (and the
+    batch against itself is a separate, far smaller problem).
+
+    Returns one row per batch document: (id, status, match_id) with
+    status 'dup_exact' (byte-identical to a corpus doc), 'dup_near'
+    (n-gram Jaccard ≥ threshold against a corpus doc), or 'kept';
+    match_id is the smallest matching corpus id (null when kept).
+
+    Scale shape — the corpus is the big side and it is never shuffled
+    twice: the exact check joins 32-byte digests only; the near check
+    is an inverted-index join of BATCH postings against CORPUS postings
+    (cost Σ_s df_batch(s)·df_corpus(s), never corpus×corpus), with the
+    same ``max_df`` document-frequency cap as ngram_jaccard_pairs
+    applied to the corpus side to bound boilerplate shingles. At 100 TB
+    the corpus postings list is a materialized layout (write once,
+    reuse per batch) — here it is derived in-plan from the same scan.
+    """
+    ch = corpus.select(
+        F.col(id_col).alias("__cid"), F.sha2(F.col(text_col), 256).alias("__h")
+    )
+    bh = batch.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
+    exact = bh.join(ch, "__h").groupBy(id_col).agg(
+        F.min("__cid").alias("__exact_id")
+    )
+
+    bsh = batch.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+    csh = corpus.select(
+        F.col(id_col).alias("__cid"), shingles(F.col(text_col), n).alias("__sh")
+    )
+    bex = bsh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    cex = csh.select("__cid", F.explode("__sh").alias("__s"))
+    if max_df is not None:
+        hot = (
+            cex.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__s", F.lit(True).alias("__hot"))
+        )
+        cex = (
+            cex.join(F.broadcast(hot), "__s", "left")
+            .filter(F.col("__hot").isNull())
+            .drop("__hot")
+        )
+    inter = (
+        bex.join(cex, "__s")
+        .groupBy(id_col, "__cid")
+        .agg(F.count("*").alias("__i"))
+    )
+    bsz = bsh.select(F.col(id_col), F.size("__sh").alias("__bsz"))
+    csz = csh.select("__cid", F.size("__sh").alias("__csz"))
+    near = (
+        inter.join(bsz, id_col)
+        .join(csz, "__cid")
+        .withColumn(
+            "__j",
+            F.col("__i") / (F.col("__bsz") + F.col("__csz") - F.col("__i")),
+        )
+        .filter(F.round(F.col("__j"), 6) >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("__cid").alias("__near_id"))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__exact_id").isNotNull(), F.lit("dup_exact"))
+            .when(F.col("__near_id").isNotNull(), F.lit("dup_near"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("__exact_id", "__near_id").alias("match_id"),
+        )
+    )

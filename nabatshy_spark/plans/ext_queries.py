@@ -586,3 +586,29 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(
         load(spark, sf_dir, "embeddings"), "label", "embedding"
     )
+
+
+@query("bucketed_revenue_join")
+def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through the bucketed layout (sources/bucketed.py):
+    orders and lineitem are hash-bucketed on their orderkey at write
+    time, so the join itself has NO Exchange on either side (asserted
+    in test_plans.py) — the 100 TB answer to the most shuffle-expensive
+    plan shape in the reference surface (J1/J3, api/service.go:365-418).
+    Returns revenue and line count per order priority."""
+    from nabatshy_spark.sources import bucketed
+
+    j = bucketed.bucketed_join(
+        spark, sf_dir, "orders", "lineitem",
+        ["o_orderkey"], ["l_orderkey"], num_buckets=8,
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1040,3 +1040,12 @@ SELECT doc_id,
         / (len(toks) - 2), 6) ELSE 0.0 END AS dup3_ratio
 FROM t
 """
+
+ORACLES["bucketed_revenue_join"] = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -118,3 +118,20 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastHashJoin" in p, (
         "benchmark shingle set must broadcast — the corpus side never shuffles"
     )
+
+
+def test_bucketed_join_no_exchange_under_join(spark, sf_dir):
+    """The whole point of the bucketed layout: the fact-fact join reads
+    bucket-aligned scans with NO shuffle on either side; the only
+    exchange left is the small post-join group-by."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(spark, "bucketed_revenue_join", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert p.count("Bucketed: true") == 2, "both scans must read bucketed layout"
+    assert "SortMergeJoin" in p
+    assert _hash_exchanges(p) == 1, (
+        "only the group-by may shuffle — the join itself must be exchange-free"
+    )
