@@ -859,9 +859,13 @@ def incremental_dedup(
     is an inverted-index join of BATCH postings against CORPUS postings
     (cost Σ_s df_batch(s)·df_corpus(s), never corpus×corpus), with the
     same ``max_df`` document-frequency cap as ngram_jaccard_pairs
-    applied to the corpus side to bound boilerplate shingles. At 100 TB
-    the corpus postings list is a materialized layout (write once,
-    reuse per batch) — here it is derived in-plan from the same scan.
+    applied to the corpus side to bound boilerplate shingles. The cap
+    affects CANDIDATE GENERATION only: candidate pairs are re-scored
+    against full shingle sets, so reported matches are exact unless a
+    pair's every shared shingle is boilerplate (df > cap) — the same
+    documented blind spot as ngram_jaccard_pairs. At 100 TB the corpus
+    postings list is a materialized layout (write once, reuse per
+    batch) — here it is derived in-plan from the same scan.
     """
     ch = corpus.select(
         F.col(id_col).alias("__cid"), F.sha2(F.col(text_col), 256).alias("__h")
@@ -889,19 +893,17 @@ def incremental_dedup(
             .filter(F.col("__hot").isNull())
             .drop("__hot")
         )
-    inter = (
-        bex.join(cex, "__s")
-        .groupBy(id_col, "__cid")
-        .agg(F.count("*").alias("__i"))
-    )
-    bsz = bsh.select(F.col(id_col), F.size("__sh").alias("__bsz"))
-    csz = csh.select("__cid", F.size("__sh").alias("__csz"))
+    cand = bex.join(cex, "__s").select(F.col(id_col), "__cid").distinct()
+    # Exact verification over FULL shingle sets, but only for candidate
+    # pairs — the array payload moves for candidates, never the corpus.
     near = (
-        inter.join(bsz, id_col)
-        .join(csz, "__cid")
+        cand.join(bsh, id_col)
+        .join(csh.withColumnRenamed("__sh", "__csh"), "__cid")
+        .withColumn("__i", F.size(F.array_intersect("__sh", "__csh")))
         .withColumn(
             "__j",
-            F.col("__i") / (F.col("__bsz") + F.col("__csz") - F.col("__i")),
+            F.col("__i")
+            / (F.size("__sh") + F.size("__csh") - F.col("__i")),
         )
         .filter(F.round(F.col("__j"), 6) >= threshold)
         .groupBy(id_col)

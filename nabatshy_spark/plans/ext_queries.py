@@ -612,3 +612,17 @@ def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("dedup_incremental")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup (operators/dedup.py incremental_dedup):
+    documents with doc_id % 10 < 2 play the incoming batch, the rest
+    the existing corpus. One status row per batch doc; the corpus side
+    is joined as digests + postings only, never corpus×corpus."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 < 2)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    return dedup.incremental_dedup(
+        corpus, batch, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )

@@ -1049,3 +1049,50 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+ORACLES["dedup_incremental"] = """
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 < 2),
+corpus AS (SELECT * FROM documents WHERE doc_id % 10 >= 2),
+exact AS (
+  SELECT b.doc_id, min(c.doc_id) AS exact_id
+  FROM batch b JOIN corpus c ON sha256(b.text) = sha256(c.text)
+  GROUP BY b.doc_id
+),
+bsh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch)
+  WHERE len(w) >= 3
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+  WHERE len(w) >= 3
+),
+bex AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
+inter AS (
+  SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS i
+  FROM bex b JOIN cex c ON b.g = c.g
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT bid AS doc_id, min(cid) AS near_id
+  FROM inter
+  JOIN (SELECT doc_id, len(s) AS bsz FROM bsh) x ON inter.bid = x.doc_id
+  JOIN (SELECT doc_id, len(s) AS csz FROM csh) y ON inter.cid = y.doc_id
+  WHERE round(i / (bsz + csz - i), 6) >= 0.5
+  GROUP BY bid
+)
+SELECT b.doc_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'dup_exact'
+            WHEN n.near_id IS NOT NULL THEN 'dup_near'
+            ELSE 'kept' END AS status,
+       coalesce(e.exact_id, n.near_id) AS match_id
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+"""

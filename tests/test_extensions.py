@@ -324,3 +324,60 @@ def test_repetition_stats_unit(spark):
     assert (rows[1].dup2_ratio, rows[1].dup3_ratio) == (0.6, 0.5)
     assert (rows[2].dup2_ratio, rows[2].dup3_ratio) == (0.0, 0.0)
     assert (rows[3].dup2_ratio, rows[3].dup3_ratio) == (0.0, 0.0)
+
+
+def test_incremental_dedup_semantics(spark):
+    from nabatshy_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "completely unrelated corpus text about spark engines"),
+            (102, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # byte-identical to corpus 100 and 102 -> exact, min match 100
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # one word changed -> near-dup of 100/102, not exact
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            # fresh content -> kept
+            (3, "completely new material never seen in any corpus"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    }
+    assert rows[1] == ("dup_exact", 100)
+    assert rows[2][0] == "dup_near" and rows[2][1] == 100
+    assert rows[3] == ("kept", None)
+
+
+def test_incremental_dedup_df_cap_blind_spot_only(spark):
+    """With max_df=1 every corpus shingle of the duplicated pair is hot,
+    so the near-dup is the documented blind spot — but the exact path
+    still catches byte-identical content regardless of caps."""
+    from nabatshy_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(
+            corpus, batch, "doc_id", "text", max_df=1
+        ).collect()
+    }
+    assert rows[1] == "dup_exact"
+    assert rows[2] == "kept"  # every shared shingle is hot -> blind spot
