@@ -65,7 +65,8 @@ _PRIORITY = [
     "search_page_keyset", "decontaminate_corpus", "kmeans_embeddings",
     "audio_wav_features", "video_frame_sample", "pii_redaction",
     "text_repetition", "bucketed_revenue_join", "dedup_incremental",
-    "zorder_pruning_stats",
+    "zorder_pruning_stats", "profile_orders", "sliding_window_counts",
+    "sql_grouping_sets_revenue",
 ]
 
 

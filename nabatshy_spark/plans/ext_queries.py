@@ -626,3 +626,60 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(
         corpus, batch, "doc_id", "text", n=3, threshold=0.5, max_df=200
     )
+
+
+@query("zorder_pruning_stats")
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D selective scan over the z-ordered events layout
+    (sources/zorder.py): the layout rewrite is lossless, so this agg
+    over a (user_id, value) box matches the same SQL over the original
+    table — while the parquet footers of the layout prune both
+    dimensions at once (measured in tests/test_zorder.py)."""
+    from nabatshy_spark.sources import zorder
+
+    path = zorder.ensure_zordered(spark, sf_dir, "events", ["user_id", "value"])
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("user_id") >= 100) & (F.col("user_id") <= 300)
+            & (F.col("value") >= 10.0) & (F.col("value") <= 50.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("profile_orders")
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data-quality profile of the orders table
+    (operators/profile.py): null counts, exact cardinalities, and
+    min/max per column from one aggregate pass."""
+    from nabatshy_spark.operators.profile import profile
+
+    return profile(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+
+
+@query("sliding_window_counts")
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window time series (T-family extension): event count and
+    value sum per 1-hour window sliding every 15 minutes. Spark's
+    built-in window() expands each row into its 4 covering windows
+    inside codegen — one scan, one shuffle on the window start."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("__w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )

@@ -1096,3 +1096,56 @@ FROM batch b
 LEFT JOIN exact e ON b.doc_id = e.doc_id
 LEFT JOIN near n ON b.doc_id = n.doc_id
 """
+
+ORACLES["zorder_pruning_stats"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 50.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["profile_orders"] = """
+SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
+FROM orders
+"""
+
+ORACLES["sliding_window_counts"] = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, value FROM events
+)
+SELECT (b - k.k * INTERVAL '15 minutes')::TIMESTAMP AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["sql_grouping_sets_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""

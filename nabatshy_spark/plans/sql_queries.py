@@ -45,3 +45,20 @@ def sql_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@query("sql_grouping_sets_revenue")
+def sql_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in ONE pass via GROUPING SETS —
+    (flag, status), (flag), and grand total share a single scan and
+    shuffle instead of three union'd aggregations."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
