@@ -66,7 +66,7 @@ _PRIORITY = [
     "audio_wav_features", "video_frame_sample", "pii_redaction",
     "text_repetition", "bucketed_revenue_join", "dedup_incremental",
     "zorder_pruning_stats", "profile_orders", "sliding_window_counts",
-    "sql_grouping_sets_revenue",
+    "sql_grouping_sets_revenue", "curate_corpus",
 ]
 
 

@@ -53,6 +53,12 @@ HEADLINE = [
     "decontaminate_corpus",
     "kmeans_embeddings",
     "audio_wav_features",
+    "bucketed_revenue_join",
+    "zorder_pruning_stats",
+    "dedup_incremental",
+    "profile_orders",
+    "sliding_window_counts",
+    "curate_corpus",
 ]
 
 

@@ -860,10 +860,13 @@ def incremental_dedup(
     (cost Σ_s df_batch(s)·df_corpus(s), never corpus×corpus), with the
     same ``max_df`` document-frequency cap as ngram_jaccard_pairs
     applied to the corpus side to bound boilerplate shingles. The cap
-    affects CANDIDATE GENERATION only: candidate pairs are re-scored
-    against full shingle sets, so reported matches are exact unless a
-    pair's every shared shingle is boilerplate (df > cap) — the same
-    documented blind spot as ngram_jaccard_pairs. At 100 TB the corpus
+    affects CANDIDATE GENERATION only: candidates are scored with the
+    same count-based verification as ngram_jaccard_pairs (rare-posting
+    intersection counts + per-doc hot-shingle slack bounds; full
+    shingle arrays move only for the threshold-straddling pairs), so
+    reported matches are exact unless a pair's every shared shingle is
+    boilerplate (df > cap) — the same documented blind spot as
+    ngram_jaccard_pairs. At 100 TB the corpus
     postings list is a materialized layout (write once, reuse per
     batch) — here it is derived in-plan from the same scan.
     """
@@ -875,40 +878,101 @@ def incremental_dedup(
         F.min("__cid").alias("__exact_id")
     )
 
-    bsh = batch.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
-    csh = corpus.select(
-        F.col(id_col).alias("__cid"), shingles(F.col(text_col), n).alias("__sh")
+    parallelism = batch.sparkSession.sparkContext.defaultParallelism
+    bsh = (
+        batch.repartition(parallelism, id_col)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+        .persist()
+    )
+    csh = (
+        corpus.repartition(parallelism, id_col)
+        .select(F.col(id_col).alias("__cid"), shingles(F.col(text_col), n).alias("__sh"))
+        .persist()
     )
     bex = bsh.select(F.col(id_col), F.explode("__sh").alias("__s"))
     cex = csh.select("__cid", F.explode("__sh").alias("__s"))
+    bsz = bsh.select(F.col(id_col), F.size("__sh").alias("__bsz"))
+    csz = csh.select("__cid", F.size("__sh").alias("__csz"))
     if max_df is not None:
+        # Same count-based verification as ngram_jaccard_pairs: the
+        # rare-posting join gives the exact intersection over non-hot
+        # shingles; the hot contribution per pair is bounded by
+        # min(batch-doc hot count, corpus-doc hot count), so only
+        # pairs whose Jaccard could cross the threshold inside that
+        # slack ever ship their shingle arrays.
         hot = (
             cex.groupBy("__s")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("__s", F.lit(True).alias("__hot"))
         )
-        cex = (
-            cex.join(F.broadcast(hot), "__s", "left")
-            .filter(F.col("__hot").isNull())
-            .drop("__hot")
+        cflag = cex.join(F.broadcast(hot), "__s", "left")
+        cex_rare = cflag.filter(F.col("__hot").isNull()).select("__cid", "__s")
+        chot = (
+            cflag.filter(F.col("__hot"))
+            .groupBy("__cid")
+            .agg(F.count("*").alias("__hc"))
         )
-    cand = bex.join(cex, "__s").select(F.col(id_col), "__cid").distinct()
-    # Exact verification over FULL shingle sets, but only for candidate
-    # pairs — the array payload moves for candidates, never the corpus.
-    near = (
-        cand.join(bsh, id_col)
-        .join(csh.withColumnRenamed("__sh", "__csh"), "__cid")
-        .withColumn("__i", F.size(F.array_intersect("__sh", "__csh")))
-        .withColumn(
-            "__j",
-            F.col("__i")
-            / (F.size("__sh") + F.size("__csh") - F.col("__i")),
+        bhot = (
+            bex.join(F.broadcast(hot), "__s")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("__hb"))
         )
-        .filter(F.round(F.col("__j"), 6) >= threshold)
-        .groupBy(id_col)
-        .agg(F.min("__cid").alias("__near_id"))
+    else:
+        cex_rare, chot, bhot = cex, None, None
+    inter = (
+        bex.join(cex_rare, "__s")
+        .groupBy(id_col, "__cid")
+        .agg(F.count("*").alias("__i"))
     )
+    scored = inter.join(bsz, id_col).join(csz, "__cid")
+    if max_df is None:
+        near_pairs = scored.withColumn(
+            "jaccard",
+            F.col("__i") / (F.col("__bsz") + F.col("__csz") - F.col("__i")),
+        ).filter(F.round("jaccard", 6) >= threshold)
+    else:
+        scored = (
+            scored.join(bhot, id_col, "left")
+            .join(chot, "__cid", "left")
+            .withColumn(
+                "__slack",
+                F.least(F.coalesce("__hb", F.lit(0)), F.coalesce("__hc", F.lit(0))),
+            )
+            .withColumn(
+                "__ub",
+                F.least(
+                    F.col("__i") + F.col("__slack"), F.least("__bsz", "__csz")
+                ),
+            )
+            # upper bound ≥ true Jaccard, so nothing qualifying is dropped
+            .filter(
+                F.round(
+                    F.col("__ub") / (F.col("__bsz") + F.col("__csz") - F.col("__ub")),
+                    6,
+                )
+                >= threshold
+            )
+            .persist()
+        )
+        exact_now = scored.filter(F.col("__slack") == 0).select(id_col, "__cid")
+        maybe = scored.filter(F.col("__slack") > 0).select(id_col, "__cid")
+        verified = (
+            maybe.join(bsh, id_col)
+            .join(csh.withColumnRenamed("__sh", "__csh"), "__cid")
+            .withColumn("__it", F.size(F.array_intersect("__sh", "__csh")))
+            .filter(
+                F.round(
+                    F.col("__it")
+                    / (F.size("__sh") + F.size("__csh") - F.col("__it")),
+                    6,
+                )
+                >= threshold
+            )
+            .select(id_col, "__cid")
+        )
+        near_pairs = exact_now.unionByName(verified)
+    near = near_pairs.groupBy(id_col).agg(F.min("__cid").alias("__near_id"))
     return (
         batch.select(id_col)
         .join(exact, id_col, "left")

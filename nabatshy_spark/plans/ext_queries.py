@@ -683,3 +683,33 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__w.start").alias("window_start"), "n_events", "sum_value")
         .orderBy("window_start")
     )
+
+
+@query("curate_corpus")
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a 100 TB training
+    run actually executes, each stage the cheapest that can reject a
+    document: (1) codegen'd quality score ≥ 0.6, (2) language-ID keep
+    'en', (3) exact + near dedup (dedup_pipeline: digests → capped
+    postings → components), (4) deterministic 10% hash sample. Filters
+    run FIRST so the expensive dedup stages see only the kept docs;
+    the sample runs LAST so it never discards a doc that dedup needed
+    to see."""
+    docs = load(spark, sf_dir, "documents")
+    q = (
+        textanalysis.text_stats(docs, "doc_id", "text")
+        .filter(F.col("quality_score") >= 0.6)
+        .select("doc_id")
+    )
+    en = (
+        textanalysis.lang_scores(docs, "doc_id", "text")
+        .filter(F.col("pred_lang") == "en")
+        .select("doc_id")
+    )
+    kept = docs.join(q, "doc_id", "left_semi").join(en, "doc_id", "left_semi")
+    survivors = dedup.dedup_pipeline(
+        kept, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+    return sampling.hash_sample(survivors, "doc_id", bps=6554).select(
+        "doc_id", "lang", "source"
+    )
