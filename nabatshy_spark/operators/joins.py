@@ -102,8 +102,11 @@ def range_join_buckets(
         raise ValueError(
             f"bucket width {width}s cannot cover max gap {max_gap_seconds}s"
         )
-    l_us = F.unix_micros(left_ts)
-    r_us = F.unix_micros(right_ts)
+    # Parquet timestamps without a UTC flag load as TIMESTAMP_NTZ, which
+    # unix_micros rejects; cast through TIMESTAMP (session-TZ, identical on
+    # both sides, so the gap predicate is unaffected).
+    l_us = F.unix_micros(left_ts.cast("timestamp"))
+    r_us = F.unix_micros(right_ts.cast("timestamp"))
     bucket_us = width * 1_000_000
     l_bucket = F.floor(l_us / F.lit(bucket_us))
     l = left.select(
