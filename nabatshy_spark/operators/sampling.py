@@ -110,6 +110,34 @@ def capped_per_group(
     )
 
 
+def split_corpus(
+    df: DataFrame, key_col: str, train_bps: int, val_bps: int
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 4 md5 hex
+    chars of the key, read as an integer in [0, 65536), land each row
+    in ``train`` (< train_bps), ``val`` (< train_bps+val_bps) or
+    ``test``. The split is a pure function of the key — reproducible
+    across engines and reruns, stable under data appends (existing
+    rows never migrate between splits), and leakage-free as long as
+    the key identifies the logical document.
+
+    Scale: a single codegen'd projection over the scan — no shuffle,
+    no RNG state; downstream writers partition by ``split`` to get
+    the three corpora in one pass.
+    """
+    if not (0 <= train_bps and 0 <= val_bps and train_bps + val_bps <= 65536):
+        raise ValueError("bps thresholds must be non-negative and sum ≤ 65536")
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return df.withColumn(
+        "split",
+        F.when(u < train_bps, F.lit("train"))
+        .when(u < train_bps + val_bps, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def pack_token_chunks(
     df: DataFrame,
     id_col: str,

@@ -233,3 +233,35 @@ def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
         F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
         F.count("*").alias("n"),
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|v| / 127, components mapped with floor(v / scale) —
+    the storage/ANN-compression step that cuts an embedding table 4×
+    before indexing. floor (not round) on purpose: IEEE double divide
+    + floor is bit-reproducible across engines, while round's
+    half-way rule differs between them; the ≤1-LSB downward bias is
+    irrelevant to retrieval quality.
+
+    Emits per-vector summary stats (scale, q_min, q_max, l1 norm of
+    the quantized vector) — scalar columns so an exact cross-engine
+    oracle can check the math; a writer would project the quantized
+    array itself (the ``q`` expression) next to them.
+
+    Pure codegen'd column expressions over one narrow scan — the
+    quantization itself adds no shuffle and no UDF.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+    )

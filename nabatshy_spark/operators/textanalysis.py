@@ -138,6 +138,44 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     )
 
 
+def vocab_top_terms(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2, k: int = 500
+) -> DataFrame:
+    """Corpus vocabulary builder: global term frequency + document
+    frequency per token, keep terms with total count ≥ ``min_count``,
+    return the top ``k`` by (count desc, term asc) with a dense rank —
+    the first step of training any tokenizer / building a frequency
+    vocab over a crawl.
+
+    Scale shape: explode → partial-agg-heavy groupBy on the term (the
+    map-side combine collapses each partition's repeats before the
+    shuffle), then TakeOrdered for the global top-k — never a global
+    sort of the full vocabulary. The rank is applied afterwards on the
+    k-row result with a constant-partition window, so no stage sees
+    more than k rows in one task.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct("__id").alias("doc_freq"),
+    )
+    top = (
+        stats.filter(F.col("term_count") >= min_count)
+        .orderBy(F.col("term_count").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"), "term", "term_count", "doc_freq"
+    )
+
+
 def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Canonical text normalization for dedup/fingerprint pipelines:
     lowercase, map every non-[a-z0-9 ] char to space, collapse runs of

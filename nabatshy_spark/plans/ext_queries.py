@@ -713,3 +713,120 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(survivors, "doc_id", bps=6554).select(
         "doc_id", "lang", "source"
     )
+
+
+@query("corpus_split")
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/2.5/2.5 train/val/test assignment over the
+    corpus (operators/sampling.py:split_corpus): membership is a pure
+    md5-of-key function — no shuffle, reproducible across engines,
+    stable under appends."""
+    return sampling.split_corpus(
+        load(spark, sf_dir, "documents"), "doc_id", train_bps=62259, val_bps=1638
+    ).select("doc_id", "lang", "source", "split")
+
+
+@query("vocab_top_terms")
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-vocabulary build: global term count + doc frequency,
+    min_count=2, global top-500 via TakeOrdered (never a full-vocab
+    sort)."""
+    return textanalysis.vocab_top_terms(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_count=2, k=500
+    )
+
+
+@query("embedding_quantize")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization stats per embedding
+    (operators/similarity.py:quantize_int8) — codegen'd floor-based
+    mapping whose arithmetic both engines reproduce bit-for-bit."""
+    return similarity.quantize_int8(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+@query("latest_event_per_user")
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/log compaction (operators/cdc.py:latest_per_key): newest
+    event per user with a total-order tiebreak; WindowGroupLimit keeps
+    hot users from materializing their history in one sort buffer."""
+    from nabatshy_spark.operators import cdc
+
+    return cdc.latest_per_key(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        [F.col("ts"), F.col("event_id")],
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        "value",
+    )
+
+
+@query("distinct_users_approx")
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality per event_type (approx_count_distinct,
+    rsd=2%) — THE 100 TB count-distinct: constant-size mergeable
+    sketch per partition instead of shuffling every distinct key.
+    Rows-only check (sketch estimates aren't engine-portable); the
+    exact twin is ``distinct_customers_by_priority`` and the ≤5%%
+    error bound is pinned in tests/test_extensions.py."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("continuous_aggregate")
+def continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate serving (sources/contagg.py): materialized
+    hourly rollup of settled history (ts < Jan 24, fingerprint-keyed
+    build) unioned with a raw aggregation of only the tail — the
+    query scans ~1/4 of the raw table yet the oracle is the DIRECT
+    full aggregation, proving the split is lossless."""
+    from nabatshy_spark.sources import contagg
+
+    return contagg.serve_series(spark, sf_dir, cutoff="2024-01-24 00:00:00")
+
+
+@query("text_search_and")
+def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive inverted-index search (operators/invindex.py):
+    docs containing ALL of {join, hash, vector}, ranked by total term
+    frequency — postings intersection by distinct-term count, never an
+    N-way self-join; cost is the queried posting lists only."""
+    from nabatshy_spark.operators import invindex
+
+    postings = invindex.build_postings(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return invindex.search_and(postings, ["join", "hash", "vector"], k=20)
+
+
+@query("pagerank_trade")
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget PageRank (operators/graph.py) over the nation
+    trade graph: one edge per lineitem from the customer's nation to
+    the supplier's nation (broadcast dims onto the fact scan). 5
+    deterministic power iterations, one shuffle pair per round,
+    localCheckpoint-truncated lineage."""
+    from nabatshy_spark.operators import graph
+
+    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    return graph.pagerank(edges, iterations=5).select(
+        F.col("node").alias("nationkey"), "rank"
+    )

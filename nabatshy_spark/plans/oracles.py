@@ -1217,3 +1217,157 @@ SELECT s.doc_id, s.lang, s.source FROM sdocs s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM removed)
   AND substr(md5(s.doc_id::VARCHAR), 1, 4) < '199a'
 """
+
+ORACLES["corpus_split"] = """
+SELECT doc_id, lang, source,
+  CASE
+    WHEN u < 62259 THEN 'train'
+    WHEN u < 62259 + 1638 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT::INT AS u
+  FROM documents
+)
+"""
+
+ORACLES["vocab_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+stats AS (
+  SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY term
+)
+SELECT row_number() OVER (ORDER BY term_count DESC, term ASC)::INT AS rank,
+       term, term_count, doc_freq
+FROM stats
+WHERE term_count >= 2
+ORDER BY term_count DESC, term ASC
+LIMIT 500
+"""
+
+ORACLES["embedding_quantize"] = """
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max,
+       list_sum(list_transform(q, x -> abs(x)))::BIGINT AS q_l1
+FROM (
+  SELECT vec_id,
+         scale,
+         list_transform(v, x -> floor(x / scale)::INT) AS q
+  FROM (
+    SELECT vec_id, v,
+           CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 1.0 END AS scale
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+      FROM embeddings
+    )
+  )
+)
+"""
+
+ORACLES["latest_event_per_user"] = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+ORACLES["continuous_aggregate"] = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["text_search_and"] = """
+WITH postings AS (
+  SELECT term, doc, count(*) AS tf FROM (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term, doc
+)
+SELECT doc, sum(tf) AS score
+FROM postings
+WHERE term IN ('join', 'hash', 'vector')
+GROUP BY doc
+HAVING count(DISTINCT term) = 3
+ORDER BY score DESC, doc ASC
+LIMIT 20
+"""
+
+ORACLES["pagerank_trade"] = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+w_edges AS (
+  SELECT src, dst, 1.0 / cnt AS w FROM edges
+  JOIN (SELECT src AS s2, count(*)::DOUBLE AS cnt FROM edges GROUP BY src) d ON src = s2
+),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r1 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum(r0.rank * w_edges.w), 0.0) AS rank
+  FROM nodes
+  LEFT JOIN w_edges ON w_edges.dst = nodes.node
+  LEFT JOIN r0 ON r0.node = w_edges.src
+  GROUP BY nodes.node
+),
+r2 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum(r1.rank * w_edges.w), 0.0) AS rank
+  FROM nodes
+  LEFT JOIN w_edges ON w_edges.dst = nodes.node
+  LEFT JOIN r1 ON r1.node = w_edges.src
+  GROUP BY nodes.node
+),
+r3 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum(r2.rank * w_edges.w), 0.0) AS rank
+  FROM nodes
+  LEFT JOIN w_edges ON w_edges.dst = nodes.node
+  LEFT JOIN r2 ON r2.node = w_edges.src
+  GROUP BY nodes.node
+),
+r4 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum(r3.rank * w_edges.w), 0.0) AS rank
+  FROM nodes
+  LEFT JOIN w_edges ON w_edges.dst = nodes.node
+  LEFT JOIN r3 ON r3.node = w_edges.src
+  GROUP BY nodes.node
+),
+r5 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum(r4.rank * w_edges.w), 0.0) AS rank
+  FROM nodes
+  LEFT JOIN w_edges ON w_edges.dst = nodes.node
+  LEFT JOIN r4 ON r4.node = w_edges.src
+  GROUP BY nodes.node
+)
+SELECT node AS nationkey, round(rank, 6) AS rank FROM r5
+"""

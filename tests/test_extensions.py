@@ -381,3 +381,92 @@ def test_incremental_dedup_df_cap_blind_spot_only(spark):
     }
     assert rows[1] == "dup_exact"
     assert rows[2] == "kept"  # every shared shingle is hot -> blind spot
+
+
+def test_split_corpus_stable_under_append(spark):
+    """Split membership is a pure key function: the same key gets the
+    same split regardless of what else is in the table."""
+    from nabatshy_spark.operators import sampling
+
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id: long")
+    big = spark.createDataFrame([(i,) for i in range(400)], "doc_id: long")
+    s1 = {
+        r.doc_id: r.split
+        for r in sampling.split_corpus(small, "doc_id", 62259, 1638).collect()
+    }
+    s2 = {
+        r.doc_id: r.split
+        for r in sampling.split_corpus(big, "doc_id", 62259, 1638).collect()
+    }
+    assert all(s2[k] == v for k, v in s1.items())
+    assert set(s2.values()) == {"train", "val", "test"}
+
+
+def test_latest_per_key_idempotent_under_replay(spark):
+    """An at-least-once replay (the log unioned with itself) compacts
+    to the identical table."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators import cdc
+
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 5, "d")],
+        "k: long, ts: long, v: string",
+    )
+    order = [F.col("ts"), F.col("v")]
+    once = sorted(cdc.latest_per_key(log, "k", order).collect())
+    replay = sorted(cdc.latest_per_key(log.union(log), "k", order).collect())
+    assert once == replay
+    assert [(r.k, r.v) for r in once] == [(1, "b"), (2, "d")]
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    bad = (
+        similarity.quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+        .filter((F.col("q_max") > 127) | (F.col("q_min") < -128))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_contagg_rollup_reused_not_rebuilt(spark, sf_dir):
+    """Second serve with unchanged source reuses the materialized
+    rollup (same path, same mtime) — the amortization the design
+    promises."""
+    import os
+
+    from nabatshy_spark.sources import contagg
+
+    p1 = contagg.ensure_rollup(spark, sf_dir, "2024-01-24 00:00:00")
+    m1 = os.path.getmtime(p1)
+    p2 = contagg.ensure_rollup(spark, sf_dir, "2024-01-24 00:00:00")
+    assert p1 == p2 and os.path.getmtime(p2) == m1
+
+
+def test_pagerank_uniform_cycle(spark):
+    """On a directed cycle every node has identical rank 1/n — the
+    analytic fixed point, reached exactly at every iteration count."""
+    from nabatshy_spark.operators import graph
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src: long, dst: long"
+    )
+    ranks = graph.pagerank(edges, iterations=3).collect()
+    assert len(ranks) == n
+    for r in ranks:
+        assert abs(r.rank - 1.0 / n) < 1e-6  # rank is rounded to 6 places
+
+
+def test_search_and_requires_all_terms(spark):
+    from nabatshy_spark.operators import invindex
+
+    docs = spark.createDataFrame(
+        [(1, "join hash vector"), (2, "join hash"), (3, "join join vector hash")],
+        "doc_id: long, text: string",
+    )
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    hits = invindex.search_and(postings, ["join", "hash", "vector"], k=10).collect()
+    assert [r.doc for r in hits] == [3, 1]  # doc 3 scores 4, doc 1 scores 3
