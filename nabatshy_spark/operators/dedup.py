@@ -317,27 +317,53 @@ def _shingle_sig_udf(n: int, fam: list[tuple[int, int]]):
     a = np.array([x for x, _ in fam], dtype=np.int64)[:, None]
     b = np.array([y for _, y in fam], dtype=np.int64)[:, None]
     empty = np.array([], dtype=np.int64)
+    # Token-level hashing with a cross-row cache + numpy polynomial
+    # combine per n-gram: natural text has a bounded vocabulary per
+    # batch, so blake2b runs once per DISTINCT token instead of once
+    # per shingle occurrence (~n× fewer Python-level hash calls), and
+    # the n-gram combine is pure vectorized uint64 arithmetic. The
+    # combine (odd-constant multiply-add chain + murmur finalizer) is
+    # position-sensitive and 63-bit uniform; `hs` is an internal
+    # verification key, so any collision-improbable hash family is
+    # semantically equivalent (final pairs come from exact set
+    # intersection, oracle unchanged).
+    _C = np.uint64(0x9E3779B97F4A7C15)
+    _F1 = np.uint64(0xFF51AFD7ED558CCD)
+    _tok_cache: dict[str, int] = {}
+
+    def _tok_h(tok: str) -> int:
+        v = _tok_cache.get(tok)
+        if v is None:
+            v = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+            _tok_cache[tok] = v
+        return v
 
     def f(texts):
         hs_out, sig_out = [], []
-        for t in texts:
-            toks = t.split(" ")
-            if len(toks) < n:
-                hs_out.append(empty)
-                sig_out.append(None)
-                continue
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            h = np.fromiter(
-                (
-                    int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
-                    & ((1 << 63) - 1)
-                    for g in grams
-                ),
-                dtype=np.int64,
-                count=len(grams),
-            )
-            hs_out.append(h)
-            sig_out.append(((a * (h % _MERSENNE31)[None, :] + b) % _MERSENNE31).min(axis=1))
+        with np.errstate(over="ignore"):
+            for t in texts:
+                toks = t.split(" ")
+                ln = len(toks)
+                if ln < n:
+                    hs_out.append(empty)
+                    sig_out.append(None)
+                    continue
+                th = np.fromiter(
+                    (_tok_h(x) for x in toks), dtype=np.uint64, count=ln
+                )
+                m = ln - n + 1
+                h = th[:m].copy()
+                for k in range(1, n):
+                    h = h * _C + th[k : m + k]
+                h ^= h >> np.uint64(33)
+                h *= _F1
+                h ^= h >> np.uint64(29)
+                h &= np.uint64((1 << 63) - 1)
+                h = np.unique(h).astype(np.int64)
+                hs_out.append(h)
+                sig_out.append(
+                    ((a * (h % _MERSENNE31)[None, :] + b) % _MERSENNE31).min(axis=1)
+                )
         return pd.DataFrame({"hs": hs_out, "sig": sig_out})
 
     f.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
@@ -381,7 +407,7 @@ def minhash_lsh_pairs(
     # is capped below core count: each task costs a worker spawn +
     # Arrow channel, and the vectorized batch work is cheap, so fewer,
     # larger batches win until data volume actually needs the width.
-    parallelism = max(8, df.sparkSession.sparkContext.defaultParallelism // 4)
+    parallelism = max(8, df.sparkSession.sparkContext.defaultParallelism // 2)
     hs = (
         df.repartition(parallelism, id_col)
         .select(
@@ -729,7 +755,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the first _state probe
     )
 
     def _state(e: DataFrame) -> tuple[int, int]:
@@ -743,7 +769,7 @@ def connected_components(
 
     state = _state(edges)
     for _round in range(64):  # 64 ≫ log₂(any real corpus): loop guard only
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_state = _state(edges)
         if new_state == state:
             if rounds_out is not None:

@@ -45,10 +45,15 @@ def pagerank(
     edges allowed — they weight the transition like a multigraph).
     Returns (node, rank) for every node appearing as src or dst,
     rank rounded to 6 places for cross-engine comparison."""
+    # Materialize the edge relation once: its lineage is often an
+    # expensive join build (e.g. fact ⋈ three dims), and every
+    # iteration — plus the nodes/outdeg prep — re-reads it.
+    edges = edges.select(src, dst).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # O(1) scalar to the driver, sizes the teleport term
     # Pre-divide each edge's contribution weight by its source's
@@ -60,6 +65,7 @@ def pagerank(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
         .join(outdeg, F.col("__src") == F.col("node"))
         .select("__src", "__dst", (F.lit(1.0) / F.col("__outdeg")).alias("__w"))
+        .localCheckpoint(eager=False)  # read by every iteration
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes

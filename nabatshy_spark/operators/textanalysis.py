@@ -29,6 +29,23 @@ def _marker_count(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
+def pred_lang_expr(text: Column) -> Column:
+    """Argmax language prediction as ONE column expression ('und' when
+    no marker fires) — usable directly as a filter predicate on a scan,
+    so pipelines need no join-back on the id."""
+    toks = _tokens(text)
+    se, sd, ss, sf_ = (
+        _marker_count(toks, LANG_MARKERS[lang]) for lang in ("en", "de", "es", "fr")
+    )
+    return (
+        F.when((se == 0) & (sd == 0) & (ss == 0) & (sf_ == 0), "und")
+        .when((se >= sd) & (se >= ss) & (se >= sf_), "en")
+        .when((sd >= ss) & (sd >= sf_), "de")
+        .when(ss >= sf_, "es")
+        .otherwise("fr")
+    )
+
+
 def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document language scores + argmax prediction ('und' when no
     marker fires). The scoring is engine-portable arithmetic so the
@@ -38,16 +55,23 @@ def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang: _marker_count(toks, markers).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     }
-    out = df.select(F.col(id_col), *scores.values())
-    se, sd, ss, sf_ = (F.col(f"score_{lang}") for lang in ("en", "de", "es", "fr"))
-    pred = (
-        F.when((se == 0) & (sd == 0) & (ss == 0) & (sf_ == 0), "und")
-        .when((se >= sd) & (se >= ss) & (se >= sf_), "en")
-        .when((sd >= ss) & (sd >= sf_), "de")
-        .when(ss >= sf_, "es")
-        .otherwise("fr")
+    return df.select(
+        F.col(id_col),
+        *scores.values(),
+        pred_lang_expr(F.col(text_col)).alias("pred_lang"),
     )
-    return out.withColumn("pred_lang", pred)
+
+
+def quality_score_expr(text: Column) -> Column:
+    """The blended quality score as ONE column expression (see
+    :func:`text_stats`) — usable directly as a filter predicate."""
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(_marker_count(toks, STOPWORDS) / F.lit(5.0), F.lit(1.0)) * 0.5,
+        6,
+    )
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,11 +87,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))) / n_tokens, 6
     )
     stop_ratio = F.round(_marker_count(toks, STOPWORDS) / n_tokens, 6)
-    quality = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.least(_marker_count(toks, STOPWORDS) / F.lit(5.0), F.lit(1.0)) * 0.5,
-        6,
-    )
+    quality = quality_score_expr(F.col(text_col))
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -240,4 +260,41 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         _ratio(2).alias("dup2_ratio"),
         _ratio(3).alias("dup3_ratio"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, size: int = 100, stride: int = 80
+) -> DataFrame:
+    """Overlapping fixed-token chunking — the context-window prep step
+    between curation and packing: chunk i covers tokens
+    [i*stride, i*stride + size); a document shorter than ``size``
+    yields exactly one chunk. Returns (id, chunk_idx, n_chunk_tokens,
+    chunk_text).
+
+    Scale shape: tokens bound ONCE per row (a single split), chunk
+    indices from sequence+explode, slices by expression — a narrow
+    per-row expansion with no shuffle and no UDF; the ~size/stride×
+    row growth is the operator's defined output, not a join blow-up.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("__n") - size) / F.lit(float(stride))) + 1
+    ).cast("int")
+    chunks = toks.select(
+        F.col(id_col),
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    return chunks.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )

@@ -696,17 +696,13 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample runs LAST so it never discards a doc that dedup needed
     to see."""
     docs = load(spark, sf_dir, "documents")
-    q = (
-        textanalysis.text_stats(docs, "doc_id", "text")
-        .filter(F.col("quality_score") >= 0.6)
-        .select("doc_id")
+    # Both rejectors are pure column expressions, so they fuse into ONE
+    # predicate on the scan — no stats/lang self-joins back on doc_id
+    # (which would re-scan the corpus twice and shuffle it twice).
+    kept = docs.filter(
+        (textanalysis.quality_score_expr(F.col("text")) >= 0.6)
+        & (textanalysis.pred_lang_expr(F.col("text")) == "en")
     )
-    en = (
-        textanalysis.lang_scores(docs, "doc_id", "text")
-        .filter(F.col("pred_lang") == "en")
-        .select("doc_id")
-    )
-    kept = docs.join(q, "doc_id", "left_semi").join(en, "doc_id", "left_semi")
     survivors = dedup.dedup_pipeline(
         kept, "doc_id", "text", n=3, threshold=0.5, max_df=200
     )
@@ -829,4 +825,64 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return graph.pagerank(edges, iterations=5).select(
         F.col("node").alias("nationkey"), "rank"
+    )
+
+
+@query("chunk_documents")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size=100, stride=80) —
+    narrow sequence+explode+slice expansion, tokens bound once, no
+    shuffle (operators/textanalysis.py:chunk_documents)."""
+    return textanalysis.chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", size=100, stride=80
+    )
+
+
+@query("user_event_deltas")
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps (lag over the user's event-time order
+    with event_id tiebreak): seconds since previous event + value
+    delta — the §2.8 lead/lag surface. One hash shuffle on user_id;
+    the sort is per-partition within the window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            (
+                # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+                # cast to instant-typed TIMESTAMP is the identity map
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+            )
+            / 1_000_000.0,
+            6,
+        ).alias("gap_s"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@query("order_value_deciles")
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile stats over order totalprice (ntile(10) global window →
+    per-decile count/min/max/avg). The global sort is the ntile
+    contract; the follow-up agg is partial-agg cheap. At 100 TB the
+    swap is approx_percentile boundaries + a bucket join — same output
+    contract, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
     )

@@ -1371,3 +1371,40 @@ r5 AS (
 )
 SELECT node AS nationkey, round(rank, 6) AS rank FROM r5
 """
+
+ORACLES["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, greatest(1, ceil((n - 100) / 80.0)::INT + 1) - 1)) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(list_slice(t, chunk_idx * 80 + 1, chunk_idx * 80 + 100)) AS n_chunk_tokens,
+       array_to_string(list_slice(t, chunk_idx * 80 + 1, chunk_idx * 80 + 100), ' ') AS chunk_text
+FROM idx
+"""
+
+ORACLES["user_event_deltas"] = """
+SELECT user_id, event_id,
+       round(epoch_us(ts - lag(ts) OVER w) / 1000000.0, 6) AS gap_s,
+       round(value - lag(value) OVER w, 6) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["order_value_deciles"] = """
+SELECT decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""

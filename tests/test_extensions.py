@@ -470,3 +470,26 @@ def test_search_and_requires_all_terms(spark):
     postings = invindex.build_postings(docs, "doc_id", "text")
     hits = invindex.search_and(postings, ["join", "hash", "vector"], k=10).collect()
     assert [r.doc for r in hits] == [3, 1]  # doc 3 scores 4, doc 1 scores 3
+
+
+def test_distinct_users_approx_error_bound(spark, sf_dir):
+    """HLL++ estimate (rsd=2%) within 5% of the exact distinct count
+    for every event_type."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.plans.queries import QUERIES
+
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["distinct_users_approx"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05
