@@ -61,12 +61,21 @@ _PRIORITY = [
     # row no longer describes the current plan, so re-check them
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
     "dedup_components", "sample_hash", "dedup_simhash",
-    # new this round
-    "search_page_keyset", "decontaminate_corpus", "kmeans_embeddings",
-    "audio_wav_features", "video_frame_sample", "pii_redaction",
-    "text_repetition", "bucketed_revenue_join", "dedup_incremental",
-    "zorder_pruning_stats", "profile_orders", "sliding_window_counts",
-    "sql_grouping_sets_revenue", "curate_corpus",
+    "curate_corpus", "dedup_incremental",
+    # new this round (novel operators first; simple window/agg queries
+    # with strong local parity rotate into the next round's window)
+    "continuous_aggregate", "pagerank_trade", "text_search_and",
+    "text_search_bm25", "chunk_documents", "latest_event_per_user",
+    "corpus_split", "vocab_top_terms", "embedding_quantize",
+    "fuzzy_prefix_pairs", "value_outliers", "rolling_user_value",
+    "price_histogram", "user_event_deltas",
+    # past the 50-entry window this round (local parity green; next
+    # round's priority rotation): search_page_keyset,
+    # decontaminate_corpus, kmeans_embeddings, audio_wav_features,
+    # video_frame_sample, pii_redaction, text_repetition,
+    # bucketed_revenue_join, zorder_pruning_stats, profile_orders,
+    # sliding_window_counts, sql_grouping_sets_revenue,
+    # order_value_deciles, lineitem_correlations
 ]
 
 

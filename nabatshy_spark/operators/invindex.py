@@ -70,3 +70,54 @@ def search_and(
         .orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
     )
+
+
+def search_bm25(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked disjunctive (OR) search — the standard relevance
+    ranking (Robertson/Spärck Jones, public) over the same postings
+    layout as :func:`search_and`.
+
+    ``doc_lens`` is (doc, dl) — token count per document, a one-pass
+    side product of the postings build. Corpus constants (N, avgdl)
+    are one scalar aggregate broadcast back; idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form, so every score is plain
+    arithmetic an oracle replicates exactly.
+
+    Scale shape: the scan is filtered to the queried terms' posting
+    lists (partition-pruned under a term-partitioned layout); df per
+    term is a window count over that small relation; one groupBy(doc)
+    sums the per-term contributions, then TakeOrdered for top-k.
+    """
+    from pyspark.sql import Window
+
+    if not terms:
+        raise ValueError("need at least one query term")
+    consts = doc_lens.agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    matched = (
+        postings.filter(F.col("term").isin(terms))
+        .withColumn("__df", F.count("*").over(Window.partitionBy("term")))
+        .join(doc_lens, "doc")
+        .join(F.broadcast(consts))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        matched.select("doc", (idf * tf_part).alias("__s"))
+        .groupBy("doc")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -298,3 +298,40 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    prefix_len: int = 40,
+    max_dist: int = 12,
+) -> DataFrame:
+    """Fuzzy near-match pairs by Levenshtein distance over a text
+    prefix, quadratic ONLY within a blocking key — the record-linkage
+    shape: the blocking column (here a source/domain; in general a
+    cheap canopy like a fingerprint band) bounds the self-join to
+    Σ|block|² instead of N², exactly the inverted-index argument from
+    the dedup stack. The distance itself is Spark's built-in
+    ``levenshtein`` — JVM-side, no UDF.
+    """
+    sides = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__pfx"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.levenshtein(F.col("a.__pfx"), F.col("b.__pfx")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -886,3 +886,77 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+@query("rolling_user_value")
+def rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h per-user rolling count/sum (operators/stats.py:
+    rolling_range_agg) — the RANGE-frame window surface; sliding
+    frame, O(rows) per partition."""
+    from nabatshy_spark.operators import stats
+
+    return stats.rolling_range_agg(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value", 3600
+    )
+
+
+@query("value_outliers")
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5): group moments via
+    partial agg + broadcast-back, never a whole-group window buffer."""
+    from nabatshy_spark.operators import stats
+
+    return stats.zscore_outliers(
+        load(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+    ).select("event_id", "event_type", "value", "zscore")
+
+
+@query("price_histogram")
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order totalprice: min/max
+    agg broadcast back + width_bucket groupBy — no sort, no driver
+    loop."""
+    from nabatshy_spark.operators import stats
+
+    return stats.equi_width_histogram(
+        load(spark, sf_dir, "orders").select("o_totalprice"), "o_totalprice", 20
+    )
+
+
+@query("lineitem_correlations")
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of quantity/price/discount in ONE
+    aggregate pass, unpivoted with stack."""
+    from nabatshy_spark.operators import stats
+
+    return stats.correlations(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+@query("text_search_bm25")
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked OR search for {join, hash, vector} over the
+    inverted index (operators/invindex.py:search_bm25): queried
+    posting lists only + one groupBy(doc) + TakeOrdered."""
+    from nabatshy_spark.operators import invindex
+
+    docs = load(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    doc_lens = docs.select(
+        F.col("doc_id").alias("doc"), F.size(F.split("text", " ")).alias("dl")
+    )
+    return invindex.search_bm25(postings, doc_lens, ["join", "hash", "vector"], k=20)
+
+
+@query("fuzzy_prefix_pairs")
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-match pairs (block = source, 40-char
+    prefix, dist ≤ 12): quadratic only within blocks, JVM-side
+    levenshtein (operators/textanalysis.py:blocked_edit_distance_pairs)."""
+    return textanalysis.blocked_edit_distance_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )

@@ -1408,3 +1408,90 @@ FROM (
 )
 GROUP BY decile
 """
+
+ORACLES["rolling_user_value"] = """
+SELECT user_id, ts,
+       count(*) OVER w AS n_trailing,
+       round(sum(value) OVER w, 4) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["value_outliers"] = """
+SELECT event_id, event_type, value,
+       round((value - mu) / sd, 6) AS zscore
+FROM (
+  SELECT event_id, event_type, value,
+         avg(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+  FROM events
+)
+WHERE sd > 0 AND abs(round((value - mu) / sd, 6)) > 2.5
+"""
+
+ORACLES["price_histogram"] = """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+bucketed AS (
+  SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20))::INT + 1, 20) AS bucket,
+         lo, hi
+  FROM orders, bounds
+)
+SELECT bucket,
+       round(lo + (bucket - 1) * (hi - lo) / 20, 4) AS bucket_lo,
+       round(lo + bucket * (hi - lo) / 20, 4) AS bucket_hi,
+       count(*) AS n
+FROM bucketed
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["lineitem_correlations"] = """
+SELECT col_a, col_b, corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         round(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+)
+"""
+
+ORACLES["text_search_bm25"] = """
+WITH postings AS (
+  SELECT term, doc, count(*) AS tf FROM (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term, doc
+),
+doc_lens AS (
+  SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl FROM documents
+),
+consts AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doc_lens),
+matched AS (
+  SELECT p.doc, p.tf, l.dl,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN doc_lens l ON p.doc = l.doc
+  WHERE p.term IN ('join', 'hash', 'vector')
+)
+SELECT doc,
+       round(sum(
+         ln(1.0 + (c.n - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / c.avgdl))
+       ), 6) AS score
+FROM matched, consts c
+GROUP BY doc
+ORDER BY score DESC, doc ASC
+LIMIT 20
+"""
+
+ORACLES["fuzzy_prefix_pairs"] = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 12
+"""

@@ -50,3 +50,45 @@ def append_spans(df: DataFrame, path: str) -> None:
 def read_spans(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
+
+
+def idempotent_append(df: DataFrame, path: str, batch_id: int) -> bool:
+    """Exactly-once batch append: the write is keyed by ``batch_id``
+    and lands via staging-then-rename, so a replayed micro-batch (the
+    at-least-once retry the reference simply re-inserts,
+    collector/controller.go:28-95) is a no-op instead of a duplicate.
+
+    This is the standard idempotent `foreachBatch` sink pattern:
+    Structured Streaming replays a failed batch with the SAME
+    batch_id, so "directory batch=<id> committed ⇒ skip" upgrades the
+    pipeline to effectively-exactly-once without any dedup state. The
+    rename is atomic per batch directory; a crash mid-write leaves
+    only a staging dir that the next replay overwrites. Returns True
+    if this call performed the write, False for a replay no-op.
+
+    Use as: ``stream.writeStream.foreachBatch(
+    lambda b, i: idempotent_append(b, path, i))``. Readers
+    ``spark.read.parquet(path + "/batch=*")`` or just ``path`` —
+    the batch key is a plain partition column.
+    """
+    import os
+    import shutil
+
+    final = os.path.join(path, f"batch={batch_id}")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return False
+    staging = os.path.join(path, f".staging-batch-{batch_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        with_partition_col(df)
+        .sortWithinPartitions("start_time_unix_nano", "trace_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost a concurrent race
+        return False
+    return True

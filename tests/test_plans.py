@@ -135,3 +135,49 @@ def test_bucketed_join_no_exchange_under_join(spark, sf_dir):
     assert _hash_exchanges(p) == 1, (
         "only the group-by may shuffle — the join itself must be exchange-free"
     )
+
+
+def test_continuous_aggregate_tail_filter_pushed(spark, sf_dir):
+    """The serving query must scan only the un-settled tail of the raw
+    table: the cutoff predicate reaches the parquet scan."""
+    p = _plan(spark, "continuous_aggregate", sf_dir)
+    assert "PushedFilters" in p and "GreaterThanOrEqual(ts" in p, (
+        "tail scan must push ts >= cutoff into the parquet reader"
+    )
+
+
+def test_search_and_filters_postings_at_scan(spark, sf_dir):
+    """The conjunctive search must filter to the queried terms before
+    any aggregation — an In/isin predicate, never a post-agg filter."""
+    p = _plan(spark, "text_search_and", sf_dir)
+    assert re.search(r"term#\d+ IN \(", p) or "In(term" in p, (
+        "term isin filter must sit on the postings side"
+    )
+    assert "TakeOrderedAndProject" in p, "top-k must not globally sort"
+
+
+def test_rolling_window_single_exchange(spark, sf_dir):
+    """The RANGE-frame rolling agg shuffles once on the key."""
+    p = _plan(spark, "rolling_user_value", sf_dir)
+    assert _hash_exchanges(p) == 1
+    assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_zscore_outliers_broadcast_moments(spark, sf_dir):
+    """Group moments join back via broadcast — the fact table must not
+    shuffle for the join, and no whole-group window buffer appears."""
+    p = _plan(spark, "value_outliers", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_take_ordered(spark, sf_dir):
+    p = _plan(spark, "text_search_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in p, "top-k must not globally sort"
+
+
+def test_latest_per_key_window_group_limit(spark, sf_dir):
+    """CDC compaction must push the rn=1 limit into the sort
+    (WindowGroupLimit), so hot keys never buffer their history."""
+    p = _plan(spark, "latest_event_per_user", sf_dir)
+    assert "WindowGroupLimit" in p

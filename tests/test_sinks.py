@@ -40,3 +40,17 @@ def test_compaction_preserves_rows(spark, tmp_path):
         for d in [d for d in os.listdir(out) if d.startswith("ingest_hour=")]
     )
     assert files_after < files_before
+
+
+def test_idempotent_append_replay_is_noop(spark, tmp_path):
+    """The same batch_id written twice (an at-least-once replay) must
+    land exactly once; a different batch_id appends."""
+    from nabatshy_spark.sources.sink import idempotent_append
+
+    wide = spark.read.parquet("/root/repo/tests/data/spans.parquet").limit(30)
+    path = str(tmp_path / "eo_sink")
+    assert idempotent_append(wide, path, 0) is True
+    assert idempotent_append(wide, path, 0) is False  # replay -> no-op
+    assert spark.read.parquet(path).count() == 30
+    assert idempotent_append(wide, path, 1) is True
+    assert spark.read.parquet(path).count() == 60
