@@ -960,3 +960,46 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.blocked_edit_distance_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
+
+
+@query("cohort_retention")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-event day
+    (cohort), counted by activity-day offset — the product-analytics
+    rollup. First-event day via a groupBy-min (partial-agg, not a
+    window over full history), broadcast back onto the fact scan; one
+    distinct-count per (cohort, offset). Day arithmetic is date_diff
+    on date-truncated timestamps — engine-portable."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query("hourly_latency_percentiles")
+def hourly_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour p50/p95/p99 of event value — the percentile time
+    series every latency dashboard draws (reference only serves
+    avg/count series, api/service.go:1341-1428). Exact percentiles at
+    test scale; percentile_approx is the same-alias 100 TB switch
+    (endpoint_stats_approx precedent)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )

@@ -1495,3 +1495,22 @@ FROM documents a JOIN documents b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 12
 """
+
+ORACLES["cohort_retention"] = """
+WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, e.day) AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+ORACLES["hourly_latency_percentiles"] = """
+SELECT date_trunc('hour', ts) AS bucket,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY 1
+"""

@@ -71,3 +71,34 @@ def start_rollup_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_rollup(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation via the BUILT-IN
+    ``session_window`` — the declarative twin of the
+    applyInPandasWithState operator in stateful.py (that one exists
+    for early-emit/enrichment; this one is the right default when a
+    closed-session (key, start, end, n) rollup is all you need:
+    Catalyst owns the state layout and merge, no Python in the loop).
+
+    State is one window per open session per key, partitioned by key;
+    the watermark closes sessions and expires state, so memory tracks
+    OPEN sessions only.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("__w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -77,3 +77,48 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         (2, T0 + dt.timedelta(minutes=610), T0 + dt.timedelta(minutes=610), 1, 0),
     }
     assert got == expected
+
+
+def test_builtin_session_window_matches_batch_gaps(spark, tmp_path):
+    """The declarative session_window rollup must produce the same
+    session boundaries as the batch gap-based sessionizer on the same
+    data (closed sessions only; gap 30m)."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators.sessions import sessionize
+    from nabatshy_spark.streaming.preagg import session_window_rollup
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_window_rollup(stream, "user_id", "ts", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("sess_out").collect()
+    }
+    batch = sessionize(ev, gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    # the stream's watermark may hold back the final (unclosed)
+    # sessions near max(ts); everything emitted must match batch
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
