@@ -75,6 +75,10 @@ def kmeans(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    if not centroids:
+        # empty input: no seeds to assign against — empty result with
+        # the contract schema
+        return df.select(F.col(id_col), F.lit(0).cast("int").alias("cluster"))
     for _ in range(iters - 1):
         assigned = assign_clusters(df, id_col, vec_col, centroids).join(
             df.select(id_col, vec_col), id_col

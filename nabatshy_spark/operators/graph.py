@@ -56,6 +56,9 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # O(1) scalar to the driver, sizes the teleport term
+    if n_nodes == 0:
+        # empty graph (an empty ingest window is a normal state)
+        return nodes.withColumn("rank", F.lit(0.0))
     # Pre-divide each edge's contribution weight by its source's
     # out-degree (multigraph: parallel edges each carry 1/outdeg).
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(

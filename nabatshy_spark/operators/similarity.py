@@ -276,3 +276,44 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
         ).alias("q_l1"),
     )
+
+
+def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
+    """Gram (uncentered second-moment) matrix of an embedding column:
+    G[i,j] = Σ_rows v_i·v_j — the one-pass statistic behind PCA/
+    whitening/covariance (center by subtracting mean⊗mean downstream).
+
+    Scale shape: each PARTITION folds its rows into one d×d numpy
+    partial (mapInPandas — d² floats of state per task, one BLAS
+    ``X.T @ X`` per Arrow batch), then the d² (i, j, partial) rows
+    groupBy-sum. Nothing row-proportional ever shuffles: the exchange
+    carries tasks × d² scalars. The d×explode SQL form would shuffle
+    rows × d² values — 6 orders of magnitude more at 100 TB.
+
+    Returns (i, j, g) for the upper triangle (i ≤ j; the matrix is
+    symmetric), g rounded to 6 for cross-engine comparison.
+    """
+    import pandas as pd
+
+    d_probe = len(df.select(vec_col).first()[0])  # O(1) schema probe
+
+    def partial_gram(batches):
+        import numpy as np
+
+        acc = np.zeros((d_probe, d_probe))
+        for pdf in batches:
+            if len(pdf):
+                x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                acc += x.T @ x
+        iu = np.triu_indices(d_probe)
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "g": acc[iu]}
+        )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial_gram, "i: int, j: int, g: double"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("g"), 6).alias("g"))
+    )

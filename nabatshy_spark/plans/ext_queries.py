@@ -1003,3 +1003,132 @@ def hourly_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+@query("embedding_gram")
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix of the embedding table (similarity.gram_matrix):
+    per-partition d×d BLAS partials, shuffle carries tasks×d² scalars
+    — never rows×d² (the PCA/whitening pre-pass)."""
+    return similarity.gram_matrix(load(spark, sf_dir, "embeddings"), "embedding")
+
+
+@query("orders_snapshot_diff")
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py): the new snapshot
+    is a deterministic in-plan mutation of orders (drop key%97==0,
+    reprice key%31==0, add shifted copies of key%113==0). Sides
+    reduce to (key, xxhash64) before the full-outer join — row bodies
+    never shuffle; the oracle classifies by comparing values, proving
+    the hash-based classification exact."""
+    from nabatshy_spark.operators import diff
+
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_orderstatus", "o_orderpriority"]
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 113 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return diff.snapshot_diff(orders, new, "o_orderkey", cols)
+
+
+@query("orders_diff_summary")
+def orders_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status counts of the snapshot diff — the publish-gate
+    health check."""
+    from nabatshy_spark.operators import diff
+
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_orderstatus", "o_orderpriority"]
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 113 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return diff.diff_summary(orders, new, "o_orderkey", cols)
+
+
+@query("shipping_priority")
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape shipping priority: segment-filtered customers ⋈ orders
+    ⋈ lineitem, revenue per order, top-10. The customer dim broadcasts
+    (filter shrinks it below the threshold); the orders↔lineitem join
+    shuffles on orderkey; TakeOrdered caps the sort at 10 rows. Both
+    date filters reach the scans (AUTOMOBILE segment, date literals
+    chosen inside the data range so every sf discriminates)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query("local_supplier_volume")
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape local supplier volume: revenue per nation where the
+    customer and supplier share a nation — a 6-table star with BOTH
+    dim chains broadcast onto the single fact shuffle; the
+    same-nation predicate is a post-join filter on broadcast columns
+    (never a shuffle key)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dims = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1514,3 +1514,72 @@ SELECT date_trunc('hour', ts) AS bucket,
 FROM events
 GROUP BY 1
 """
+
+ORACLES["embedding_gram"] = """
+WITH el AS (
+  SELECT unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         vec_id
+  FROM embeddings
+)
+SELECT a.i, b.i AS j, round(sum(a.x::DOUBLE * b.x::DOUBLE), 6) AS g
+FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+_DIFF_BASE = """
+WITH new AS (
+  SELECT o_orderkey, o_totalprice + (CASE WHEN o_orderkey % 31 = 0 THEN 1.0 ELSE 0 END) AS o_totalprice,
+         o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 113 = 0
+),
+classified AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_totalprice != n.o_totalprice
+             OR o.o_orderstatus != n.o_orderstatus
+             OR o.o_orderpriority != n.o_orderpriority THEN 'changed'
+           ELSE 'unchanged'
+         END AS status
+  FROM orders o FULL OUTER JOIN new n USING (o_orderkey)
+)
+"""
+
+ORACLES["orders_snapshot_diff"] = _DIFF_BASE + "SELECT o_orderkey, status FROM classified"
+
+ORACLES["orders_diff_summary"] = (
+    _DIFF_BASE + "SELECT status, count(*) AS n FROM classified GROUP BY status"
+)
+
+ORACLES["shipping_priority"] = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'AUTOMOBILE'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["local_supplier_volume"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1
+"""

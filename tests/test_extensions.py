@@ -493,3 +493,33 @@ def test_distinct_users_approx_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.05
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    """Core operators must return empty results, not crash, on 0-row
+    inputs (an empty ingest hour is a normal production state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.plans.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir, exist_ok=True)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        df.filter(F.lit(False)).write.mode("overwrite").parquet(
+            os.path.join(empty_dir, f"{t}.parquet")
+        )
+    for name in (
+        "pricing_summary", "endpoint_stats", "dedup_exact",
+        "text_stats", "sample_hash", "latest_event_per_user",
+        "chunk_documents", "corpus_split", "value_outliers",
+        "cohort_retention", "orders_diff_summary",
+        "pagerank_trade", "kmeans_embeddings",
+    ):
+        assert QUERIES[name](spark, empty_dir).count() == 0, name

@@ -107,3 +107,55 @@ def test_funnel_matches_reference(spark, rows):
         expected_row = expected
     out = funnel(df, steps).collect()[0]
     assert (out.n_view, out.n_click, out.n_purchase) == expected_row
+
+
+@SLOW
+@given(
+    st.lists(st.integers(1, 400), min_size=1, max_size=8),
+    st.integers(2, 20),
+    st.integers(1, 20),
+)
+def test_chunking_covers_every_token_exactly(spark, lens, size, stride):
+    """Every token of every document appears in at least one chunk; the
+    first size-stride tokens of consecutive chunks overlap; chunk 0
+    always starts at token 0; a doc shorter than `size` yields exactly
+    one chunk."""
+    from nabatshy_spark.operators.textanalysis import chunk_documents
+
+    stride = min(stride, size)
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", size=size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        covered = set()
+        for r in chunks:
+            toks = r.chunk_text.split(" ")
+            assert len(toks) == r.n_chunk_tokens <= size
+            covered.update(toks)
+        assert covered == {f"t{i}_{j}" for j in range(n)}, "full coverage"
+        if n <= size:
+            assert len(chunks) == 1
+
+
+@SLOW
+@given(st.integers(0, 65536 - 100), st.integers(0, 100))
+def test_split_corpus_partitions_completely(spark, train_bps, val_bps):
+    """Every row lands in exactly one split; the split frequencies
+    respect the bps thresholds approximately (md5 uniformity)."""
+    from nabatshy_spark.operators.sampling import split_corpus
+
+    df = spark.range(300).withColumnRenamed("id", "k")
+    out = split_corpus(df, "k", train_bps, val_bps).collect()
+    assert len(out) == 300
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in out:
+        counts[r.split] += 1
+    assert sum(counts.values()) == 300
+    if train_bps == 0:
+        assert counts["train"] == 0
+    if val_bps == 0:
+        assert counts["val"] == 0
