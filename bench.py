@@ -68,6 +68,15 @@ HEADLINE = [
     "vocab_top_terms",
     "embedding_quantize",
     "latest_event_per_user",
+    # round 2, third batch
+    "shipping_priority",
+    "local_supplier_volume",
+    "text_search_bm25",
+    "embedding_gram",
+    "orders_diff_summary",
+    "cohort_retention",
+    "hourly_latency_percentiles",
+    "rolling_user_value",
 ]
 
 
