@@ -121,3 +121,46 @@ def search_bm25(
         .orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
     )
+
+
+def hybrid_search(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal rank fusion
+    (Cormack/Clarke/Büttcher, public): the BM25 top-``k_each`` and the
+    cosine top-``k_each`` merge on 1/(rrf_k + rank) — the standard
+    score-scale-free fusion every hybrid search stack runs.
+
+    Scale shape: each branch is already sub-linear (pruned posting
+    lists / TakeOrdered vector scan); fusion operates on 2·k_each rows
+    — a full-outer join of two tiny lists, broadcast regardless of
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    from nabatshy_spark.operators.similarity import cosine_topk
+
+    lex = search_bm25(postings, doc_lens, terms, k=k_each)
+    sem = cosine_topk(embeddings, "vec_id", "embedding", query_vec_id, k=k_each)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    ws = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    lex_r = lex.select("doc", F.row_number().over(wl).alias("__rl"))
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc"), F.row_number().over(ws).alias("__rs")
+    )
+    fused = lex_r.join(sem_r, "doc", "full_outer").select(
+        "doc",
+        F.round(
+            F.coalesce(1.0 / (rrf_k + F.col("__rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("__rs")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc").asc()).limit(k)

@@ -321,3 +321,68 @@ def attach_frames(df: DataFrame, id_col: str, n_frames: int = 4) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
         batches, schema="doc_id long, frames array<binary>"
     )
+
+
+THUMB_SCHEMA = (
+    "doc_id long, width int, height int, thumb_w int, thumb_h int, "
+    "thumb_mean double, decode_error string"
+)
+
+
+def attach_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Stand-in image ingest: one solid-gray 8×6 PNG per row, gray
+    value = (id·11 + 5) mod 256 — the thumbnail mean is analytically
+    known while the PNG bytes flowing the pipeline are real."""
+    import numpy as np
+
+    from nabatshy_spark.operators.pngcodec import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(
+                            np.full((6, 8), (int(d) * 11 + 5) % 256, dtype=np.uint8)
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def thumbnail_features(df: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Decode → nearest-neighbor resize → stats, per binary image row
+    (the standard decode/resize preprocessing stage of an image
+    training pipeline). Same narrow mapInPandas shape and poison-row
+    policy as image_features; the resize is operators/pngcodec.py
+    resize_nearest (pure numpy index selection)."""
+    from nabatshy_spark.operators.pngcodec import resize_nearest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(payload)
+                    th = resize_nearest(img, out_w, out_h)
+                    rows.append(
+                        (doc_id, img.width, img.height, th.width, th.height,
+                         float(th.pixels.mean()), None)
+                    )
+                except Exception as ex:
+                    rows.append((doc_id, None, None, None, None, None, str(ex)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "thumb_w", "thumb_h",
+                    "thumb_mean", "decode_error",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=THUMB_SCHEMA)

@@ -1132,3 +1132,80 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query("image_thumbnails")
+def image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode→resize preprocessing (multimodal.thumbnail_features
+    over real PNG bytes from the deterministic synth): solid-gray
+    sources make the thumbnail mean analytic, so the oracle checks the
+    actual decode+resize arithmetic."""
+    return multimodal.thumbnail_features(
+        multimodal.attach_images(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_mean")
+
+
+@query("weekly_revenue_wow")
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue per order priority: weekly rollup (one
+    partial-agg shuffle), then lag over the tiny aggregated series —
+    the reporting comparison runs on |weeks × priorities| rows, never
+    on the fact table."""
+    from pyspark.sql import Window
+
+    weekly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            # to_date: DuckDB's date_trunc('week') yields DATE — emit
+            # the same type so driver-side value hashing matches
+            F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("week")
+    return weekly.select(
+        "week",
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("wow_delta"),
+    )
+
+
+@query("event_transitions")
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive event types
+    per user (lag over the user's event-time order with event_id
+    tiebreak) — the Markov/behavior matrix. One shuffle on user_id;
+    the transition count agg rides on ~|types|² groups."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("hybrid_search_rrf")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25({join,hash,vector}) ∪ cosine(vec 0)
+    fused by reciprocal rank (invindex.hybrid_search) — each branch
+    sub-linear, fusion on 2·20 rows."""
+    from nabatshy_spark.operators import invindex
+
+    docs = load(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    doc_lens = docs.select(
+        F.col("doc_id").alias("doc"), F.size(F.split("text", " ")).alias("dl")
+    )
+    return invindex.hybrid_search(
+        postings, doc_lens, load(spark, sf_dir, "embeddings"),
+        ["join", "hash", "vector"], query_vec_id=0, k=10,
+    )

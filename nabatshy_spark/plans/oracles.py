@@ -1583,3 +1583,85 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE c.c_nationkey = s.s_nationkey
 GROUP BY 1
 """
+
+ORACLES["image_thumbnails"] = """
+SELECT doc_id,
+       8 AS width, 6 AS height, 4 AS thumb_w, 3 AS thumb_h,
+       ((doc_id * 11 + 5) % 256)::DOUBLE AS thumb_mean
+FROM documents
+"""
+
+ORACLES["weekly_revenue_wow"] = """
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate)::DATE AS week, o_orderpriority,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT week, o_orderpriority, revenue,
+       round(revenue - lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY week), 2) AS wow_delta
+FROM weekly
+"""
+
+ORACLES["event_transitions"] = """
+SELECT from_type, to_type, count(*) AS n FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+ORACLES["hybrid_search_rrf"] = """
+WITH postings AS (
+  SELECT term, doc, count(*) AS tf FROM (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term, doc
+),
+doc_lens AS (
+  SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl FROM documents
+),
+consts AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doc_lens),
+matched AS (
+  SELECT p.doc, p.tf, l.dl,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN doc_lens l ON p.doc = l.doc
+  WHERE p.term IN ('join', 'hash', 'vector')
+),
+bm25 AS (
+  SELECT doc,
+         round(sum(
+           ln(1.0 + (c.n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / c.avgdl))
+         ), 6) AS score
+  FROM matched, consts c
+  GROUP BY doc
+  ORDER BY score DESC, doc ASC
+  LIMIT 20
+),
+lex_r AS (
+  SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC) AS rl FROM bm25
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc,
+         round(
+           list_sum(list_transform(list_zip(embedding, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cos
+  FROM embeddings, q
+  WHERE vec_id != 0
+  ORDER BY cos DESC, vec_id ASC
+  LIMIT 20
+),
+sem_r AS (
+  SELECT doc, row_number() OVER (ORDER BY cos DESC, doc ASC) AS rs FROM cos
+)
+SELECT coalesce(l.doc, s.doc) AS doc,
+       round(coalesce(1.0 / (60 + l.rl), 0) + coalesce(1.0 / (60 + s.rs), 0), 6) AS rrf_score
+FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc = s.doc
+ORDER BY rrf_score DESC, doc ASC
+LIMIT 10
+"""

@@ -31,10 +31,15 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _norm(v):
+    # NOTE: deliberately NO date→datetime promotion: the driver's
+    # value-hash compares raw stringified values, so a query whose
+    # Spark side emits TIMESTAMP where the oracle emits DATE (e.g.
+    # date_trunc('week') — DATE in DuckDB, timestamp in Spark) must
+    # FAIL here too, not be papered over (caught live in round 2:
+    # weekly_revenue_wow passed this harness and failed the driver
+    # simulation until both sides cast to DATE).
     if isinstance(v, datetime):
         return v.replace(tzinfo=None)
-    if isinstance(v, date) and not isinstance(v, datetime):
-        return datetime(v.year, v.month, v.day)
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     return v
