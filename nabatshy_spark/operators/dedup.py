@@ -1012,3 +1012,53 @@ def incremental_dedup(
             F.coalesce("__exact_id", "__near_id").alias("match_id"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: |A∩B| / |A| ≥ threshold means
+    document A is (mostly) contained in document B — the asymmetric
+    dedup mode (CCNet/RefinedWeb-style pipelines drop quotes, mirrors
+    and snippet pages that Jaccard misses when the container is much
+    longer than the contained doc).
+
+    Same inverted-index shape as ngram_jaccard_pairs: one undirected
+    intersection count per colliding pair (Σ df(s)² join cost, never
+    N²), then BOTH directions are scored from the same count — the
+    direction is a projection, not a second join.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("__ida"), F.col(f"b.{id_col}").alias("__idb")
+        )
+        .agg(F.count("*").alias("__i"))
+        .join(sizes.select(F.col(id_col).alias("__ida"), F.col("__sz").alias("__sa")), "__ida")
+        .join(sizes.select(F.col(id_col).alias("__idb"), F.col("__sz").alias("__sb")), "__idb")
+    )
+    ab = inter.select(
+        F.col("__ida").alias("contained"),
+        F.col("__idb").alias("container"),
+        F.round(F.col("__i") / F.col("__sa"), 6).alias("containment"),
+    )
+    ba = inter.select(
+        F.col("__idb").alias("contained"),
+        F.col("__ida").alias("container"),
+        F.round(F.col("__i") / F.col("__sb"), 6).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)

@@ -1209,3 +1209,34 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, doc_lens, load(spark, sf_dir, "embeddings"),
         ["join", "hash", "vector"], query_vec_id=0, k=10,
     )
+
+
+@query("daily_event_pivot")
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: events per (day × event_type) as a wide matrix —
+    groupBy().pivot() with the value list PINNED (passing values
+    explicitly skips Spark's extra distinct-scan pass and keeps the
+    output schema deterministic at any scale)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = load(spark, sf_dir, "events")
+    present = [
+        r[0]
+        for r in ev.select("event_type").distinct().collect()
+    ]  # tiny driver list; keeps the query portable if testdata changes
+    cols = [t for t in types if t in present] or sorted(present)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", cols)
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .na.fill(0, cols)
+    )
+
+
+@query("dedup_containment")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (|A∩B|/|A| ≥ 0.6): the
+    asymmetric near-dup mode Jaccard misses when the container is much
+    longer; one intersection join scores both directions."""
+    return dedup.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
+    )

@@ -1665,3 +1665,44 @@ FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc = s.doc
 ORDER BY rrf_score DESC, doc ASC
 LIMIT 10
 """
+
+ORACLES["daily_event_pivot"] = """
+SELECT ts::DATE AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events
+GROUP BY 1
+"""
+
+ORACLES["dedup_containment"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM t
+  WHERE len(w) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT ida, idb, i, x.sz AS sa, y.sz AS sb
+  FROM inter JOIN sz x ON inter.ida = x.doc_id JOIN sz y ON inter.idb = y.doc_id
+),
+directed AS (
+  SELECT ida AS contained, idb AS container, round(i / sa, 6) AS containment FROM sized
+  UNION ALL
+  SELECT idb, ida, round(i / sb, 6) FROM sized
+)
+SELECT * FROM directed WHERE containment >= 0.6
+"""
