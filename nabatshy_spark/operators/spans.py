@@ -383,3 +383,79 @@ def service_issues(df: DataFrame) -> DataFrame:
             F.round(F.col("issue_count") / F.col("total_spans") * 100.0, 6),
         )
     )
+
+
+def critical_path(df: DataFrame) -> DataFrame:
+    """Per-trace critical path: the maximum root→leaf duration sum
+    through the span tree — the trace-level latency attribution every
+    APM digs for (the reference returns the raw tree and leaves the
+    walk to the UI; api/service.go:698-757).
+
+    Bottom-up value iteration: best(span) starts at its own duration;
+    each round folds children's best into parents
+    (groupBy(parent) max + join). Rounds = tree depth — O(log-ish)
+    small for real traces, detected by a count/hash fixpoint probe
+    exactly like dedup.connected_components; lineage truncated per
+    round with lazy localCheckpoint. At 100 TB every round is two
+    shuffles keyed on (trace_id, span id) — no driver-side tree walk,
+    no trace materialized in one task.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        F.col("duration_ns").cast("double").alias("__d"),
+    ).localCheckpoint(eager=False)
+    best = base.withColumn("__best", F.col("__d"))
+
+    def _state(b: DataFrame) -> tuple:
+        row = b.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(span_id, cast(__best as string)))"),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    state = _state(best)
+    for _ in range(32):  # bound ≫ any sane trace depth
+        child_max = (
+            best.filter(F.col("parent_span_id") != "")
+            .groupBy(
+                F.col("trace_id").alias("__t"),
+                F.col("parent_span_id").alias("__p"),
+            )
+            .agg(F.max("__best").alias("__cmax"))
+        )
+        best = (
+            base.join(
+                child_max,
+                (F.col("trace_id") == F.col("__t"))
+                & (F.col("span_id") == F.col("__p")),
+                "left",
+            )
+            .select(
+                "trace_id",
+                "span_id",
+                "parent_span_id",
+                "__d",
+                (F.col("__d") + F.coalesce(F.col("__cmax"), F.lit(0.0))).alias(
+                    "__best"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_state = _state(best)
+        if new_state == state:
+            break
+        state = new_state
+    else:  # pragma: no cover - loop guard
+        raise RuntimeError("critical_path failed to converge in 32 rounds")
+    return (
+        best.filter(F.col("parent_span_id") == "")
+        .groupBy("trace_id")
+        .agg(F.round(F.max("__best") / 1_000_000.0, 6).alias("critical_ms"))
+    )

@@ -1706,3 +1706,16 @@ directed AS (
 )
 SELECT * FROM directed WHERE containment >= 0.6
 """
+
+ORACLES["spans_critical_path"] = f"""
+WITH RECURSIVE walk AS (
+  SELECT trace_id, span_id, duration_ns::DOUBLE AS path
+  FROM {_SPANS} WHERE parent_span_id = ''
+  UNION ALL
+  SELECT s.trace_id, s.span_id, w.path + s.duration_ns
+  FROM {_SPANS} s JOIN walk w
+    ON s.parent_span_id = w.span_id AND s.trace_id = w.trace_id
+)
+SELECT trace_id, round(max(path) / 1000000.0, 6) AS critical_ms
+FROM walk GROUP BY trace_id
+"""

@@ -523,3 +523,22 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "pagerank_trade", "kmeans_embeddings",
     ):
         assert QUERIES[name](spark, empty_dir).count() == 0, name
+
+
+def test_critical_path_hand_tree(spark):
+    """Known tree: root(10) -> a(5) -> c(7); root -> b(20).
+    Critical path = 10 + 20 = 30ms via b (deeper path 10+5+7=22 loses)."""
+    from nabatshy_spark.operators.spans import critical_path
+
+    rows = [
+        ("t1", "r", "", 10_000_000),
+        ("t1", "a", "r", 5_000_000),
+        ("t1", "c", "a", 7_000_000),
+        ("t1", "b", "r", 20_000_000),
+        ("t2", "r2", "", 3_000_000),  # single-span trace
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, span_id string, parent_span_id string, duration_ns long"
+    )
+    got = {r.trace_id: r.critical_ms for r in critical_path(df).collect()}
+    assert got == {"t1": 30.0, "t2": 3.0}
