@@ -1240,3 +1240,38 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
     )
+
+
+@query("retention_purge")
+def retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention + right-to-erasure purge plan: drop events older than
+    the retention cutoff OR belonging to erasure-listed users
+    (user_id % 101 == 0 stands in for the request list). The age
+    predicate pushes to the scan; the (tiny) erasure list is a
+    broadcast anti join — the standard compliance rewrite job, here
+    returning the surviving rows' keys plus a per-reason audit of
+    what a rewrite WOULD drop (the gate a purge job logs before
+    committing)."""
+    ev = load(spark, sf_dir, "events")
+    erasure = ev.select("user_id").distinct().filter(F.col("user_id") % 101 == 0)
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    survivors = ev.filter(F.col("ts") >= cutoff).join(
+        F.broadcast(erasure), "user_id", "left_anti"
+    )
+    return survivors.select("event_id", "user_id", "event_type")
+
+
+@query("retention_purge_audit")
+def retention_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purge gate: per-reason drop counts (too_old / erasure /
+    kept) in one scan — reason attribution mirrors the purge
+    predicates exactly (age wins ties so the two reasons partition
+    the dropped set)."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    reason = (
+        F.when(F.col("ts") < cutoff, "too_old")
+        .when(F.col("user_id") % 101 == 0, "erasure")
+        .otherwise("kept")
+    )
+    return ev.groupBy(reason.alias("reason")).agg(F.count("*").alias("n"))

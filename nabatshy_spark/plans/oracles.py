@@ -1719,3 +1719,21 @@ WITH RECURSIVE walk AS (
 SELECT trace_id, round(max(path) / 1000000.0, 6) AS critical_ms
 FROM walk GROUP BY trace_id
 """
+
+ORACLES["retention_purge"] = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 0)
+"""
+
+ORACLES["retention_purge_audit"] = """
+SELECT CASE
+         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'too_old'
+         WHEN user_id % 101 = 0 THEN 'erasure'
+         ELSE 'kept'
+       END AS reason,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""

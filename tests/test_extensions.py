@@ -542,3 +542,46 @@ def test_critical_path_hand_tree(spark):
     )
     got = {r.trace_id: r.critical_ms for r in critical_path(df).collect()}
     assert got == {"t1": 30.0, "t2": 3.0}
+
+
+def test_contagg_rebuilds_on_source_change(spark, tmp_path):
+    """A changed events table must invalidate the fingerprint-keyed
+    rollup: the served series always equals the direct aggregation of
+    the CURRENT table, never a stale rollup."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.sources import contagg
+
+    sf_copy = str(tmp_path / "sfdir")
+    os.makedirs(sf_copy)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(sf_copy, "events.parquet"),
+    )
+    cutoff = "2024-01-24 00:00:00"
+
+    def direct_total():
+        return (
+            spark.read.parquet(os.path.join(sf_copy, "events.parquet")).count()
+        )
+
+    def served_total():
+        return (
+            contagg.serve_series(spark, sf_copy, cutoff)
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+
+    assert served_total() == direct_total()
+    # rewrite the source with half the rows — an OLD-side change, so a
+    # stale rollup would silently keep serving the dropped rows
+    ev = spark.read.parquet(os.path.join(sf_copy, "events.parquet"))
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    tmp_out = str(tmp_path / "halved")
+    half.write.parquet(tmp_out)
+    os.remove(os.path.join(sf_copy, "events.parquet"))  # copied as a file
+    shutil.move(tmp_out, os.path.join(sf_copy, "events.parquet"))
+    assert served_total() == direct_total(), "rollup must rebuild on change"
