@@ -69,13 +69,19 @@ _PRIORITY = [
     "corpus_split", "vocab_top_terms", "embedding_quantize",
     "fuzzy_prefix_pairs", "value_outliers", "rolling_user_value",
     "price_histogram", "user_event_deltas",
-    # past the 50-entry window this round (local parity green; next
-    # round's priority rotation): search_page_keyset,
-    # decontaminate_corpus, kmeans_embeddings, audio_wav_features,
-    # video_frame_sample, pii_redaction, text_repetition,
-    # bucketed_revenue_join, zorder_pruning_stats, profile_orders,
-    # sliding_window_counts, sql_grouping_sets_revenue,
-    # order_value_deciles, lineitem_correlations
+    # past the 50-entry window this round (local parity green under the
+    # STRICT harness; rotate into the window next round):
+    # search_page_keyset, decontaminate_corpus, kmeans_embeddings,
+    # audio_wav_features, video_frame_sample, pii_redaction,
+    # text_repetition, bucketed_revenue_join, zorder_pruning_stats,
+    # profile_orders, sliding_window_counts, sql_grouping_sets_revenue,
+    # order_value_deciles, lineitem_correlations, cohort_retention,
+    # hourly_latency_percentiles, text_search_bm25, fuzzy_prefix_pairs,
+    # embedding_gram, orders_snapshot_diff, orders_diff_summary,
+    # shipping_priority, local_supplier_volume, hybrid_search_rrf,
+    # image_thumbnails, weekly_revenue_wow, event_transitions,
+    # daily_event_pivot, dedup_containment, spans_critical_path,
+    # retention_purge, retention_purge_audit
 ]
 
 

@@ -1737,3 +1737,16 @@ SELECT CASE
 FROM events
 GROUP BY 1
 """
+
+ORACLES["spans_fanout_stats"] = f"""
+WITH fanout AS (
+  SELECT p.trace_id, p.span_id, p.scope_name, count(*) AS n
+  FROM {_SPANS} p JOIN {_SPANS} c
+    ON c.parent_span_id = p.span_id AND c.trace_id = p.trace_id
+  WHERE c.parent_span_id != ''
+  GROUP BY 1, 2, 3
+)
+SELECT scope_name, count(*) AS n_parents,
+       round(avg(n), 6) AS avg_children, max(n) AS max_children
+FROM fanout GROUP BY 1
+"""
