@@ -77,6 +77,7 @@ HEADLINE = [
     "cohort_retention",
     "hourly_latency_percentiles",
     "rolling_user_value",
+    "spans_critical_path",
 ]
 
 

@@ -459,3 +459,62 @@ def critical_path(df: DataFrame) -> DataFrame:
         .groupBy("trace_id")
         .agg(F.round(F.max("__best") / 1_000_000.0, 6).alias("critical_ms"))
     )
+
+
+def critical_path_grouped(df: DataFrame, buckets: int = 256) -> DataFrame:
+    """Per-trace critical path via ONE shuffle + per-trace DP: the
+    right plan when traces are bounded-size (real traces are KBs),
+    which is exactly when the iterative-join form
+    (:func:`critical_path`) wastes a fixpoint round-trip per tree
+    level.
+
+    Traces are BUCKETED (xxhash64(trace_id) % buckets) before
+    applyInPandas: grouping by trace_id directly would spawn one
+    pandas frame per trace — measured 5× SLOWER than the iterative
+    form at 150k tiny traces from per-group overhead alone. With
+    buckets, each task walks hundreds of traces in one Python pass;
+    all rows of a trace land in the same bucket by construction.
+    Same values as the iterative form (asserted in tests); fall back
+    to :func:`critical_path` for adversarial traces too big for one
+    task.
+    """
+    import pandas as pd
+
+    def dp_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_ms = [], []
+        for trace_id, g in pdf.groupby("trace_id", sort=False):
+            ids = g["span_id"].tolist()
+            parents = g["parent_span_id"].tolist()
+            durs = g["duration_ns"].tolist()
+            children: dict[str, list[int]] = {}
+            for i, p in enumerate(parents):
+                if p:
+                    children.setdefault(p, []).append(i)
+            best: dict[int, float] = {}
+
+            def walk(i: int) -> float:
+                if i in best:
+                    return best[i]
+                kids = children.get(ids[i], ())
+                b = float(durs[i]) + max((walk(k) for k in kids), default=0.0)
+                best[i] = b
+                return b
+
+            roots = [i for i, p in enumerate(parents) if not p]
+            out_t.append(trace_id)
+            out_ms.append(round(max((walk(r) for r in roots), default=0.0) / 1_000_000.0, 6))
+        return pd.DataFrame({"trace_id": out_t, "critical_ms": out_ms})
+
+    return (
+        df.select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "duration_ns",
+            (F.xxhash64("trace_id") % buckets).alias("__b"),
+        )
+        .groupBy("__b")
+        .applyInPandas(
+            lambda pdf: dp_bucket(pdf), "trace_id string, critical_ms double"
+        )
+    )

@@ -585,3 +585,14 @@ def test_contagg_rebuilds_on_source_change(spark, tmp_path):
     os.remove(os.path.join(sf_copy, "events.parquet"))  # copied as a file
     shutil.move(tmp_out, os.path.join(sf_copy, "events.parquet"))
     assert served_total() == direct_total(), "rollup must rebuild on change"
+
+
+def test_critical_path_grouped_equals_iterative(spark):
+    """The one-shuffle grouped DP and the iterative-join fixpoint must
+    agree on the fixture (same operator contract, two plans)."""
+    from nabatshy_spark.operators.spans import critical_path, critical_path_grouped
+
+    df = spark.read.parquet("/root/repo/tests/data/spans.parquet")
+    a = {r.trace_id: r.critical_ms for r in critical_path(df).collect()}
+    b = {r.trace_id: r.critical_ms for r in critical_path_grouped(df).collect()}
+    assert a == b
