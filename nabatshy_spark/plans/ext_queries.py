@@ -1275,3 +1275,28 @@ def retention_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return ev.groupBy(reason.alias("reason")).agg(F.count("*").alias("n"))
+
+
+@query("profile_orders_approx")
+def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of profile_orders: approx_count_distinct (HLL++,
+    rsd=2%) replaces the exact distinct expansion — fixed-size partial
+    state per column instead of the multi-distinct EXPAND. Sketch
+    estimates aren't engine-portable → rows-only check; the ≤5% error
+    bound vs the exact profile is pinned in tests."""
+    from nabatshy_spark.operators import profile as P
+
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null{i}"),
+            F.approx_count_distinct(F.col(c), 0.02).alias(f"__dist{i}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __null{i}, __dist{i}" for i, c in enumerate(cols))
+    return one.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column, n_nulls, approx_distinct)",
+    ).select("column", "n_rows", "n_nulls", "approx_distinct")

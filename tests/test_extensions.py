@@ -596,3 +596,23 @@ def test_critical_path_grouped_equals_iterative(spark):
     a = {r.trace_id: r.critical_ms for r in critical_path(df).collect()}
     b = {r.trace_id: r.critical_ms for r in critical_path_grouped(df).collect()}
     assert a == b
+
+
+def test_profile_approx_error_bound(spark, sf_dir):
+    """The HLL profile twin stays within 5% of the exact distinct
+    count for every column (and matches nulls/rows exactly)."""
+    from nabatshy_spark.plans.queries import QUERIES
+
+    exact = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in QUERIES["profile_orders"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.column: (r.n_rows, r.n_nulls, r.approx_distinct)
+        for r in QUERIES["profile_orders_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, (n, nulls, nd) in exact.items():
+        an, anulls, ad = approx[c]
+        assert (an, anulls) == (n, nulls)
+        assert abs(ad - nd) / max(nd, 1) < 0.05, c
