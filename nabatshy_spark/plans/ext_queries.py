@@ -1300,3 +1300,47 @@ def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__n as n_rows",
         f"stack({len(cols)}, {stack_args}) as (column, n_nulls, approx_distinct)",
     ).select("column", "n_rows", "n_nulls", "approx_distinct")
+
+
+@query("fk_integrity_audit")
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for every FK edge (lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, customer→nation,
+    supplier→nation, nation→region) — each edge one left-anti join
+    shuffled on the key (dims broadcast), unioned into the one-row-
+    per-edge report an ingest gate asserts on."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    def orphans(name, child, ck, parent, pk, bcast=True):
+        p = parent.select(F.col(pk))
+        if bcast:
+            p = F.broadcast(p)
+        n = (
+            child.select(F.col(ck))
+            .join(p, child[ck] == p[pk], "left_anti")
+            .count()
+        )
+        return spark.createDataFrame(
+            [(name, n)], "fk_edge string, n_orphans long"
+        )
+
+    reports = [
+        orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False),
+        orphans("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        orphans("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        orphans("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        orphans("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        orphans("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

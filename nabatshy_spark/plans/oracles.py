@@ -1750,3 +1750,27 @@ SELECT scope_name, count(*) AS n_parents,
        round(avg(n), 6) AS avg_children, max(n) AS max_children
 FROM fanout GROUP BY 1
 """
+
+ORACLES["fk_integrity_audit"] = """
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL SELECT 'orders->customer',
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL SELECT 'customer->nation',
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL SELECT 'supplier->nation',
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL SELECT 'nation->region',
+       (SELECT count(*) FROM nation n WHERE NOT EXISTS
+         (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+"""
