@@ -1344,3 +1344,32 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query("series_anomalies")
+def series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting primitive over the dashboard series: hourly per-type
+    event counts flagged where the bucket deviates > 2σ from its
+    type's own mean (population σ over the series). Both the rollup
+    and the moments are aggregate-sized — the anomaly scan never
+    touches the fact table twice at full width, and the moments join
+    back via broadcast."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("__mu"), F.stddev_pop("n").alias("__sd")
+    )
+    z = (F.col("n") - F.col("__mu")) / F.col("__sd")
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .filter(F.col("__sd") > 0)
+        .withColumn("zscore", F.round(z, 6))
+        .filter(F.abs(F.col("zscore")) > 2)
+        .select("bucket", "event_type", "n", "zscore")
+    )

@@ -1774,3 +1774,18 @@ UNION ALL SELECT 'nation->region',
        (SELECT count(*) FROM nation n WHERE NOT EXISTS
          (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
 """
+
+ORACLES["series_anomalies"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+  FROM hourly GROUP BY 1
+)
+SELECT h.bucket, h.event_type, h.n,
+       round((h.n - m.mu) / m.sd, 6) AS zscore
+FROM hourly h JOIN m USING (event_type)
+WHERE m.sd > 0 AND abs(round((h.n - m.mu) / m.sd, 6)) > 2
+"""
