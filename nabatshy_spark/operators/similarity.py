@@ -295,7 +295,10 @@ def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
     """
     import pandas as pd
 
-    d_probe = len(df.select(vec_col).first()[0])  # O(1) schema probe
+    probe = df.select(vec_col).first()  # O(1) schema probe
+    if probe is None:  # empty table: no dimensionality, empty matrix
+        return df.sparkSession.createDataFrame([], "i: int, j: int, g: double")
+    d_probe = len(probe[0])
 
     def partial_gram(batches):
         import numpy as np

@@ -476,8 +476,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabatshy_spark.operators import ivf
 
     emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(emb.vec_id == 0).first()
+    if qrow is None:  # empty table: no query vector, empty result
+        return spark.createDataFrame([], "vec_id: long, cos: double")
     path = ivf.ensure_ivf(spark, _os.path.join(sf_dir, "embeddings.parquet"))
-    qvec = [float(x) for x in emb.filter(emb.vec_id == 0).first()["embedding"]]
+    qvec = [float(x) for x in qrow["embedding"]]
     return ivf.ivf_topk(spark, path, qvec, k=10, cell_bits=4, nprobe=8)
 
 

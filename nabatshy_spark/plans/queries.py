@@ -274,6 +274,11 @@ def search_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, "type=click", page=min(99, max(1, (n - 1) // 20)),
             page_size=20, sort_field="ts", sort_order="desc",
         ).collect()
+    if not prev_page:  # empty table: no pages at all
+        return search_events(
+            ev, "type=click", page=1, page_size=20,
+            sort_field="ts", sort_order="desc",
+        )
     token = (prev_page[-1].ts, prev_page[-1].event_id)
     return search_events_keyset(
         ev, "type=click", after=token, page_size=20, sort_field="ts", sort_order="desc"

@@ -83,6 +83,9 @@ def zorder_write(
         *[F.min(F.col(c).cast("double")).alias(f"__lo{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"__hi{i}") for i, c in enumerate(cols)],
     ).first()
+    if stats[0] is None:  # empty source: write the empty layout as-is
+        df.write.mode("overwrite").parquet(path)
+        return
     buckets = [
         range_bucket(F.col(c), stats[f"__lo{i}"], stats[f"__hi{i}"], bits)
         for i, c in enumerate(cols)

@@ -515,12 +515,22 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         df.filter(F.lit(False)).write.mode("overwrite").parquet(
             os.path.join(empty_dir, f"{t}.parquet")
         )
+    # EVERY registered sf_dir-backed query must run (spans_* read the
+    # committed fixture, not sf_dir). Most return 0 rows; gap-fill /
+    # pivot / diff-style queries legitimately emit scaffold rows, so
+    # the invariant here is "no crash", plus 0-rows for a named core
+    # subset.
+    for name in sorted(QUERIES):
+        if name.startswith("spans_"):
+            continue
+        QUERIES[name](spark, empty_dir).count()
     for name in (
         "pricing_summary", "endpoint_stats", "dedup_exact",
         "text_stats", "sample_hash", "latest_event_per_user",
         "chunk_documents", "corpus_split", "value_outliers",
-        "cohort_retention", "orders_diff_summary",
-        "pagerank_trade", "kmeans_embeddings",
+        "cohort_retention", "pagerank_trade", "kmeans_embeddings",
+        "ann_ivf_topk", "search_page_keyset", "embedding_gram",
+        "zorder_pruning_stats",
     ):
         assert QUERIES[name](spark, empty_dir).count() == 0, name
 
