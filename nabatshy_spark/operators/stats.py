@@ -110,3 +110,28 @@ def correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.selectExpr(
         f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
     )
+
+
+def winsorize(
+    df: DataFrame, value_col: str, lo_p: float = 0.01, hi_p: float = 0.99
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its [lo_p, hi_p] exact
+    percentiles — the outlier-taming pre-pass before scaling/training.
+    Bounds come from ONE scalar aggregate broadcast back (two numbers;
+    never a sort of the data); the clip is codegen'd least/greatest.
+    At 100 TB the same-alias switch is approx_percentile bounds."""
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+                6,
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

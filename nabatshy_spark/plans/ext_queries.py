@@ -1376,3 +1376,57 @@ def series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 2)
         .select("bucket", "event_type", "n", "zscore")
     )
+
+
+@query("winsorized_values")
+def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized event values (clip to exact p1/p99 —
+    operators/stats.py:winsorize): bounds via one scalar agg broadcast
+    back, clip codegen'd; approx_percentile is the documented 100 TB
+    switch."""
+    from nabatshy_spark.operators import stats
+
+    return stats.winsorize(
+        load(spark, sf_dir, "events").select("event_id", "value"), "value"
+    ).select("event_id", "value", "value_winsorized")
+
+
+@query("user_features")
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature assembly — the feature-engineering rollup a
+    training pipeline materializes: event count, distinct types,
+    value stats, recency (seconds from last event to the corpus max),
+    and per-type counts — ALL in one partial-agg pass over one scan
+    (conditional counts instead of a pivot join); the corpus max ts
+    is a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    maxts = ev.agg(F.max("ts").alias("__maxts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        # round-4: Spark's partial-sum order vs DuckDB's sequential sum
+        # differ at ~1e-13 relative, which can straddle a round-6
+        # boundary on this column (observed)
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.max("ts").alias("__last"),
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase", "signup", "error")
+        ],
+    )
+    return (
+        per_user.join(F.broadcast(maxts))
+        .withColumn(
+            "recency_s",
+            F.round(
+                (
+                    F.unix_micros(F.col("__maxts").cast("timestamp"))
+                    - F.unix_micros(F.col("__last").cast("timestamp"))
+                )
+                / 1_000_000.0,
+                6,
+            ),
+        )
+        .drop("__last", "__maxts")
+    )

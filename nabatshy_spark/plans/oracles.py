@@ -1789,3 +1789,30 @@ SELECT h.bucket, h.event_type, h.n,
 FROM hourly h JOIN m USING (event_type)
 WHERE m.sd > 0 AND abs(round((h.n - m.mu) / m.sd, 6)) > 2
 """
+
+ORACLES["winsorized_values"] = """
+WITH b AS (
+  SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events
+)
+SELECT event_id, value,
+       round(least(greatest(value, lo), hi), 6) AS value_winsorized
+FROM events, b
+"""
+
+ORACLES["user_features"] = """
+WITH m AS (SELECT max(ts) AS maxts FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(avg(value), 4) AS avg_value,
+       round(max(value), 6) AS max_value,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       round(epoch_us((SELECT maxts FROM m) - max(ts)) / 1000000.0, 6) AS recency_s
+FROM events
+GROUP BY user_id
+"""
