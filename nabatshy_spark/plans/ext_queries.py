@@ -1430,3 +1430,71 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__last", "__maxts")
     )
+
+
+@query("time_to_convert")
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-view → first-purchase latency: two conditional
+    min-aggregates in one pass (no self-join, no window), keep users
+    who converted AFTER their first view, report hours to convert."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("__v"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__p"),
+    )
+    hours = (
+        F.unix_micros(F.col("__p").cast("timestamp"))
+        - F.unix_micros(F.col("__v").cast("timestamp"))
+    ) / 3_600_000_000.0
+    return (
+        firsts.filter(F.col("__v").isNotNull() & (F.col("__p") >= F.col("__v")))
+        .select("user_id", F.round(hours, 6).alias("hours_to_convert"))
+    )
+
+
+@query("dedup_rates_by_source")
+def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-health monitoring: per-source exact-duplicate rate —
+    distinct sha256 digests vs rows, in one partial-agg pass over the
+    digest projection (the 32-byte key is all that shuffles). The
+    gate a crawl pipeline alerts on when a source starts mirroring."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.sha2(F.col("text"), 256).alias("__h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__h").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("__h") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query("nation_revenue_share")
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-total report: per-nation revenue and share of the
+    grand total. The total comes from a second aggregate over the
+    per-nation rollup broadcast back — NOT a `sum over ()` window,
+    which would drag every rollup row into ONE task (the
+    whole-table-partition trap §2.8 warns about; harmless at 25
+    nations, fatal at 10⁸ groups)."""
+    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    per_nation = (
+        load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    total = per_nation.agg(F.sum("revenue").alias("__total"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .select(
+            "n_name",
+            "revenue",
+            F.round(F.col("revenue") / F.col("__total"), 6).alias("share"),
+        )
+    )

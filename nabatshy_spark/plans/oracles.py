@@ -1816,3 +1816,36 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+ORACLES["time_to_convert"] = """
+SELECT user_id,
+       round(epoch_us(p - v) / 3600000000.0, 6) AS hours_to_convert
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+)
+WHERE v IS NOT NULL AND p >= v
+"""
+
+ORACLES["dedup_rates_by_source"] = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT sha256(text)) AS n_distinct,
+       round(1.0 - count(DISTINCT sha256(text)) / count(*), 6) AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+ORACLES["nation_revenue_share"] = """
+WITH per_nation AS (
+  SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, revenue,
+       round(revenue / (SELECT sum(revenue) FROM per_nation), 6) AS share
+FROM per_nation
+"""
