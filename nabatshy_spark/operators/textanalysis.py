@@ -335,3 +335,32 @@ def blocked_edit_distance_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram distribution — the perplexity-style fluency filter of
+    CCNet-class curation pipelines, with the corpus itself as the LM
+    (a real KenLM slots into the same shape; the Spark plumbing is
+    identical). Lower (more negative) = more rare-token-heavy.
+
+    Two aggregates over ONE explode: token totals feed a broadcast to
+    the per-(doc, token) counts, so the corpus is exploded exactly
+    once and nothing row-proportional shuffles twice. ln arithmetic is
+    engine-portable (matching round on both sides).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+    )
+    doc_tok = toks.groupBy(id_col, "__t").agg(F.count("*").alias("__c"))
+    vocab = toks.groupBy("__t").agg(F.count("*").alias("__vc"))
+    total = vocab.agg(F.sum("__vc").alias("__n"))
+    scored = (
+        doc_tok.join(vocab, "__t")
+        .join(F.broadcast(total))
+        .withColumn("__lp", F.col("__c") * F.log(F.col("__vc") / F.col("__n")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("__lp") / F.sum("__c"), 6).alias("mean_logprob"),
+        F.sum("__c").alias("n_tokens"),
+    )

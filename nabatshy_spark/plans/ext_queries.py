@@ -1498,3 +1498,14 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") / F.col("__total"), 6).alias("share"),
         )
     )
+
+
+@query("unigram_fluency_scores")
+def unigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency scores under the corpus's own unigram
+    LM (textanalysis.unigram_logprob_scores): one corpus explode, two
+    aggregates, vocab joined back — the CCNet-class quality filter
+    shape with the LM swappable."""
+    return textanalysis.unigram_logprob_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )

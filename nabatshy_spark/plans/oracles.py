@@ -1849,3 +1849,19 @@ SELECT n_name, revenue,
        round(revenue / (SELECT sum(revenue) FROM per_nation), 6) AS share
 FROM per_nation
 """
+
+ORACLES["unigram_fluency_scores"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+doc_tok AS (
+  SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2
+),
+vocab AS (SELECT t, count(*) AS vc FROM toks GROUP BY 1),
+total AS (SELECT sum(vc)::DOUBLE AS n FROM vocab)
+SELECT doc_id,
+       round(sum(c * ln(vc / (SELECT n FROM total))) / sum(c), 6) AS mean_logprob,
+       sum(c) AS n_tokens
+FROM doc_tok JOIN vocab USING (t)
+GROUP BY doc_id
+"""
