@@ -1404,10 +1404,13 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        # round-4: Spark's partial-sum order vs DuckDB's sequential sum
-        # differ at ~1e-13 relative, which can straddle a round-6
-        # boundary on this column (observed)
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # DECIMAL sum: double partial-sums are order-dependent, and any
+        # rounding precision has some row straddling a boundary
+        # (observed twice); decimal addition is exact and
+        # order-independent, so both engines agree bit-for-bit
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")) / F.count("*"), 4
+        ).cast("double").alias("avg_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         F.max("ts").alias("__last"),
         *[

@@ -1805,7 +1805,7 @@ WITH m AS (SELECT max(ts) AS maxts FROM events)
 SELECT user_id,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
-       round(avg(value), 4) AS avg_value,
+       round(sum(value::DECIMAL(28,6)) / count(*), 4) AS avg_value,
        round(max(value), 6) AS max_value,
        count(*) FILTER (event_type = 'click') AS n_click,
        count(*) FILTER (event_type = 'view') AS n_view,

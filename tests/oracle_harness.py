@@ -72,13 +72,13 @@ def compare(spark_df, sql: str, sf_dir: str, rel_tol: float = 1e-9, abs_tol: flo
     )
     for rn, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
         for cn, (sv, ov) in enumerate(zip(sr, orow)):
-            if isinstance(sv, float) and isinstance(ov, float):
-                if not math.isclose(sv, ov, rel_tol=rel_tol, abs_tol=abs_tol):
-                    return False, (
-                        f"value mismatch row {rn} col {col_order[cn]}: "
-                        f"spark={sv!r} oracle={ov!r}"
-                    )
-            elif sv != ov:
+            # STRICT stringified equality, exactly like the driver's
+            # value-hash — float tolerance here let summation-order
+            # drift pass locally and fail externally (caught live
+            # twice on round-boundary averages; the fix is decimal
+            # sums or coarser rounding in the QUERY, not tolerance in
+            # the harness).
+            if str(sv) != str(ov):
                 return False, (
                     f"value mismatch row {rn} col {col_order[cn]}: "
                     f"spark={sv!r} oracle={ov!r}"
