@@ -41,47 +41,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # spans_* — reference-parity surface, local-pass only in round 1
-    "spans_slowest_traces", "spans_endpoint_latency",
-    "spans_service_dependency", "spans_error_traces",
-    "spans_attr_negation", "spans_attr_pair", "spans_search_page",
-    "spans_trace_details", "spans_distinct_services",
-    "spans_hourly_heatmap", "spans_slow_vs_baseline",
-    "spans_service_issues", "spans_search_sorted",
-    "spans_search_timerange", "spans_search_metrics",
-    "spans_trace_waterfall",
-    # SQL-API queries — never driver-checked
-    "sql_top_revenue_brands", "sql_segment_order_stats",
-    # round-1 extensions registered past the 50-entry window
-    "event_funnel", "dedup_pipeline", "ann_ivf_topk",
-    "corpus_length_stats", "skew_salted_value_by_user",
-    "props_json_stats", "sample_weighted", "sample_capped_per_source",
-    "pack_chunks", "embedding_centroids",
-    # queries whose implementation changed in round 2 — the round-1 pass
-    # row no longer describes the current plan, so re-check them
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
-    "dedup_components", "sample_hash", "dedup_simhash",
-    "curate_corpus", "dedup_incremental",
-    # new this round (novel operators first; simple window/agg queries
-    # with strong local parity rotate into the next round's window)
-    "continuous_aggregate", "pagerank_trade", "text_search_and",
-    "text_search_bm25", "chunk_documents", "latest_event_per_user",
-    "corpus_split", "vocab_top_terms", "embedding_quantize",
-    "fuzzy_prefix_pairs", "value_outliers", "rolling_user_value",
-    "price_histogram", "user_event_deltas",
-    # past the 50-entry window this round (local parity green under the
-    # STRICT harness; rotate into the window next round):
-    # search_page_keyset, decontaminate_corpus, kmeans_embeddings,
-    # audio_wav_features, video_frame_sample, pii_redaction,
-    # text_repetition, bucketed_revenue_join, zorder_pruning_stats,
-    # profile_orders, sliding_window_counts, sql_grouping_sets_revenue,
-    # order_value_deciles, lineitem_correlations, cohort_retention,
-    # hourly_latency_percentiles, text_search_bm25, fuzzy_prefix_pairs,
-    # embedding_gram, orders_snapshot_diff, orders_diff_summary,
-    # shipping_priority, local_supplier_volume, hybrid_search_rrf,
-    # image_thumbnails, weekly_revenue_wow, event_transitions,
-    # daily_event_pivot, dedup_containment, spans_critical_path,
-    # retention_purge, retention_purge_audit
+    # Fixed/changed this round — the round-2 row is red or stale, so
+    # these re-verify first: the HUGEINT/array canonicalization family
+    # (oracle sums cast to BIGINT; waterfall's span_sequence emitted as
+    # a joined string) and the DECIMAL-sum rewrite of the rollup.
+    "corpus_length_stats", "pack_chunks", "text_search_and",
+    "spans_trace_waterfall", "continuous_aggregate",
+    # Never driver-checked (no external row in r1 or r2): the entire
+    # remaining tail, rotated in at once.
+    "search_page_keyset", "audio_wav_features", "video_frame_sample",
+    "kmeans_embeddings", "decontaminate_corpus", "pii_redaction",
+    "text_repetition", "bucketed_revenue_join", "zorder_pruning_stats",
+    "profile_orders", "sliding_window_counts", "distinct_users_approx",
+    "order_value_deciles", "lineitem_correlations", "cohort_retention",
+    "hourly_latency_percentiles", "embedding_gram",
+    "orders_snapshot_diff", "orders_diff_summary", "shipping_priority",
+    "local_supplier_volume", "image_thumbnails", "weekly_revenue_wow",
+    "event_transitions", "hybrid_search_rrf", "daily_event_pivot",
+    "dedup_containment", "retention_purge", "retention_purge_audit",
+    "profile_orders_approx", "fk_integrity_audit", "series_anomalies",
+    "winsorized_values", "user_features", "time_to_convert",
+    "dedup_rates_by_source", "nation_revenue_share",
+    "unigram_fluency_scores", "spans_critical_path",
+    "spans_fanout_stats", "sql_grouping_sets_revenue",
+    # New this round — filled in as round-3 operators land.
+    "dedup_embedding_clustered",
+    # (r1/r2 green rows stand for everything else; they stay out of the
+    # window so every slot buys a first-ever external check.)
 ]
 
 

@@ -37,9 +37,15 @@ HEADLINE = [
     "search_page",
     "error_rate_by_priority",
     "hourly_heatmap",
-    # span-native surface
+    # span-native surface (on the scaled ~660k-span table): the
+    # reference's own read path — membership scans over attr arrays and
+    # the richest metrics route — carries bench weight, not just
+    # extensions.
     "spans_endpoint_latency",
     "spans_service_dependency",
+    "spans_attr_pair",
+    "spans_attr_negation",
+    "spans_search_metrics",
     # training-data pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -56,7 +62,10 @@ HEADLINE = [
     "bucketed_revenue_join",
     "zorder_pruning_stats",
     "dedup_incremental",
-    "profile_orders",
+    # HLL twin carries the headline slot: the exact 4×count_distinct
+    # form (profile_orders) is the EXPAND-×5 plan — audit-only, still
+    # oracle-checked, but not the 100 TB default.
+    "profile_orders_approx",
     "sliding_window_counts",
     "curate_corpus",
     # round 2, second batch

@@ -58,16 +58,17 @@ def assign_clusters(
     )
 
 
-def kmeans(
+def kmeans_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 4,
     iters: int = 2,
-) -> DataFrame:
-    """Deterministic Lloyd's k-means; returns (id, cluster) after
-    ``iters`` assignment rounds (the last round's centroids are the
-    second-to-last round's means)."""
+) -> list[list[float]]:
+    """The centroids ``kmeans`` would assign against after ``iters``
+    rounds (k·dim doubles — O(1) driver data). Exposed separately so
+    operators that need the geometry itself (e.g. the cluster-pruned
+    embedding dedup's ball-cover bound) share one implementation."""
     init = (
         df.orderBy(id_col)
         .limit(k)
@@ -75,11 +76,9 @@ def kmeans(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
-    if not centroids:
-        # empty input: no seeds to assign against — empty result with
-        # the contract schema
-        return df.select(F.col(id_col), F.lit(0).cast("int").alias("cluster"))
     for _ in range(iters - 1):
+        if not centroids:
+            break
         assigned = assign_clusters(df, id_col, vec_col, centroids).join(
             df.select(id_col, vec_col), id_col
         )
@@ -96,4 +95,22 @@ def kmeans(
         # empty clusters keep their previous centroid
         new = {r["cluster"]: [e["m"] for e in r["c"]] for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means; returns (id, cluster) after
+    ``iters`` assignment rounds (the last round's centroids are the
+    second-to-last round's means)."""
+    centroids = kmeans_centroids(df, id_col, vec_col, k, iters)
+    if not centroids:
+        # empty input: no seeds to assign against — empty result with
+        # the contract schema
+        return df.select(F.col(id_col), F.lit(0).cast("int").alias("cluster"))
     return assign_clusters(df, id_col, vec_col, centroids)

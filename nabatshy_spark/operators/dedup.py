@@ -26,6 +26,7 @@ index before the self-join.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -670,6 +671,20 @@ def embedding_dup_pairs(
         F.explode(F.array_distinct(task_keys)).alias("__task"),
     )
 
+    return tasks.groupBy("__task").applyInPandas(
+        _block_pair_fn(threshold), schema="doc_a long, doc_b long, cos double"
+    )
+
+
+def _block_pair_fn(threshold: float):
+    """One all-pairs task: rows grouped by ``__task`` = "lo_hi" with
+    ``__b`` ∈ {lo, hi} → unit-normalize, ONE BLAS matmul (triangular for
+    lo==hi, cross otherwise), emit canonical (doc_a < doc_b, cos≥t)
+    pairs. Shared by the Afrati-Ullman blocked form and the
+    cluster-pruned form so both produce bit-identical cosines."""
+    import numpy as np
+    import pandas as pd
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = (int(x) for x in pdf["__task"].iloc[0].split("_"))
         mat = np.stack(pdf["__v"].map(np.asarray)).astype(np.float64)
@@ -689,8 +704,116 @@ def embedding_dup_pairs(
         b = np.maximum(da, db)
         return pd.DataFrame({"doc_a": a, "doc_b": b, "cos": cos})
 
+    return block_pairs
+
+
+def embedding_dup_pairs_clustered(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Cluster-pruned EXACT embedding near-dup pairs — the sub-quadratic
+    scale path for ``embedding_dup_pairs`` (whose blocked all-pairs is
+    communication-optimal but still O(N²) *compute*).
+
+    SemDeDup-shaped (Abbas et al. 2023) but exact, via the classic
+    ball-cover / triangle-inequality bound instead of within-cluster
+    truncation: cos(a,b) ≥ t on unit vectors ⟺ ‖â−b̂‖ ≤ R = √(2−2t), so
+    a qualifying pair split across k-means clusters (i,j) forces
+    ‖c_i−c_j‖ ≤ r_i + R + r_j (r = cluster radius). Plan:
+
+    1. unit-normalize once (norm as its own column — inlining it into
+       the transform lambda re-evaluates per element, O(d²));
+    2. deterministic k-means on the unit vectors (clustering.py — the
+       centroids are already O(k·d) driver data), plus per-row distance
+       to its centroid → per-cluster radii (k scalars);
+    3. the k×k cluster-pair graph is pruned ON THE DRIVER with the
+       bound above (+1e-6 float slack) — typically O(k) survivors when
+       the space is clusterable, k² tiny regardless;
+    4. rows replicate only to surviving pair-tasks (broadcast join on
+       the cluster id), then the SAME one-matmul-per-task kernel as
+       ``embedding_dup_pairs`` (raw vectors in, so the float path and
+       hence every emitted cosine is bit-identical to the all-pairs
+       form — one oracle covers both).
+
+    Compute drops from N²/2 to Σ_{surviving (i,j)} |i|·|j|; a cluster
+    pair too large for one task composes with the Afrati-Ullman
+    sub-blocking (run ``embedding_dup_pairs`` within the pair). If the
+    data does NOT cluster (one ball), every pair survives and this
+    degrades to exactly the blocked all-pairs — never worse, never
+    lossy. Replaces nothing: both forms stay registered; this one
+    carries the 100 TB claim (measured curve in SCALE.md).
+    """
+    from nabatshy_spark.operators import clustering
+
+    spark = df.sparkSession
+    R = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+
+    sq_norm = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    with_norm = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__raw"),
+        F.sqrt(sq_norm).alias("__nrm"),
+    )
+    unit = with_norm.select(
+        "__id",
+        "__raw",
+        F.when(
+            F.col("__nrm") > 0,
+            F.transform("__raw", lambda x: x.cast("double") / F.col("__nrm")),
+        )
+        .otherwise(F.transform("__raw", lambda x: F.lit(0.0)))
+        .alias("__u"),
+    )
+    unit = unit.localCheckpoint(eager=False)  # reused by kmeans rounds + radii
+
+    cents = clustering.kmeans_centroids(unit, "__id", "__u", k=k, iters=iters)
+    if not cents:
+        return spark.createDataFrame([], "doc_a long, doc_b long, cos double")
+
+    sq = F.array(
+        *[F.round(clustering._sqdist(F.col("__u"), c), 9) for c in cents]
+    )
+    assigned = unit.select(
+        "__id",
+        "__raw",
+        (F.array_position(sq, F.array_min(sq)) - 1).cast("int").alias("__c"),
+        F.sqrt(F.array_min(sq)).alias("__d"),
+    )
+    assigned = assigned.localCheckpoint(eager=False)  # radii pass + task build
+
+    radii = {
+        r["__c"]: r["r"]
+        for r in assigned.groupBy("__c").agg(F.max("__d").alias("r")).collect()
+    }
+
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    candidates: list[tuple[int, int]] = []
+    for i in sorted(radii):
+        for j in sorted(radii):
+            if j < i:
+                continue
+            if i == j or float(np.linalg.norm(C[i] - C[j])) <= radii[i] + radii[j] + R + 1e-6:
+                candidates.append((i, j))
+
+    cluster_tasks = spark.createDataFrame(
+        [(c, f"{i}_{j}") for (i, j) in candidates for c in {i, j}],
+        "__c int, __task string",
+    )
+    tasks = assigned.join(F.broadcast(cluster_tasks), "__c").select(
+        "__id", F.col("__raw").alias("__v"), F.col("__c").alias("__b"), "__task"
+    )
     return tasks.groupBy("__task").applyInPandas(
-        block_pairs, schema="doc_a long, doc_b long, cos double"
+        _block_pair_fn(threshold), schema="doc_a long, doc_b long, cos double"
     )
 
 

@@ -77,6 +77,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_embedding_clustered")
+def dedup_embedding_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned EXACT embedding dedup — same result set (and same
+    oracle) as dedup_embedding, but compute is Σ|i|·|j| over k-means
+    cluster pairs surviving the ball-cover bound instead of N²/2: the
+    sub-quadratic 100 TB path (SemDeDup-shaped, made exact; see
+    operators/dedup.py::embedding_dup_pairs_clustered, curve in
+    SCALE.md)."""
+    return dedup.embedding_dup_pairs_clustered(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.45, k=8,
+    )
+
+
 @query("audio_wav_features")
 def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV decode (stdlib wave) over a binary audio column: the
@@ -1220,18 +1234,17 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy().pivot() with the value list PINNED (passing values
     explicitly skips Spark's extra distinct-scan pass and keeps the
     output schema deterministic at any scale)."""
+    # Statically pinned domain (the testdata generator fixes it): no
+    # distinct-scan, no driver round-trip, and the output schema is
+    # identical on any input — an absent type is an all-zero column,
+    # matching the oracle's five fixed columns even on empty data.
     types = ["click", "view", "purchase", "signup", "error"]
     ev = load(spark, sf_dir, "events")
-    present = [
-        r[0]
-        for r in ev.select("event_type").distinct().collect()
-    ]  # tiny driver list; keeps the query portable if testdata changes
-    cols = [t for t in types if t in present] or sorted(present)
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", cols)
+        .pivot("event_type", types)
         .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
-        .na.fill(0, cols)
+        .na.fill(0, types)
     )
 
 

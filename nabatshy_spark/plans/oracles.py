@@ -408,6 +408,11 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.45
 """
 
+# The clustered form is EXACT (ball-cover pruning cannot miss a
+# qualifying pair) and shares the all-pairs kernel bit-for-bit, so the
+# same oracle covers it.
+ORACLES["dedup_embedding_clustered"] = ORACLES["dedup_embedding"]
+
 ORACLES["ann_cosine_topk"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -749,7 +754,7 @@ ORACLES["spans_trace_waterfall"] = f"""
 SELECT trace_id,
        count(*) AS span_count,
        round(sum(duration_ns / 1000000.0), 6) AS total_ms,
-       list(span_id ORDER BY start_time_unix_nano, span_id) AS span_sequence
+       string_agg(span_id, ',' ORDER BY start_time_unix_nano, span_id) AS span_sequence
 FROM {_SPANS}
 GROUP BY trace_id
 """
@@ -938,7 +943,7 @@ SELECT source,
        quantile_cont(n_chars, 0.5)     AS p50_chars,
        quantile_cont(n_chars, 0.95)    AS p95_chars,
        quantile_cont(n_chars, 0.99)    AS p99_chars,
-       sum(n_chars)                    AS total_chars
+       sum(n_chars)::BIGINT            AS total_chars
 FROM documents
 GROUP BY source
 """
@@ -984,7 +989,7 @@ SELECT doc_id, source FROM (
 ORACLES["pack_chunks"] = """
 SELECT doc_id, source,
        n_tokens,
-       (cum - n_tokens)                          AS start_offset,
+       (cum - n_tokens)::BIGINT                  AS start_offset,
        floor((cum - n_tokens) / 512)::BIGINT     AS chunk_id
 FROM (
   SELECT doc_id, source,
@@ -1285,8 +1290,8 @@ WHERE rn = 1
 ORACLES["continuous_aggregate"] = """
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        count(*) AS n,
-       round(sum(value), 4) AS sum_value,
-       round(sum(value) / count(*), 6) AS avg_value,
+       round(sum(value::DECIMAL(28,6)), 4)::DOUBLE AS sum_value,
+       round(sum(value::DECIMAL(28,6)) / count(*), 6)::DOUBLE AS avg_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM events
@@ -1300,7 +1305,7 @@ WITH postings AS (
     FROM documents
   ) GROUP BY term, doc
 )
-SELECT doc, sum(tf) AS score
+SELECT doc, sum(tf)::BIGINT AS score
 FROM postings
 WHERE term IN ('join', 'hash', 'vector')
 GROUP BY doc
@@ -1861,7 +1866,7 @@ vocab AS (SELECT t, count(*) AS vc FROM toks GROUP BY 1),
 total AS (SELECT sum(vc)::DOUBLE AS n FROM vocab)
 SELECT doc_id,
        round(sum(c * ln(vc / (SELECT n FROM total))) / sum(c), 6) AS mean_logprob,
-       sum(c) AS n_tokens
+       sum(c)::BIGINT AS n_tokens
 FROM doc_tok JOIN vocab USING (t)
 GROUP BY doc_id
 """

@@ -47,10 +47,14 @@ CONTAGG_ROOT = os.environ.get(
 )
 
 # Mergeable partial aggregates — everything derivable (avg) is computed
-# at read time from these.
+# at read time from these. The sum is DECIMAL(28,6), not double: double
+# partial-sums are order-dependent and some row always straddles any
+# rounding boundary cross-engine (hit twice live; same fix as
+# user_features). Decimal addition is exact and order-independent, so
+# rollup+tail merge and the oracle agree bit-for-bit.
 _ROLLUP_AGGS = [
     F.count("*").alias("n"),
-    F.sum("value").alias("sum_value"),
+    F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
     F.min("value").alias("min_value"),
     F.max("value").alias("max_value"),
 ]
@@ -122,8 +126,8 @@ def serve_series(
         "bucket",
         "event_type",
         "n",
-        F.round("sum_value", 4).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n"), 6).alias("avg_value"),
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n"), 6).cast("double").alias("avg_value"),
         "min_value",
         "max_value",
     )

@@ -1,86 +1,86 @@
 """Differential harness: run a registry query on Spark and its oracle on
-DuckDB over the same parquet tables, and compare the way the driver does
-— row count, schema shape, order-insensitive values — with float
-tolerance on top so we catch real semantic drift, not summation-order
-noise.
+DuckDB over the same parquet tables, and compare EXACTLY the way the
+external driver does — both sides canonicalized through **pandas**
+(`spark_df.toPandas()` vs duckdb `con.execute(sql).df()`), rows sorted
+on the raw frame, every cell stringified via `astype(str)`, then strict
+equality.
+
+Why pandas and not `fetchall()` Python objects: DuckDB's `sum(INTEGER)`
+returns HUGEINT, which `fetchall()` yields as a plain Python int
+(indistinguishable from Spark's bigint) but pandas renders as float64 —
+so the stringified value is '6277.0' against Spark's '6277'.  Two
+consecutive rounds a fetchall-based harness was declared
+driver-identical and wasn't (text_search_and et al. passed locally,
+failed externally).  Sorting happens on the RAW frame, like the driver,
+so array-typed columns crash here too (pandas `sort_values` cannot
+factorize list cells) instead of being silently papered over.
 """
 
 from __future__ import annotations
 
-import math
 import os
-from datetime import date, datetime
 
 import duckdb
+import pandas as pd
 
 from nabatshy_spark.catalog import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str):
+def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        return con.execute(sql).df()
     finally:
         con.close()
 
 
-def _norm(v):
-    # NOTE: deliberately NO date→datetime promotion: the driver's
-    # value-hash compares raw stringified values, so a query whose
-    # Spark side emits TIMESTAMP where the oracle emits DATE (e.g.
-    # date_trunc('week') — DATE in DuckDB, timestamp in Spark) must
-    # FAIL here too, not be papered over (caught live in round 2:
-    # weekly_revenue_wow passed this harness and failed the driver
-    # simulation until both sides cast to DATE).
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-identical canonicalization: columns ordered by sorted
+    name, rows sorted on the raw (pre-stringify) frame, then every cell
+    stringified.  No float tolerance, no type coercion beyond what
+    pandas itself applies when materializing each engine's result."""
+    cols = sorted(df.columns)
+    df = df.loc[:, cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    return df.reset_index(drop=True).astype(str)
 
 
-def _sort_key(row):
-    return tuple(str(v) for v in row)
+def compare(spark_df, sql: str, sf_dir: str):
+    """Return (ok, message)."""
+    o_df = run_oracle_df(sql, sf_dir)
+    s_df = spark_df.toPandas()
 
+    if sorted(s_df.columns) != sorted(o_df.columns):
+        return False, (
+            f"schema mismatch: spark={sorted(s_df.columns)} "
+            f"oracle={sorted(o_df.columns)}"
+        )
+    if len(s_df) != len(o_df):
+        return False, f"row count mismatch: spark={len(s_df)} oracle={len(o_df)}"
 
-def compare(spark_df, sql: str, sf_dir: str, rel_tol: float = 1e-9, abs_tol: float = 1e-9):
-    """Return (ok, message). Columns are matched by sorted name, rows
-    compared order-insensitively (sorted by stringified values)."""
-    o_cols, o_rows = run_oracle(sql, sf_dir)
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    try:
+        s_c = _canon(s_df)
+    except TypeError as e:
+        return False, f"spark result not canonicalizable (driver would crash): {e}"
+    try:
+        o_c = _canon(o_df)
+    except TypeError as e:
+        return False, f"oracle result not canonicalizable (driver would crash): {e}"
 
-    if sorted(s_cols) != sorted(o_cols):
-        return False, f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
-    if len(s_rows) != len(o_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    if s_c.equals(o_c):
+        return True, f"ok ({len(s_df)} rows)"
 
-    col_order = sorted(s_cols)
-    s_idx = [s_cols.index(c) for c in col_order]
-    o_idx = [o_cols.index(c) for c in col_order]
-    s_sorted = sorted(
-        (tuple(_norm(r[i]) for i in s_idx) for r in s_rows), key=_sort_key
-    )
-    o_sorted = sorted(
-        (tuple(_norm(r[i]) for i in o_idx) for r in o_rows), key=_sort_key
-    )
-    for rn, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
-        for cn, (sv, ov) in enumerate(zip(sr, orow)):
-            # STRICT stringified equality, exactly like the driver's
-            # value-hash — float tolerance here let summation-order
-            # drift pass locally and fail externally (caught live
-            # twice on round-boundary averages; the fix is decimal
-            # sums or coarser rounding in the QUERY, not tolerance in
-            # the harness).
-            if str(sv) != str(ov):
-                return False, (
-                    f"value mismatch row {rn} col {col_order[cn]}: "
-                    f"spark={sv!r} oracle={ov!r}"
-                )
-    return True, f"ok ({len(s_rows)} rows)"
+    for col in s_c.columns:
+        neq = s_c[col].to_numpy() != o_c[col].to_numpy()
+        if neq.any():
+            rn = int(neq.argmax())
+            return False, (
+                f"value mismatch row {rn} col {col}: "
+                f"spark={s_c[col].iloc[rn]!r} oracle={o_c[col].iloc[rn]!r} "
+                f"(spark dtype={s_df[col].dtype}, oracle dtype={o_df[col].dtype})"
+            )
+    return False, "frames differ but no cell mismatch found (dtype-level divergence)"
