@@ -43,20 +43,41 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+try:  # documented swap-in: Pillow provides JPEG/WebP/GIF decode when present
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # Pillow is absent in this container (verified 2026-08-14)
+    _PILImage = None
+
+
 def decode_image(payload: bytes):
-    """Decode an image payload. PNG is decoded for real by the
-    pure-stdlib codec (operators/pngcodec.py — zlib inflate + scanline
-    unfiltering per the public spec); other formats (JPEG etc.) still
-    raise, since their codecs aren't in this container. A production
-    deployment swaps in libpng/libjpeg here; the Spark-side plumbing is
-    unchanged by that swap."""
+    """Decode an image payload to ``(width, height, channels, mean_pixel)``.
+
+    PNG is decoded for real by the pure-stdlib codec
+    (operators/pngcodec.py — zlib inflate + scanline unfiltering per the
+    public spec).  If Pillow is importable, JPEG/WebP/GIF payloads decode
+    through it with the same return contract; in this container Pillow is
+    absent, so non-PNG formats raise and surface as per-row
+    ``decode_error`` values (poison-payload boundary, not a batch
+    failure).  The Spark-side plumbing is identical either way."""
     data = bytes(payload)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from nabatshy_spark.operators.pngcodec import decode_png
 
         return decode_png(data)
+    if _PILImage is not None:
+        import io
+
+        import numpy as np
+
+        img = _PILImage.open(io.BytesIO(data))
+        arr = np.asarray(img.convert("RGB" if img.mode not in ("L", "RGB", "RGBA") else img.mode))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        return w, h, c, float(arr.mean())
     raise NotImplementedError(
-        "only PNG decode is available in-container (no JPEG/video codecs)"
+        "only PNG decode is available in-container (Pillow not installed; "
+        "pip install pillow enables JPEG/WebP/GIF through the same contract)"
     )
 
 

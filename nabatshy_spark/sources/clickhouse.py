@@ -46,3 +46,69 @@ def write_spans_jdbc(df: DataFrame, url: str, table: str = "denormalized_span", 
     for k, v in jdbc_options(url, table, **overrides).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# HTTP-interface writer — the path that IS exercisable in this container.
+#
+# ClickHouse's public HTTP interface accepts
+#   POST /?query=INSERT+INTO+<table>+FORMAT+JSONEachRow&<settings>
+# with newline-delimited JSON rows in the body.  Spark-side this is a
+# foreachPartition batched POST: every executor streams its own
+# partitions directly to the server (no driver funnel, no collect), the
+# same fan-in shape clickhouse-go gives the reference
+# (utils/utils.go:169-241 batches; db/clickhouse.go:21 60s ceiling,
+# :24-25 LZ4 — HTTP negotiates gzip via Content-Encoding instead).
+# ---------------------------------------------------------------------------
+
+
+def _post_batch(url: str, query: str, lines: list[str], timeout_s: float, gzip_body: bool) -> None:
+    import gzip as _gzip
+    import urllib.parse
+    import urllib.request
+
+    body = ("\n".join(lines) + "\n").encode("utf-8")
+    headers = {"Content-Type": "application/x-ndjson"}
+    if gzip_body:
+        body = _gzip.compress(body)
+        headers["Content-Encoding"] = "gzip"
+    full = url.rstrip("/") + "/?" + urllib.parse.urlencode({"query": query})
+    req = urllib.request.Request(full, data=body, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        resp.read()
+
+
+def insert_http(
+    df: DataFrame,
+    url: str,
+    table: str = "denormalized_span",
+    batch_rows: int = 10_000,
+    timeout_s: float = 60.0,
+    gzip_body: bool = True,
+) -> None:
+    """Append ``df`` to a ClickHouse table over the HTTP interface.
+
+    Executes as ``foreachPartition``: each Spark task JSON-encodes its
+    rows and POSTs them in ``batch_rows``-sized chunks — the write
+    parallelism IS the partition count, so `df.repartition(n)` is the
+    throughput knob.  A failed POST raises inside the task and Spark's
+    task retry re-sends the whole partition; pair with a ClickHouse
+    `ReplacingMergeTree` (or insert_deduplicate) for effective
+    idempotence, mirroring the at-least-once contract of the parquet
+    spool sink (sources/sink.py)."""
+    import json
+
+    query = f"INSERT INTO {table} FORMAT JSONEachRow"
+    cols = df.columns
+
+    def send(rows) -> None:
+        buf: list[str] = []
+        for row in rows:
+            buf.append(json.dumps(dict(zip(cols, row)), default=str, separators=(",", ":")))
+            if len(buf) >= batch_rows:
+                _post_batch(url, query, buf, timeout_s, gzip_body)
+                buf = []
+        if buf:
+            _post_batch(url, query, buf, timeout_s, gzip_body)
+
+    df.foreachPartition(send)

@@ -96,3 +96,86 @@ def test_streaming_restart_with_idempotent_sink_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_first + n_second == 60
     assert got.select("trace_id", "span_id").distinct().count() == 60
+
+
+# ---------------------------------------------------------------------------
+# HTTP-interface writer exercised against a live (mock) wire: an
+# in-process stdlib HTTP server stands in for ClickHouse's port-8123
+# endpoint and records every INSERT — query string, settings, batch
+# splits, gzip negotiation — so the sink mapping is no longer dead code.
+# ---------------------------------------------------------------------------
+
+
+def _start_mock_clickhouse():
+    import gzip
+    import http.server
+    import threading
+    import urllib.parse
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802  (stdlib casing)
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if self.headers.get("Content-Encoding") == "gzip":
+                body = gzip.decompress(body)
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            received.append(
+                {
+                    "query": qs.get("query", [""])[0],
+                    "gzip": self.headers.get("Content-Encoding") == "gzip",
+                    "lines": [ln for ln in body.decode("utf-8").split("\n") if ln],
+                }
+            )
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"")
+
+        def log_message(self, *a):  # silence request logging in pytest output
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, received
+
+
+def test_insert_http_batches_and_query_shape(spark):
+    import json
+
+    from nabatshy_spark.sources.clickhouse import insert_http
+
+    srv, received = _start_mock_clickhouse()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.range(0, 25).selectExpr(
+            "id AS span_id", "concat('svc_', id % 3) AS service_name"
+        ).coalesce(1)
+        insert_http(df, url, table="denormalized_span", batch_rows=10, gzip_body=True)
+
+        # 25 rows in one partition at batch_rows=10 → batches of 10/10/5
+        assert sorted(len(r["lines"]) for r in received) == [5, 10, 10]
+        for r in received:
+            assert r["query"] == "INSERT INTO denormalized_span FORMAT JSONEachRow"
+            assert r["gzip"] is True
+        rows = [json.loads(ln) for r in received for ln in r["lines"]]
+        assert {row["span_id"] for row in rows} == set(range(25))
+        assert all(row["service_name"].startswith("svc_") for row in rows)
+    finally:
+        srv.shutdown()
+
+
+def test_insert_http_parallel_partitions(spark):
+    from nabatshy_spark.sources.clickhouse import insert_http
+
+    srv, received = _start_mock_clickhouse()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.range(0, 40).repartition(4).selectExpr("id AS span_id")
+        insert_http(df, url, batch_rows=1000, gzip_body=False)
+        # one POST per non-empty partition, each executor writing directly
+        assert 1 <= len(received) <= 4
+        assert sum(len(r["lines"]) for r in received) == 40
+        assert all(r["gzip"] is False for r in received)
+    finally:
+        srv.shutdown()
