@@ -65,7 +65,8 @@ _PRIORITY = [
     "unigram_fluency_scores", "spans_critical_path",
     "spans_fanout_stats", "sql_grouping_sets_revenue",
     # New this round — filled in as round-3 operators land.
-    "dedup_embedding_clustered",
+    "dedup_embedding_clustered", "boilerplate_scrub",
+    "quality_model_scores", "token_mixture_plan", "sample_token_mixture",
     # (r1/r2 green rows stand for everything else; they stay out of the
     # window so every slot buys a first-ever external check.)
 ]

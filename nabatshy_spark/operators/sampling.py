@@ -170,3 +170,75 @@ def pack_token_chunks(
         (cum - toks).alias("start_offset"),
         F.floor((cum - toks) / chunk_tokens).cast("long").alias("chunk_id"),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    n_tokens: Column,
+    budget_frac: float = 0.5,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Token-budget data mixing: allocate a total token budget
+    (``budget_frac`` × corpus tokens) across sources by
+    temperature-scaled sampling — target share p_s ∝ tokens_s^(1/τ)
+    (τ=2 ⇒ √, the standard multilingual/multi-domain rebalancing that
+    upweights small sources without drowning large ones) — and emit the
+    per-source keep-rate min(1, budget·p_s / tokens_s).
+
+    One aggregation over the scan (partial agg on the source key), then
+    a 1-row grand-total broadcast back onto the per-source relation —
+    NOT a ``sum over ()`` window, which would drag every source row
+    into one task (harmless at 20 sources, fatal when sources are 10⁷
+    web domains); no driver round-trip anywhere.
+    """
+    per_source = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("tokens"),
+    )
+    raw = F.pow(F.col("tokens").cast("double"), F.lit(1.0 / temperature))
+    totals = per_source.agg(
+        F.sum(raw).alias("__raw_total"), F.sum("tokens").alias("__tok_total")
+    )
+    per_source = per_source.join(F.broadcast(totals))
+    share = raw / F.col("__raw_total")
+    budget = F.lit(budget_frac) * F.col("__tok_total")
+    rate = F.round(
+        F.least(F.lit(1.0), budget * share / F.col("tokens")), 6
+    )
+    return per_source.select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.col("tokens"),
+        F.round(share, 6).alias("share"),
+        rate.alias("rate"),
+        F.floor(rate * F.col("tokens")).cast("long").alias("expected_tokens"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    n_tokens: Column,
+    budget_frac: float = 0.5,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Apply the temperature-mixture plan: keep each document with its
+    source's rate, decided by the deterministic per-key uniform — the
+    end-to-end "rebalance this corpus to a token budget" operator.
+
+    The k-row rate table broadcasts into the corpus scan (hash join on
+    the source key with a broadcast side — no corpus shuffle), and the
+    membership test is the same engine-portable md5 uniform as
+    :func:`weighted_sample`, so the selected subset is bit-reproducible
+    anywhere.
+    """
+    rates = temperature_mixture_rates(
+        df, source_col, n_tokens, budget_frac, temperature
+    ).select(source_col, "rate")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_u01(F.col(id_col)) < F.col("rate"))
+        .select(F.col(id_col), F.col(source_col), F.col("rate"))
+    )

@@ -364,3 +364,134 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.round(F.sum("__lp") / F.sum("__c"), 6).alias("mean_logprob"),
         F.sum("__c").alias("n_tokens"),
     )
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 5,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup (the RefinedWeb / C4 move):
+    split every document into non-overlapping ``chunk_words``-word
+    chunks, find chunks that appear in more than ``max_docs`` distinct
+    documents (boilerplate: headers, footers, license blurbs), and
+    rebuild each document with those chunks removed.
+
+    Returns per-document scrub accounting — ``n_chunks``, ``n_kept``,
+    ``n_removed``, ``clean_md5`` (md5 of the reassembled text, '' when
+    everything was boilerplate) and ``n_chars_clean`` — rather than the
+    full cleaned body, so the result is compact and hash-comparable.
+
+    Scale shape: the corpus explodes once into (doc, pos, chunk-hash);
+    the hot-chunk set is a HAVING-filtered aggregate over the 16-byte
+    chunk hash (partial agg combines map-side) and is tiny by
+    construction — boilerplate is frequent, so there are few distinct
+    hot hashes — which makes the removal a **broadcast anti-join**, not
+    a second corpus-sized shuffle. Reassembly groups by doc id: one
+    row-proportional shuffle total. Never shuffles document bodies
+    keyed by content.
+    """
+    W = chunk_words
+    toks = _tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(W)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * W + 1, W), " "),
+    )
+    base = df.select(
+        F.col(id_col), n_chunks.cast("long").alias("n_chunks"), chunk_arr.alias("__chunks")
+    )
+    exploded = base.select(
+        id_col, F.posexplode("__chunks").alias("pos", "chunk")
+    ).withColumn("h", F.md5(F.col("chunk")))
+
+    hot = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_docs)
+        .select("h")
+    )
+    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("__clean"),
+    )
+    return (
+        base.select(id_col, "n_chunks")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.coalesce(F.col("__clean"), F.lit(""))).alias("clean_md5"),
+            F.length(F.coalesce(F.col("__clean"), F.lit(""))).cast("long").alias("n_chars_clean"),
+        )
+    )
+
+
+# Public fixed weights for the linear quality model: a fastText-style
+# classifier distilled to five cheap features. Purely illustrative
+# numbers (any real deployment retrains them); what matters here is the
+# shape — model-based scoring as ONE codegen'd expression, no UDF.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -1.0,
+    "len_norm": 2.2,        # length-normalized token count, capped at 1
+    "stop_ratio": 1.5,      # stopword presence ≈ natural prose
+    "avg_tok_len": -0.8,    # very long average tokens ≈ code/garbage
+    "ttr": 1.1,             # type-token ratio ≈ lexical diversity
+    "digit_ratio": -2.0,    # digit-heavy ≈ tables/serial dumps
+}
+
+
+def quality_model_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over five
+    engineered features, squashed through a sigmoid — the cheap
+    stand-in for a fastText/BERT quality model in curation pipelines
+    (swap the weights, keep the plan).
+
+    Single codegen'd projection over the scan: the features, the dot
+    product, and the sigmoid are all column expressions, so this runs
+    at parquet-scan speed with zero Python in the loop and the label
+    is usable directly as a pushed-down filter predicate.
+    """
+    w = QUALITY_MODEL_WEIGHTS
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    len_norm = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_ratio = _marker_count(toks, STOPWORDS) / n_tokens
+    avg_tok_len = (
+        F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tokens / F.lit(10.0)
+    )
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    digit_ratio = (
+        F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    ) / F.length(text)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["len_norm"]) * len_norm
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["avg_tok_len"]) * avg_tok_len
+        + F.lit(w["ttr"]) * ttr
+        + F.lit(w["digit_ratio"]) * digit_ratio
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("model_score"),
+        F.when(score >= 0.75, "high")
+        .when(score >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_label"),
+    )

@@ -1525,3 +1525,51 @@ def unigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.unigram_logprob_scores(
         load(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@query("boilerplate_scrub")
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup / boilerplate removal
+    (textanalysis.boilerplate_scrub): 5-word chunks appearing in >2
+    distinct documents are scrubbed and every document reassembled;
+    the hot-chunk set is a broadcast anti-join, so the corpus shuffles
+    once (chunk-hash agg) + once (doc reassembly)."""
+    return textanalysis.boilerplate_scrub(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_words=5, max_docs=2,
+    )
+
+
+@query("quality_model_scores")
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (textanalysis.quality_model_scores):
+    five engineered features → linear model → sigmoid → label, all as
+    one codegen'd projection (the fastText-classifier stand-in)."""
+    return textanalysis.quality_model_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query("token_mixture_plan")
+def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based token-budget allocation across sources
+    (sampling.temperature_mixture_rates, τ=2, budget = 50% of corpus
+    tokens): per-source keep-rates from one agg + a 1-row broadcast
+    grand total — no empty-frame window, no driver collect."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.temperature_mixture_rates(
+        docs, "source", F.size(F.split(F.col("text"), " ")),
+        budget_frac=0.5, temperature=2.0,
+    )
+
+
+@query("sample_token_mixture")
+def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan applied (sampling.mixture_sample): broadcast
+    the k-row rate table onto the corpus scan and keep each doc by the
+    deterministic md5 uniform — reproducible corpus rebalancing."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs, "doc_id", "source", F.size(F.split(F.col("text"), " ")),
+        budget_frac=0.5, temperature=2.0,
+    )

@@ -1870,3 +1870,92 @@ SELECT doc_id,
 FROM doc_tok JOIN vocab USING (t)
 GROUP BY doc_id
 """
+
+ORACLES["boilerplate_scrub"] = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) AS n_chunks
+  FROM documents
+), chunks AS (
+  SELECT b.doc_id, t.i AS pos,
+         array_to_string(b.w[t.i*5+1 : t.i*5+5], ' ') AS chunk
+  FROM base b, LATERAL (SELECT unnest(range(0, b.n_chunks)) AS i) t
+), hot AS (
+  SELECT md5(chunk) AS h FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
+), kept AS (
+  SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+  WHERE md5(c.chunk) NOT IN (SELECT h FROM hot)
+), rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_chunks,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       (b.n_chunks - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       md5(coalesce(r.clean, '')) AS clean_md5,
+       length(coalesce(r.clean, ''))::BIGINT AS n_chars_clean
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+ORACLES["quality_model_scores"] = """
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-( -1.0
+    + 2.2 * least(len(w) / 100.0, 1.0)
+    + 1.5 * (len(list_filter(w, t -> t IN ('the','a','is','of','and','to','in'))) / CAST(len(w) AS DOUBLE))
+    - 0.8 * (length(replace(text, ' ', '')) / CAST(len(w) AS DOUBLE) / 10.0)
+    + 1.1 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+    - 2.0 * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE))
+  ))), 6) AS model_score,
+  CASE
+    WHEN round(1.0 / (1.0 + exp(-( -1.0
+      + 2.2 * least(len(w) / 100.0, 1.0)
+      + 1.5 * (len(list_filter(w, t -> t IN ('the','a','is','of','and','to','in'))) / CAST(len(w) AS DOUBLE))
+      - 0.8 * (length(replace(text, ' ', '')) / CAST(len(w) AS DOUBLE) / 10.0)
+      + 1.1 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+      - 2.0 * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE))
+    ))), 6) >= 0.75 THEN 'high'
+    WHEN round(1.0 / (1.0 + exp(-( -1.0
+      + 2.2 * least(len(w) / 100.0, 1.0)
+      + 1.5 * (len(list_filter(w, t -> t IN ('the','a','is','of','and','to','in'))) / CAST(len(w) AS DOUBLE))
+      - 0.8 * (length(replace(text, ' ', '')) / CAST(len(w) AS DOUBLE) / 10.0)
+      + 1.1 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+      - 2.0 * ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE))
+    ))), 6) >= 0.5 THEN 'medium'
+    ELSE 'low'
+  END AS quality_label
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+ORACLES["token_mixture_plan"] = """
+WITH per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(tokens, 0.5)) AS raw_total, sum(tokens)::BIGINT AS tok_total
+  FROM per_source
+)
+SELECT p.source, p.n_docs, p.tokens,
+       round(pow(p.tokens, 0.5) / t.raw_total, 6) AS share,
+       round(least(1.0, 0.5 * t.tok_total * (pow(p.tokens, 0.5) / t.raw_total) / p.tokens), 6) AS rate,
+       CAST(floor(round(least(1.0, 0.5 * t.tok_total * (pow(p.tokens, 0.5) / t.raw_total) / p.tokens), 6) * p.tokens) AS BIGINT) AS expected_tokens
+FROM per_source p, tot t
+"""
+
+ORACLES["sample_token_mixture"] = """
+WITH per_source AS (
+  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(tokens, 0.5)) AS raw_total, sum(tokens)::BIGINT AS tok_total
+  FROM per_source
+), rates AS (
+  SELECT p.source,
+         round(least(1.0, 0.5 * t.tok_total * (pow(p.tokens, 0.5) / t.raw_total) / p.tokens), 6) AS rate
+  FROM per_source p, tot t
+)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::UBIGINT / 65536.0 < r.rate
+"""

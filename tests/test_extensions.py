@@ -626,3 +626,93 @@ def test_profile_approx_error_bound(spark, sf_dir):
         an, anulls, ad = approx[c]
         assert (an, anulls) == (n, nulls)
         assert abs(ad - nd) / max(nd, 1) < 0.05, c
+
+
+def test_boilerplate_scrub_removes_hot_chunks(spark):
+    """A 5-word chunk shared by 4 documents is scrubbed everywhere; a
+    document that is pure boilerplate collapses to the empty string
+    (md5('') fingerprint, 0 chars); unique text is untouched."""
+    import hashlib
+
+    from nabatshy_spark.operators.textanalysis import boilerplate_scrub
+
+    # chunking is stride-aligned, so the shared chunk sits at a 5-word
+    # boundary in every document that contains it
+    boiler = "all rights reserved contact us"
+    rows = [
+        (1, f"{boiler} unique alpha text one"),
+        (2, f"{boiler} unique beta text two"),
+        (3, f"{boiler} unique gamma text three"),
+        (4, boiler),                        # pure boilerplate
+        (5, "totally unique document five here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", chunk_words=5, max_docs=2,
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[4]["n_kept"] == 0
+    assert out[4]["clean_md5"] == md5("")
+    assert out[4]["n_chars_clean"] == 0
+    assert out[1]["n_removed"] == 1
+    assert out[1]["clean_md5"] == md5("unique alpha text one")
+    assert out[2]["n_removed"] == 1
+    assert out[5]["n_removed"] == 0
+    assert out[5]["clean_md5"] == md5("totally unique document five here")
+
+
+def test_quality_model_monotone_features(spark):
+    """Digit-dumping a document strictly lowers its model score; the
+    label boundaries sit on the rounded score."""
+    from nabatshy_spark.operators.textanalysis import quality_model_scores
+
+    prose = "the cat is one of the fine animals in the world and it is a joy"
+    digits = "93 1 77 003 5 12 9 44 8 21 6 305 7 18 2 99 13 4 55 10 31 76 11"
+    rows = [(1, prose), (2, digits)]
+    out = {
+        r["doc_id"]: r
+        for r in quality_model_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[1]["model_score"] > out[2]["model_score"]
+    for r in out.values():
+        s, lab = r["model_score"], r["quality_label"]
+        assert lab == ("high" if s >= 0.75 else "medium" if s >= 0.5 else "low")
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """τ=2 temperature scaling gives a smaller source a HIGHER keep
+    rate than a larger one, rates stay in (0, 1], and the planned
+    token total does not exceed the budget."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators.sampling import temperature_mixture_rates
+
+    rows = [(i, "small" if i < 10 else "big", "w " * 50) for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {
+        r["source"]: r
+        for r in temperature_mixture_rates(
+            df, "source", F.size(F.split(F.col("text"), " ")),
+            budget_frac=0.5, temperature=2.0,
+        ).collect()
+    }
+    assert plan["small"]["rate"] > plan["big"]["rate"]
+    total_tokens = sum(p["tokens"] for p in plan.values())
+    assert sum(p["expected_tokens"] for p in plan.values()) <= 0.5 * total_tokens + 1
+    for p in plan.values():
+        assert 0 < p["rate"] <= 1.0
+
+
+def test_mixture_sample_deterministic(spark, sf_dir):
+    """Two runs of the mixture sampler select the identical subset."""
+    from nabatshy_spark.plans.queries import QUERIES
+
+    a = sorted(r["doc_id"] for r in QUERIES["sample_token_mixture"](spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in QUERIES["sample_token_mixture"](spark, sf_dir).collect())
+    assert a == b and len(a) > 0
