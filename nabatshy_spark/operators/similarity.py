@@ -320,3 +320,137 @@ def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
         partials.groupBy("i", "j")
         .agg(F.round(F.sum("g"), 6).alias("g"))
     )
+
+
+# --- product quantization (PQ/ADC) ----------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (Jégou, Douze, Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011): split the
+    ``dim`` dimensions into ``m`` contiguous subspaces and run the
+    deterministic Lloyd's k-means (operators/clustering.py) in each.
+
+    The result is m × ks × (dim/m) doubles — O(1) driver data (1 KB
+    here). At corpus scale, train on a consistent hash sample
+    (sampling.hash_sample) — codebook quality saturates around 10⁵–10⁶
+    training vectors regardless of corpus size."""
+    from nabatshy_spark.operators import clustering
+
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sv = df.select(
+            F.col(id_col),
+            F.transform(
+                F.slice(F.col(vec_col), j * sub + 1, sub),
+                lambda x: x.cast("double"),
+            ).alias("__sv"),
+        )
+        books.append(
+            clustering.kmeans_centroids(sv, id_col, "__sv", k=ks, iters=iters)
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Encode vectors to their PQ codes: code[j] = argmin over the
+    subspace-j codebook. Pure array-expression argmin per subspace
+    (same tie-break discipline as clustering.assign_clusters), one
+    narrow scan, no shuffle.
+
+    The ``code`` column is m bytes of information per vector (m=8,
+    ks=16 ⇒ 8 nibbles) versus m·sub·8 bytes of raw floats — the ~64×
+    storage/scan-IO compression that makes ADC scans cheap: a writer
+    persists (id, code) as its own table/column and the raw vectors
+    are only touched by the re-rank."""
+    m = len(books)
+    sub = len(books[0][0])
+    codes = []
+    for j, book in enumerate(books):
+        sv = F.transform(
+            F.slice(F.col(vec_col), j * sub + 1, sub), lambda x: x.cast("double")
+        )
+        from nabatshy_spark.operators.clustering import _sqdist
+
+        dists = F.array(*[F.round(_sqdist(sv, c), 9) for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(F.col(id_col), F.col(vec_col), F.array(*codes).alias("code"))
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 8,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC),
+    exact-cosine re-ranked: (1) train codebooks, (2) encode the corpus,
+    (3) score every code against the query's per-subspace lookup table
+    (m·ks floats, computed driver-side and inlined as literals — the
+    scan does m element_at lookups + adds per row, nothing else),
+    (4) TakeOrdered the ``rerank·k`` best ADC candidates, (5) exact
+    cosine on those candidates only, top-k. Same output schema as
+    ``cosine_topk``; recall is approximate (rows-only driver check,
+    recall pinned by unit test).
+
+    100 TB shape: the ADC scan reads ONLY the (id, code) relation —
+    ~64× less IO than the raw vectors — and ranking is a per-partition
+    top-R merge (TakeOrderedAndProject), no global sort, no shuffle of
+    vectors; the re-rank joins ``rerank·k`` ids back to the vector
+    table (broadcast of the id set → pushed-down point reads)."""
+    import numpy as np
+
+    probe = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if probe is None:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
+    q = np.asarray(probe[0], dtype=np.float64)
+    dim = len(q)
+    sub = dim // m
+
+    books = pq_codebooks(df, id_col, vec_col, dim, m=m, ks=ks)
+    encoded = pq_encode(
+        df.filter(F.col(id_col) != query_id), id_col, vec_col, books
+    )
+
+    # per-subspace LUT of squared distances from the query's subvector
+    adc = None
+    for j, book in enumerate(books):
+        qj = q[j * sub : (j + 1) * sub]
+        lut = [float(np.sum((qj - np.asarray(c)) ** 2)) for c in book]
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.element_at(F.col("code"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    candidates = (
+        encoded.select(F.col(id_col), adc.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        df.join(F.broadcast(candidates), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1573,3 +1573,40 @@ def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source", F.size(F.split(F.col("text"), " ")),
         budget_frac=0.5, temperature=2.0,
     )
+
+
+@query("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk, Jégou et al. PQ):
+    deterministic per-subspace codebooks, nibble codes, ADC lookup-table
+    scan over the 64×-smaller code relation, exact-cosine re-rank of
+    the top candidates. Approximate ⇒ rows-only driver check; the
+    recall unit test pins quality against brute force."""
+    return similarity.pq_topk(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_id=0, k=10, m=8, ks=16, rerank=8,
+    )
+
+
+@query("trade_triangles")
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts on the undirected nation trade graph
+    (operators/graph.py:triangle_counts — degree-oriented wedge join,
+    Suri-Vassilvitskii): same edge derivation as pagerank_trade, so
+    together they give the topology dashboard rank + cohesion."""
+    from nabatshy_spark.operators import graph
+
+    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    return graph.triangle_counts(edges).select(
+        F.col("node").alias("nationkey"), "triangles"
+    )

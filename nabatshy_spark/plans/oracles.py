@@ -1959,3 +1959,30 @@ SELECT d.doc_id, d.source, r.rate
 FROM documents d JOIN rates r USING (source)
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::UBIGINT / 65536.0 < r.rate
 """
+
+ORACLES["trade_triangles"] = """
+WITH e AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                  greatest(c.c_nationkey, s.s_nationkey) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT u AS n FROM e UNION SELECT v AS n FROM e
+), per_node AS (
+  SELECT n, count(*)::BIGINT AS t FROM (
+    SELECT a AS n FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY n
+)
+SELECT nodes.n AS nationkey, coalesce(per_node.t, 0)::BIGINT AS triangles
+FROM nodes LEFT JOIN per_node ON nodes.n = per_node.n
+"""

@@ -35,6 +35,7 @@ def start_file_ingest(
     checkpoint_dir: str,
     dedupe_watermark: str | None = None,
     trigger_interval: str | None = None,
+    sink_fn=None,
 ) -> StreamingQuery:
     """Stream OTLP JSON documents (one per line, text files) into the
     partitioned span table.
@@ -45,12 +46,23 @@ def start_file_ingest(
     stateful dedup on (trace_id, span_id) within the event-time
     watermark — duplicates arriving inside the window are dropped
     exactly once; state is bounded by the watermark.
+
+    ``sink_fn`` swaps the per-batch writer: the default appends to the
+    hour-partitioned parquet table; pass e.g.
+    ``lambda b: clickhouse.insert_http(b, url)`` for the reference's
+    Structured-Streaming-to-ClickHouse shape (BASELINE spark_approach;
+    exercised end-to-end against a wire mock in tests/test_sinks.py).
+    Retries of a failed batch re-run the whole sink_fn — the same
+    at-least-once contract as the parquet spool.
     """
     raw = spark.readStream.schema(RAW_SCHEMA).text(input_dir)
+    write = sink_fn if sink_fn is not None else (
+        lambda b: append_spans(b, output_path)
+    )
 
     if dedupe_watermark is None:
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            append_spans(parse_otlp_json(batch, "value"), output_path)
+            write(parse_otlp_json(batch, "value"))
 
         stream = raw
     else:
@@ -67,7 +79,7 @@ def start_file_ingest(
         )
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            append_spans(batch, output_path)
+            write(batch)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -716,3 +716,37 @@ def test_mixture_sample_deterministic(spark, sf_dir):
     a = sorted(r["doc_id"] for r in QUERIES["sample_token_mixture"](spark, sf_dir).collect())
     b = sorted(r["doc_id"] for r in QUERIES["sample_token_mixture"](spark, sf_dir).collect())
     assert a == b and len(a) > 0
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ/ADC top-10 overlaps brute-force cosine top-10 by ≥ 6 on the
+    embeddings table, is deterministic, and with full re-rank depth
+    (rerank·k ≥ corpus) is EXACTLY the brute-force answer (the ADC
+    stage then only orders candidates, the exact re-rank decides)."""
+    from nabatshy_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = [r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", 0, k=10).collect()]
+    approx1 = [r["vec_id"] for r in pq_topk(emb, "vec_id", "embedding", 0, k=10).collect()]
+    approx2 = [r["vec_id"] for r in pq_topk(emb, "vec_id", "embedding", 0, k=10).collect()]
+    assert approx1 == approx2
+    assert len(set(exact) & set(approx1)) >= 6
+    full = [
+        r["vec_id"]
+        for r in pq_topk(emb, "vec_id", "embedding", 0, k=10, rerank=100).collect()
+    ]
+    assert full == exact
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Hand graph: K4 on {1..4} (each node in C(3,2)=3 triangles), a
+    pendant node 5 attached to 1 (0 triangles), and an isolated edge
+    6-7; duplicate/reversed/self edges must not change anything."""
+    from nabatshy_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 1), (6, 7),
+             (2, 1), (3, 1), (4, 4)]  # reversed dup, dup, self-loop
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}

@@ -179,3 +179,34 @@ def test_insert_http_parallel_partitions(spark):
         assert all(r["gzip"] is False for r in received)
     finally:
         srv.shutdown()
+
+
+def test_streaming_to_clickhouse_http(spark, tmp_path):
+    """The BASELINE spark_approach end-to-end: Structured Streaming
+    ingest with a ClickHouse sink — OTLP JSON files stream through
+    parse/denormalize and every micro-batch POSTs JSONEachRow batches
+    to the (mock) ClickHouse HTTP endpoint."""
+    import json
+
+    from nabatshy_spark.sources.clickhouse import insert_http
+    from nabatshy_spark.streaming.ingest import start_file_ingest
+    from tests.test_otlp_ingest import _legacy_payload, _payload
+
+    srv, received = _start_mock_clickhouse()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        (in_dir / "b1.jsonl").write_text(_payload() + "\n")
+        (in_dir / "b2.jsonl").write_text(_legacy_payload() + "\n")
+        q = start_file_ingest(
+            spark, str(in_dir), output_path="", checkpoint_dir=str(tmp_path / "ck"),
+            sink_fn=lambda b: insert_http(b, url, gzip_body=False),
+        )
+        q.awaitTermination(120)
+        rows = [json.loads(ln) for r in received for ln in r["lines"]]
+        assert len(rows) == 5                     # same spans the parquet path lands
+        assert all(r["query"].startswith("INSERT INTO denormalized_span") for r in received)
+        assert {row["scope_name"] for row in rows} >= {"legacy-lib"}
+    finally:
+        srv.shutdown()
