@@ -87,6 +87,11 @@ HEADLINE = [
     "hourly_latency_percentiles",
     "rolling_user_value",
     "spans_critical_path",
+    # round 3 additions
+    "boilerplate_scrub",
+    "quality_model_scores",
+    "sample_token_mixture",
+    "trade_triangles",
 ]
 
 

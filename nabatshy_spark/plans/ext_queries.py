@@ -1610,3 +1610,32 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(edges).select(
         F.col("node").alias("nationkey"), "triangles"
     )
+
+
+@query("bpe_vocab_merges")
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (operators/bpe.py, Sennrich et al.
+    2016): 20 deterministic merges trained on the word-frequency table
+    (ONE corpus pass; every round runs on the small distinct-word
+    relation). Iterative training is not SQL-expressible ⇒ rows-only
+    driver check; the classic-corpus unit pins the merge sequence."""
+    from nabatshy_spark.operators import bpe
+
+    merges = bpe.bpe_train(load(spark, sf_dir, "documents"), "text", num_merges=20)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@query("bpe_token_stats")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the trained BPE vocabulary
+    (bpe.bpe_token_counts): whitespace vs subword counts + fertility —
+    the accounting that drives packing budgets. Tokenization is one
+    narrow mapInPandas pass with a per-batch word cache."""
+    from nabatshy_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", num_merges=20)
+    return bpe.bpe_token_counts(docs, "doc_id", "text", merges)

@@ -750,3 +750,45 @@ def test_triangle_counts_hand_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_bpe_classic_corpus_merge_sequence(spark):
+    """The Sennrich low/lower/newest/widest corpus learns the textbook
+    merge sequence, and segmentation composes merges correctly on an
+    unseen word ('lowest' → low + est</w>)."""
+    from nabatshy_spark.operators import bpe
+
+    rows, i = [], 0
+    for w, c in [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]:
+        for _ in range(c):
+            rows.append((i, w))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.bpe_train(df, "text", num_merges=5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    assert bpe.bpe_segment("lowest", bpe.bpe_train(df, "text", num_merges=10)) == [
+        "low", "est</w>",
+    ]
+
+
+def test_bpe_token_counts_monotone(spark, sf_dir):
+    """More merges never increase a document's BPE token count, and
+    zero merges degenerate to chars+1 per word."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    m10 = bpe.bpe_train(docs, "text", num_merges=10)
+    c0 = {r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_token_counts(docs, "doc_id", "text", []).collect()}
+    c10 = {r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_token_counts(docs, "doc_id", "text", m10).collect()}
+    assert all(c10[k] <= c0[k] for k in c0)
+    chars = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+             + F.size(F.split(F.col("text"), " "))).alias("n"),
+        ).collect()
+    }
+    assert all(c0[k] == chars[k] for k in c0)
