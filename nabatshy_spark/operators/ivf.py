@@ -153,3 +153,141 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- IVF + PQ composition (the FAISS IVFPQ architecture, public) ----------
+
+
+def build_ivfpq(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_bits: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+) -> None:
+    """Write an IVF+PQ index: rows partitioned by coarse LSH cell, each
+    row carrying its PQ ``code`` next to the raw vector (Jégou et al.
+    IVFADC). The trained codebooks (m·ks·(dim/m) doubles) land as a
+    JSON sidecar in the index directory — the index is self-contained.
+
+    Query-time IO story: the ADC stage reads ONLY (id, code) from the
+    probed cells — partition pruning × ~64× column compression — and
+    the raw vectors are touched just for the final re-rank candidates.
+    """
+    import json
+
+    from nabatshy_spark.operators.similarity import pq_codebooks, pq_encode
+
+    books = pq_codebooks(df, id_col, vec_col, dim, m=m, ks=ks)
+    encoded = pq_encode(df, id_col, vec_col, books)
+    signed = lsh_signature(encoded, vec_col, num_planes=cell_bits, dim=dim)
+    (
+        signed.withColumn(CELL_COL, F.col("__sig").cast("int"))
+        .drop("__sig")
+        .write.mode("overwrite")
+        .partitionBy(CELL_COL)
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_pq_codebooks.json"), "w") as f:
+        json.dump(books, f)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    cell_bits: int = 4,
+    nprobe: int = 3,
+    rerank: int = 8,
+) -> DataFrame:
+    """Top-k over an IVF+PQ index: probe cells (partition pruning) →
+    ADC scan over the (id, code) projection (driver-side lookup tables
+    inlined as literals) → exact-cosine re-rank of the ``rerank·k``
+    best candidates only. nprobe=2^cell_bits with deep rerank recovers
+    the exact answer; the knobs trade IO for recall independently
+    (cells scanned × candidates re-ranked)."""
+    import json
+
+    import numpy as np
+
+    from nabatshy_spark.operators.similarity import _planes
+
+    with open(os.path.join(path, "_pq_codebooks.json")) as f:
+        books = json.load(f)
+    m = len(books)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sub = len(q) // m
+
+    sig = 0
+    for i, plane in enumerate(_planes(len(query_vec), cell_bits)):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            sig |= 1 << i
+    cells = _probe_cells(sig, cell_bits, nprobe)
+
+    reader = spark.read.parquet(path)
+    codes = reader.filter(F.col(CELL_COL).isin(cells)).select(id_col, "code")
+    adc = None
+    for j, book in enumerate(books):
+        qj = q[j * sub : (j + 1) * sub]
+        lut = [float(np.sum((qj - np.asarray(c)) ** 2)) for c in book]
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.element_at(F.col("code"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    candidates = (
+        codes.select(F.col(id_col), adc.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(rerank * k)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        reader.filter(F.col(CELL_COL).isin(cells))
+        .join(F.broadcast(candidates.select(id_col)), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ensure_ivfpq(
+    spark: SparkSession,
+    source_path: str,
+    base_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_bits: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+) -> str:
+    """Idempotent IVF+PQ build with the same content-fingerprinted,
+    staging-then-rename lifecycle as :func:`ensure_ivf` (codebooks are
+    deterministic, so two concurrent builds produce identical indexes
+    and the rename race is benign)."""
+    base = base_dir or os.path.join(tempfile.gettempdir(), "nabatshy_ivfpq")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(
+        base,
+        f"{_source_fingerprint(source_path)}_b{cell_bits}_d{dim}_m{m}_k{ks}",
+    )
+    if os.path.isdir(path):
+        return path
+    staging = f"{path}.staging-{os.getpid()}"
+    build_ivfpq(
+        spark.read.parquet(source_path), staging, id_col, vec_col,
+        cell_bits, dim, m, ks,
+    )
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return path

@@ -1639,3 +1639,25 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, "text", num_merges=20)
     return bpe.bpe_token_counts(docs, "doc_id", "text", merges)
+
+
+@query("ann_ivfpq_topk")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via the composed IVF+PQ index (FAISS IVFADC
+    architecture, Jégou et al.): partition pruning on the coarse cell
+    × ADC scan over the (id, code) projection × exact-cosine re-rank.
+    Content-fingerprinted lifecycle (ivf.ensure_ivfpq). Probabilistic
+    recall ⇒ rows-only; the unit pins exactness at full probe + deep
+    re-rank."""
+    import os as _os
+
+    from nabatshy_spark.operators import ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(emb.vec_id == 0).first()
+    if qrow is None:
+        return spark.createDataFrame([], "vec_id long, cos double")
+    path = ivf.ensure_ivfpq(spark, _os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf.ivfpq_topk(
+        spark, path, [float(x) for x in qrow.embedding], k=10, nprobe=8, rerank=8
+    )

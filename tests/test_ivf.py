@@ -79,3 +79,31 @@ def test_ensure_ivf_lifecycle(spark, sf_dir, tmp_path):
     assert p2 != p1
     n = spark.read.parquet(p2).count()
     assert n == 50
+
+
+def test_ivfpq_full_probe_deep_rerank_exact(spark, sf_dir, tmp_path):
+    """IVFPQ with every cell probed and re-rank depth ≥ corpus equals
+    brute force (exact-cosine re-rank decides); the ADC scan projects
+    only (id, code) — the PQ IO story — and pruning still reaches the
+    scan at small nprobe."""
+    from nabatshy_spark.operators.ivf import build_ivfpq, ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq(emb, path)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()]
+    # k=11: the index contains the query row itself (cos 1.0, rank 1),
+    # which brute-force cosine_topk excludes by contract
+    full = ivfpq_topk(spark, path, qvec, k=11, nprobe=16, rerank=100)
+    got = [r.vec_id for r in full.collect() if r.vec_id != 0]
+    assert got == exact
+
+    pruned = ivfpq_topk(spark, path, qvec, k=10, nprobe=3, rerank=8)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    rows = pruned.collect()
+    assert 0 < len(rows) <= 10
+    # approximate probe still finds the query's own vector first
+    assert rows[0].vec_id == 0
