@@ -211,3 +211,63 @@ def test_dynamic_partition_pruning_on_partitioned_events(spark, tmp_path):
         "partition filter must be injected from the dim side at runtime"
     )
     assert joined.count() == 3
+
+
+def test_boilerplate_scrub_broadcasts_hot_set(spark, sf_dir):
+    """The hot-chunk removal must be a broadcast LeftAnti hash join —
+    never a shuffled anti-join of the exploded corpus — and the final
+    per-doc stats join stays a plain equi-join."""
+    plan = _plan(spark, "boilerplate_scrub", sf_dir)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:500]
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """The k-row rate table broadcasts INTO the corpus scan (no corpus
+    shuffle), and no empty-frame window appears anywhere (the
+    one-task trap)."""
+    plan = _plan(spark, "sample_token_mixture", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_trade_triangles_no_cartesian(spark, sf_dir):
+    """The wedge join and closure must plan as hash joins on node keys
+    — a CartesianProduct or BroadcastNestedLoopJoin would mean the
+    orientation keys were lost."""
+    plan = _plan(spark, "trade_triangles", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_adc_scan_skips_vector_column(spark, sf_dir, tmp_path):
+    """The PQ IO claim, asserted: the ADC candidate scan reads ONLY
+    (id, code) from the index — the embedding column must be absent
+    from its ReadSchema (it is touched solely by the re-rank scan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators import ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = str(tmp_path / "ivfpq")
+    ivf.build_ivfpq(emb, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+    import json
+
+    import numpy as np
+
+    with open(os.path.join(path, "_pq_codebooks.json")) as f:
+        books = json.load(f)
+    q = np.asarray(qvec)
+    sub = len(q) // len(books)
+    codes = spark.read.parquet(path).select("vec_id", "code")
+    adc = None
+    for j, book in enumerate(books):
+        lut = [float(np.sum((q[j * sub:(j + 1) * sub] - np.asarray(c)) ** 2)) for c in book]
+        term = F.element_at(F.array(*[F.lit(x) for x in lut]), F.element_at(F.col("code"), j + 1) + 1)
+        adc = term if adc is None else adc + term
+    cand = codes.select("vec_id", adc.alias("__adc")).orderBy("__adc", "vec_id").limit(8)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "embedding" not in m.group(1), m.group(1) if m else plan[:300]

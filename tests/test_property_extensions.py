@@ -159,3 +159,54 @@ def test_split_corpus_partitions_completely(spark, train_bps, val_bps):
         assert counts["train"] == 0
     if val_bps == 0:
         assert counts["val"] == 0
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "b"), ("b", "c"), ("ab", "c"), ("c", "a")]),
+)
+@settings(max_examples=50, deadline=None)
+def test_bpe_merge_preserves_concatenation(symbols, pair):
+    """One BPE merge never changes the underlying string, applies
+    leftmost-first without overlap, and is idempotent once no adjacent
+    pair remains (pure function — no Spark job needed)."""
+    from nabatshy_spark.operators.bpe import _merge_seq
+
+    left, right = pair
+    merged = _merge_seq(symbols, left, right)
+    assert "".join(merged) == "".join(symbols)
+    assert len(merged) <= len(symbols)
+    # idempotence after fixpoint (a single pass may legitimately leave
+    # new adjacencies created by its own rewrites — BPE replays merges
+    # in order, so only the fixpoint must be stable)
+    fixed = merged
+    for _ in range(5):
+        nxt = _merge_seq(fixed, left, right)
+        if nxt == fixed:
+            break
+        fixed = nxt
+    assert _merge_seq(fixed, left, right) == fixed
+
+
+@given(st.lists(st.integers(0, 30), min_size=0, max_size=25))
+@SLOW
+def test_triangle_counts_match_bruteforce(spark, flat):
+    """Triangle counts on random small graphs equal the O(n³)
+    brute-force reference."""
+    import itertools
+
+    from nabatshy_spark.operators.graph import triangle_counts
+
+    edges = [(flat[i], flat[i + 1]) for i in range(0, len(flat) - 1, 2)
+             if flat[i] != flat[i + 1]]
+    if not edges:
+        return
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    ref = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            ref[a] += 1; ref[b] += 1; ref[c] += 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == ref
