@@ -1,0 +1,147 @@
+"""Mergeable frequency / membership sketches as plain DataFrame
+aggregates (SURVEY §2.11 extension surface): count-min for heavy-hitter
+frequency estimation, Bloom bits for membership prefilters.
+
+Both are built from engine-portable md5 hashing (the repo's standard
+determinism trick), so the ENTIRE sketch — not just its answers — is
+bit-identical across Spark, DuckDB, and reruns, and the DuckDB oracle
+replicates construction and query verbatim (a rarity for sketches:
+these are oracle-checked, not rows-only).
+
+Scale shape:
+- A count-min sketch (Cormode & Muthukrishnan 2005) is depth×width
+  counters built by ONE partial-aggregated groupBy over (row,
+  hash(key) % width) — d·w groups regardless of key cardinality, and
+  sketches of corpus shards merge by cell-wise addition (the partial
+  agg IS the merge).
+- Bloom bits (Bloom 1970) are the distinct (bit) set from k probes per
+  key — a groupBy on bit position, ≤ m groups. The probe side is a
+  broadcast join of the bit set into any scan: the standard cheap
+  prefilter in front of expensive dedup / decontamination joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(key: Column, seed: int, modulus: int) -> Column:
+    """Engine-portable hash: first 8 md5 hex chars of "<seed>:<key>"
+    as an integer, mod ``modulus`` (DuckDB spells it
+    ('0x' || substr(md5(seed || ':' || key), 1, 8))::UBIGINT % m)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+    )
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """The count-min sketch itself: (row, col, c) counters — depth
+    independent hash rows, each key adding its multiplicity to one cell
+    per row. One explode (×depth) + one partial-agg shuffle of d·w
+    groups; shard sketches merge by summing cells."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"), _h(F.col(key_col), d, width).alias("col")
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimates(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Per-distinct-key count-min estimate: min over the key's cells —
+    ≥ the true count always (collisions only inflate), with the classic
+    (ε=e/width, δ=e^-depth) overestimate bound. The distinct-key probe
+    relation joins the d·w counter table (broadcast — the sketch is
+    O(1) size by construction)."""
+    sketch = cms_counters(df, key_col, depth, width)
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _h(F.col("key"), d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("p.row") == F.col("row")) & (F.col("p.col") == F.col("col")),
+        )
+        .groupBy("key")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, num_hashes: int = 5, num_bits: int = 1024
+) -> DataFrame:
+    """The Bloom filter's set-bit relation: distinct bit positions from
+    ``num_hashes`` probes per key. ≤ m rows regardless of input size;
+    shard filters merge by union (distinct)."""
+    probes = F.array(
+        *[_h(F.col(key_col), d, num_bits) for d in range(num_hashes)]
+    )
+    return (
+        df.select(F.explode(probes).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    filter_bits: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    num_hashes: int = 5,
+    num_bits: int = 1024,
+) -> DataFrame:
+    """Membership test: a candidate "may be present" iff ALL its probe
+    bits are set — no false negatives ever, false-positive rate
+    ≈ (1 - e^{-kn/m})^k. The bit set broadcasts into the candidate
+    scan (left join + count == k), the cheap prefilter shape."""
+    keys = candidates.select(F.col(key_col).alias("key")).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(*[_h(F.col("key"), d, num_bits) for d in range(num_hashes)])
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(filter_bits), "bit", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("__set"))
+    )
+    return (
+        keys.join(hits, "key", "left")
+        .select(
+            "key",
+            (F.coalesce(F.col("__set"), F.lit(0)) == num_hashes).alias(
+                "may_contain"
+            ),
+        )
+    )

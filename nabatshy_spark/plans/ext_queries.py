@@ -1661,3 +1661,42 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivfpq_topk(
         spark, path, [float(x) for x in qrow.embedding], k=10, nprobe=8, rerank=8
     )
+
+
+@query("cms_user_counts")
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates per user (operators/sketches.py,
+    Cormode-Muthukrishnan): depth 4 × width 64 forces collisions at 150
+    users, so estimates genuinely exercise the min-over-rows bound
+    (est ≥ true, always). The md5 hashing is engine-portable, so the
+    ORACLE REBUILDS THE SKETCH — construction and query both checked,
+    not just sanity."""
+    from nabatshy_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.cms_estimates(ev, "user_id", depth=4, width=64).select(
+        F.col("key").cast("string").alias("key"), "est"
+    )
+
+
+@query("bloom_purchase_users")
+def bloom_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter (operators/sketches.py): the
+    bit set is built over users with a 'purchase' event and probed with
+    every user — no false negatives by construction (flagged ⊇ true
+    purchasers), false positives bounded by (1-e^{-kn/m})^k. The
+    broadcast bit-set join is the cheap guard in front of expensive
+    dedup/decontamination joins at 100 TB."""
+    from nabatshy_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    big_buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    ).select("user_id")
+    # m=256 keeps a real (bounded) false-positive rate in play at this
+    # SF, so the query exercises the probabilistic side too; the
+    # no-false-negative guarantee is exact regardless.
+    bits = sketches.bloom_bits(big_buyers, "user_id", num_hashes=5, num_bits=256)
+    return sketches.bloom_probe(
+        bits, ev.select("user_id"), "user_id", num_hashes=5, num_bits=256
+    ).select(F.col("key").cast("string").alias("key"), "may_contain")

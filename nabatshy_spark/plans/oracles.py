@@ -1986,3 +1986,39 @@ WITH e AS (
 SELECT nodes.n AS nationkey, coalesce(per_node.t, 0)::BIGINT AS triangles
 FROM nodes LEFT JOIN per_node ON nodes.n = per_node.n
 """
+
+ORACLES["cms_user_counts"] = """
+WITH d AS (SELECT unnest(range(0, 4)) AS row),
+cells AS (
+  SELECT d.row AS row,
+         ('0x' || substr(md5(d.row || ':' || e.user_id::VARCHAR), 1, 8))::UBIGINT % 64 AS col
+  FROM events e, d
+), sketch AS (
+  SELECT row, col, count(*)::BIGINT AS c FROM cells GROUP BY row, col
+), keys AS (
+  SELECT DISTINCT user_id::VARCHAR AS key FROM events
+), probes AS (
+  SELECT k.key, d.row AS row,
+         ('0x' || substr(md5(d.row || ':' || k.key), 1, 8))::UBIGINT % 64 AS col
+  FROM keys k, d
+)
+SELECT p.key, min(s.c)::BIGINT AS est
+FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+GROUP BY p.key
+"""
+
+ORACLES["bloom_purchase_users"] = """
+WITH d AS (SELECT unnest(range(0, 5)) AS h),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(d.h || ':' || e.user_id::VARCHAR), 1, 8))::UBIGINT % 256 AS bit
+  FROM events e, d WHERE e.event_type = 'purchase' AND e.value > 250
+), cand AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events),
+probes AS (
+  SELECT c.key, ('0x' || substr(md5(d.h || ':' || c.key), 1, 8))::UBIGINT % 256 AS bit
+  FROM cand c, d
+), hits AS (
+  SELECT key, count(*)::BIGINT AS nset FROM probes WHERE bit IN (SELECT bit FROM bits) GROUP BY key
+)
+SELECT c.key, coalesce(h.nset, 0) = 5 AS may_contain
+FROM cand c LEFT JOIN hits h USING (key)
+"""

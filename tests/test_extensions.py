@@ -792,3 +792,48 @@ def test_bpe_token_counts_monotone(spark, sf_dir):
         ).collect()
     }
     assert all(c0[k] == chars[k] for k in c0)
+
+
+def test_cms_overestimates_and_merges(spark, sf_dir):
+    """Count-min: every estimate ≥ the true count (collisions only
+    inflate), and the sketch of a union equals the cell-wise sum of
+    shard sketches (mergeability — the property that makes it a
+    distributed aggregate)."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    est = {r["key"]: r["est"] for r in sketches.cms_estimates(ev, "user_id", 4, 64).collect()}
+    true = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    assert any(est[k] > true[k] for k in true)  # width 64 < 150 keys ⇒ collisions exist
+
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    whole = {(r["row"], r["col"]): r["c"] for r in sketches.cms_counters(ev, "user_id", 4, 64).collect()}
+    sa = {(r["row"], r["col"]): r["c"] for r in sketches.cms_counters(a, "user_id", 4, 64).collect()}
+    sb = {(r["row"], r["col"]): r["c"] for r in sketches.cms_counters(b, "user_id", 4, 64).collect()}
+    merged = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert merged == whole
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key is flagged (always), and with a roomy filter
+    the planted absent keys are not (probabilistic, pinned by seed
+    determinism — the md5 probes are pure functions)."""
+    from nabatshy_spark.operators import sketches
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    others = spark.createDataFrame([(i,) for i in range(1000, 1020)], "k long")
+    bits = sketches.bloom_bits(members, "k", num_hashes=5, num_bits=2048)
+    out = {
+        r["key"]: r["may_contain"]
+        for r in sketches.bloom_probe(
+            bits, members.union(others), "k", num_hashes=5, num_bits=2048
+        ).collect()
+    }
+    assert all(out[i] for i in range(50))
+    fp = sum(1 for i in range(1000, 1020) if out[i])
+    assert fp <= 2  # (1-e^{-250/2048})^5 ≈ 2e-5 per key; 2 allows slack
