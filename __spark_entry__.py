@@ -52,7 +52,7 @@ _PRIORITY = [
     "search_page_keyset", "audio_wav_features", "video_frame_sample",
     "kmeans_embeddings", "decontaminate_corpus", "pii_redaction",
     "text_repetition", "bucketed_revenue_join", "zorder_pruning_stats",
-    "profile_orders", "sliding_window_counts", "distinct_users_approx",
+    "profile_orders", "sliding_window_counts",
     "order_value_deciles", "lineitem_correlations", "cohort_retention",
     "hourly_latency_percentiles", "embedding_gram",
     "orders_snapshot_diff", "orders_diff_summary", "shipping_priority",
@@ -65,6 +65,9 @@ _PRIORITY = [
     "unigram_fluency_scores", "spans_critical_path",
     "spans_fanout_stats", "sql_grouping_sets_revenue",
     # New this round — filled in as round-3 operators land.
+    # (distinct_users_approx dropped from the window: rows-only check,
+    # weakest external signal — it rotates into round 4 with the other
+    # new rows-only queries ann_pq_topk / ann_ivfpq_topk / bpe_*.)
     "dedup_embedding_clustered", "boilerplate_scrub",
     "quality_model_scores", "token_mixture_plan", "sample_token_mixture",
     # (r1/r2 green rows stand for everything else; they stay out of the
