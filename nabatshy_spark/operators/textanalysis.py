@@ -495,3 +495,91 @@ def quality_model_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .otherwise("low")
         .alias("quality_label"),
     )
+
+
+def source_kl_drift(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group KL divergence of the unigram distribution from the
+    corpus-wide distribution — the domain-shift / drift monitor a
+    curation pipeline runs per source (or per snapshot) to catch a
+    crawler gone off the rails.
+
+    KL(P_g ‖ P_corpus) = Σ_t p_g(t) · ln(p_g(t) / p(t)); terms absent
+    from a group contribute 0, and every group term exists in the
+    corpus by construction (no division by zero — the corpus is the
+    union).
+
+    One corpus explode → (group, term) counts; corpus totals are a
+    second aggregate OVER THAT RELATION (nothing row-proportional
+    shuffles twice); group totals broadcast back. All arithmetic is
+    codegen'd; round(6) for the cross-engine oracle.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("t"),
+    )
+    gt = toks.groupBy("g", "t").agg(F.count("*").alias("c"))
+    g_tot = gt.groupBy("g").agg(F.sum("c").alias("gn"))
+    t_tot = gt.groupBy("t").agg(F.sum("c").alias("tc"))
+    n = gt.agg(F.sum("c").alias("n"))
+    scored = (
+        gt.join(t_tot, "t")
+        .join(g_tot, "g")
+        .join(F.broadcast(n))
+        .withColumn(
+            "__kl",
+            (F.col("c") / F.col("gn"))
+            * F.log((F.col("c") / F.col("gn")) / (F.col("tc") / F.col("n"))),
+        )
+    )
+    return scored.groupBy(F.col("g").alias(group_col)).agg(
+        F.round(F.sum("__kl"), 6).alias("kl_divergence"),
+        F.sum("c").alias("n_tokens"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990) — the phrase-mining pass that feeds tokenizer
+    vocabularies and stop-phrase lists.
+
+    PMI(x,y) = ln(c_xy · N_pairs / (c_x⋅ · c_⋅y)) over ADJACENT pairs,
+    with marginals counted in pair position (left-word / right-word
+    occurrences) so the probability space is consistent.
+
+    One explode into adjacent pairs (zip_with over the shifted token
+    array — narrow), one (x, y) partial agg; marginals are aggregates
+    over the pair relation, joined back. min_count floors noise; the
+    final ranking is TakeOrdered k, never a full sort.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    xy = pairs.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    cx = xy.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    cy = xy.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = xy.agg(F.sum("cxy").alias("n"))
+    return (
+        xy.filter(F.col("cxy") >= min_count)
+        .join(cx, "x")
+        .join(cy, "y")
+        .join(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.round(
+                F.log(F.col("cxy") * F.col("n") / (F.col("cx") * F.col("cy"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(k)
+    )

@@ -1700,3 +1700,24 @@ def bloom_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.bloom_probe(
         bits, ev.select("user_id"), "user_id", num_hashes=5, num_bits=256
     ).select(F.col("key").cast("string").alias("key"), "may_contain")
+
+
+@query("source_kl_drift")
+def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (textanalysis.source_kl_drift) — the domain-drift monitor. One
+    corpus explode; all totals are aggregates over the (source, term)
+    relation."""
+    return textanalysis.source_kl_drift(
+        load(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+@query("pmi_collocations")
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI (Church-Hanks;
+    textanalysis.pmi_collocations, min_count=5): narrow pair explode,
+    partial-agg counts, marginals joined back, TakeOrdered ranking."""
+    return textanalysis.pmi_collocations(
+        load(spark, sf_dir, "documents"), "text", min_count=5, k=20
+    )

@@ -2022,3 +2022,38 @@ probes AS (
 SELECT c.key, coalesce(h.nset, 0) = 5 AS may_contain
 FROM cand c LEFT JOIN hits h USING (key)
 """
+
+ORACLES["source_kl_drift"] = """
+WITH toks AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS t FROM documents
+), gt AS (
+  SELECT g, t, count(*)::BIGINT AS c FROM toks GROUP BY g, t
+), g_tot AS (SELECT g, sum(c)::BIGINT AS gn FROM gt GROUP BY g),
+t_tot AS (SELECT t, sum(c)::BIGINT AS tc FROM gt GROUP BY t),
+n AS (SELECT sum(c)::BIGINT AS n FROM gt)
+SELECT gt.g AS source,
+       round(sum((gt.c / CAST(g_tot.gn AS DOUBLE))
+                 * ln((gt.c / CAST(g_tot.gn AS DOUBLE)) / (t_tot.tc / CAST(n.n AS DOUBLE)))), 6) AS kl_divergence,
+       sum(gt.c)::BIGINT AS n_tokens
+FROM gt JOIN g_tot USING (g) JOIN t_tot USING (t), n
+GROUP BY gt.g
+"""
+
+ORACLES["pmi_collocations"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT w[i] AS x, w[i+1] AS y
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+), xy AS (
+  SELECT x, y, count(*)::BIGINT AS cxy FROM pairs GROUP BY x, y
+), cx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM xy GROUP BY x),
+cy AS (SELECT y, sum(cxy)::BIGINT AS cy FROM xy GROUP BY y),
+n AS (SELECT sum(cxy)::BIGINT AS n FROM xy)
+SELECT xy.x, xy.y, xy.cxy,
+       round(ln(xy.cxy * n.n / (CAST(cx.cx AS DOUBLE) * cy.cy)), 6) AS pmi
+FROM xy JOIN cx USING (x) JOIN cy USING (y), n
+WHERE xy.cxy >= 5
+ORDER BY pmi DESC, x ASC, y ASC
+LIMIT 20
+"""

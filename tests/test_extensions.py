@@ -837,3 +837,31 @@ def test_bloom_no_false_negatives(spark):
     assert all(out[i] for i in range(50))
     fp = sum(1 for i in range(1000, 1020) if out[i])
     assert fp <= 2  # (1-e^{-250/2048})^5 ≈ 2e-5 per key; 2 allows slack
+
+
+def test_kl_drift_zero_for_identical_groups(spark):
+    """Two groups with identical word distributions have KL ≈ 0; a
+    divergent group scores strictly higher."""
+    rows = (
+        [(i, "a", "cat dog fish bird") for i in range(10)]
+        + [(i + 10, "b", "cat dog fish bird") for i in range(10)]
+        + [(i + 20, "c", "quantum flux capacitor vortex") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from nabatshy_spark.operators.textanalysis import source_kl_drift
+
+    kl = {r["source"]: r["kl_divergence"] for r in source_kl_drift(df, "source", "text").collect()}
+    assert kl["a"] == kl["b"] < kl["c"]
+    assert kl["c"] > 0.5
+
+
+def test_pmi_ranks_true_collocation_first(spark):
+    """A pair that always co-occurs ('new york') outranks pairs of
+    independently frequent words."""
+    rows = [(i, "new york is big and the city is old and the") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from nabatshy_spark.operators.textanalysis import pmi_collocations
+
+    top = pmi_collocations(df, "text", min_count=5, k=5).collect()
+    assert (top[0]["x"], top[0]["y"]) == ("new", "york")
+    assert top[0]["pmi"] > 0
