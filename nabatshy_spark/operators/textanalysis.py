@@ -583,3 +583,58 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(k)
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.8
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    interpolated bigram LM — the next step up from
+    :func:`unigram_logprob_scores` in the CCNet-style fluency-filter
+    ladder. Jelinek-Mercer smoothing (public):
+
+        P(y|x) = λ·c(x,y)/c(x·) + (1-λ)·c(y)/N
+
+    so unseen transitions back off to the unigram floor instead of -∞.
+
+    Shape: the corpus explodes ONCE into (doc, x, y) transitions; the
+    bigram/left-marginal/unigram tables are aggregates over that
+    relation (and its y-projection), joined back — the only
+    row-proportional shuffle is the transition aggregation, the same
+    discipline as TF-IDF/unigram-LM. Scoring arithmetic is codegen'd;
+    round(6) for the oracle.
+    """
+    toks = _tokens(F.col(text_col))
+    trans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    doc_xy = trans.groupBy(id_col, "x", "y").agg(F.count("*").alias("c"))
+    xy = doc_xy.groupBy("x", "y").agg(F.sum("c").alias("cxy"))
+    xdot = xy.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    uni = xy.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = xy.agg(F.sum("cxy").alias("n"))
+    scored = (
+        doc_xy.join(xy, ["x", "y"])
+        .join(xdot, "x")
+        .join(uni, "y")
+        .join(F.broadcast(n))
+        .withColumn(
+            "__lp",
+            F.col("c")
+            * F.log(
+                F.lit(lam) * F.col("cxy") / F.col("cx")
+                + F.lit(1.0 - lam) * F.col("cy") / F.col("n")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("__lp") / F.sum("c"), 6).alias("mean_bigram_logprob"),
+        F.sum("c").alias("n_transitions"),
+    )

@@ -1721,3 +1721,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.pmi_collocations(
         load(spark, sf_dir, "documents"), "text", min_count=5, k=20
     )
+
+
+@query("bigram_fluency_scores")
+def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram fluency scores under the corpus's own LM
+    (textanalysis.bigram_logprob_scores, Jelinek-Mercer λ=0.8) — the
+    step above the unigram filter; one transition explode, corpus
+    tables aggregated over it and joined back."""
+    return textanalysis.bigram_logprob_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )

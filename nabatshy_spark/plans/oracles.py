@@ -2057,3 +2057,24 @@ WHERE xy.cxy >= 5
 ORDER BY pmi DESC, x ASC, y ASC
 LIMIT 20
 """
+
+ORACLES["bigram_fluency_scores"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), trans AS (
+  SELECT doc_id, w[i] AS x, w[i+1] AS y
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+), doc_xy AS (
+  SELECT doc_id, x, y, count(*)::BIGINT AS c FROM trans GROUP BY doc_id, x, y
+), xy AS (SELECT x, y, sum(c)::BIGINT AS cxy FROM doc_xy GROUP BY x, y),
+xdot AS (SELECT x, sum(cxy)::BIGINT AS cx FROM xy GROUP BY x),
+uni AS (SELECT y, sum(cxy)::BIGINT AS cy FROM xy GROUP BY y),
+n AS (SELECT sum(cxy)::BIGINT AS n FROM xy)
+SELECT d.doc_id,
+       round(sum(d.c * ln(0.8 * xy.cxy / CAST(xdot.cx AS DOUBLE)
+                          + 0.2 * uni.cy / CAST(n.n AS DOUBLE))) / sum(d.c), 6)
+         AS mean_bigram_logprob,
+       sum(d.c)::BIGINT AS n_transitions
+FROM doc_xy d JOIN xy USING (x, y) JOIN xdot USING (x) JOIN uni USING (y), n
+GROUP BY d.doc_id
+"""

@@ -865,3 +865,17 @@ def test_pmi_ranks_true_collocation_first(spark):
     top = pmi_collocations(df, "text", min_count=5, k=5).collect()
     assert (top[0]["x"], top[0]["y"]) == ("new", "york")
     assert top[0]["pmi"] > 0
+
+
+def test_bigram_fluency_prefers_seen_transitions(spark):
+    """A document whose transitions dominate the corpus LM scores
+    higher than one made of never-repeated transitions, and the
+    interpolation floor keeps rare transitions finite."""
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "mat the on sat cat the"))  # reversed transitions: unseen bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from nabatshy_spark.operators.textanalysis import bigram_logprob_scores
+
+    out = {r["doc_id"]: r["mean_bigram_logprob"] for r in bigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert out[0] > out[100]
+    assert out[100] > float("-inf")
