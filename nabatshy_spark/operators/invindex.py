@@ -164,3 +164,58 @@ def hybrid_search(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc").asc()).limit(k)
+
+
+def build_positional_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(term, doc, pos) positional postings — the layout phrase and
+    proximity queries need, one ``posexplode`` heavier than the tf
+    postings of :func:`build_postings`. At scale this is the same
+    term-partitioned layout job; positions add one int per token."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+
+
+def search_phrase(
+    spark: SparkSession,
+    postings: DataFrame,
+    phrase: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Exact phrase match over positional postings: docs containing the
+    words of ``phrase`` consecutively, ranked by occurrence count
+    (desc, doc asc tiebreak), top ``k``.
+
+    Algorithm: the classic positional-intersection — each posting row
+    matching phrase word j votes for start position ``pos - j``; a
+    start with all ``len(phrase)`` distinct j's present is an
+    occurrence. No self-join chain over the postings: one filtered scan
+    of the phrase terms' lists (isin pushdown / partition pruning under
+    a term-partitioned layout), a broadcast join against the
+    |phrase|-row literal table, and two cheap aggregations keyed by
+    (doc, start) then doc. Duplicate words in the phrase are handled by
+    counting distinct j, not distinct terms.
+    """
+    if not phrase:
+        raise ValueError("need a non-empty phrase")
+    lit = spark.createDataFrame(
+        list(enumerate(phrase)), schema="j INT, term STRING"
+    )
+    matched = postings.filter(F.col("term").isin(phrase)).join(
+        F.broadcast(lit), "term"
+    )
+    occurrences = (
+        matched.select("doc", (F.col("pos") - F.col("j")).alias("__start"), "j")
+        .groupBy("doc", "__start")
+        .agg(F.countDistinct("j").alias("__nj"))
+        .filter(F.col("__nj") == len(phrase))
+    )
+    return (
+        occurrences.groupBy("doc")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -638,3 +638,59 @@ def bigram_logprob_scores(
         F.round(F.sum("__lp") / F.sum("c"), 6).alias("mean_bigram_logprob"),
         F.sum("c").alias("n_transitions"),
     )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document repeated n-gram detection — the distributed shape
+    of exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, how many of its word n-gram occurrences also appear
+    in at least one OTHER document, and what fraction of the document
+    that is. High ``dup_fraction`` documents are memorization risks /
+    boilerplate carriers even when no whole-document near-dup fires
+    (complements ``repetition_stats``, which is intra-document only).
+
+    Scale shape: the corpus-wide gram relation is shuffled on
+    ``xxhash64(gram)`` — an 8-byte key — never on the gram text itself,
+    so shuffle volume is rows × 8B regardless of n. Collision risk at
+    64 bits is ~(G²/2⁶⁵); at 10¹¹ distinct grams (100 TB corpus) that
+    is still <1%, and a collision only misattributes one gram's dup
+    flag. Two shuffles total: (doc, gram-hash) count, then the
+    gram-hash → distinct-doc-count join back. The oracle groups by the
+    gram STRING — agreement is itself the no-collision check at test
+    scale.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams_of = F.transform(
+        F.array(toks),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+            ),
+        ),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(toks) >= n, F.element_at(grams_of, 1)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("__g"),
+    )
+    dg = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    gd = dg.groupBy("__g").agg(F.count("*").alias("__nd"))
+    dup = F.when(F.col("__nd") > 1, F.col("__c")).otherwise(F.lit(0))
+    return (
+        dg.join(gd, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.sum(dup).alias("dup_grams"),
+            F.round(F.sum(dup) / F.sum("__c").cast("double"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

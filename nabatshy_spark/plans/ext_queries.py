@@ -1732,3 +1732,74 @@ def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.bigram_logprob_scores(
         load(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@query("repeated_ngram_docs")
+def repeated_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 3-gram stats per doc
+    (textanalysis.cross_doc_ngram_dup) — the exact-substring-dedup
+    signal of Lee et al. 2021: fraction of a document's gram
+    occurrences shared with at least one other document. Grams shuffle
+    as 8-byte xxhash64 keys, never strings."""
+    return textanalysis.cross_doc_ngram_dup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
+@query("text_search_phrase")
+def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings
+    (invindex.search_phrase): docs where "table hash" occurs
+    consecutively, ranked by occurrence count. Positional
+    intersection via start-position voting — one filtered posting
+    scan + broadcast of the 2-row phrase table, no self-join chain."""
+    from nabatshy_spark.operators import invindex
+
+    postings = invindex.build_positional_postings(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return invindex.search_phrase(spark, postings, ["table", "hash"], k=50)
+
+
+@query("frequent_part_pairs")
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs (operators/itemsets.py): parts co-ordered
+    in ≥3 distinct orders, A-priori item pruning before the pair
+    self-join and a basket-size cap bounding the quadratic expansion."""
+    from nabatshy_spark.operators import itemsets
+
+    return itemsets.frequent_pairs(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=3,
+        k=100,
+    )
+
+
+@query("dedup_cluster_stats")
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster rollup — the report a curation run actually
+    ships: each near-dup component (3-gram Jaccard ≥ 0.5, large-star/
+    small-star components) joined back to the documents table and
+    aggregated to cluster size, distinct sources spanned, and total
+    duplicated bytes. The join key is the doc id; the components
+    relation is tiny next to the corpus, so AQE broadcasts it onto the
+    documents scan — no corpus-wide shuffle beyond the pair finding
+    itself."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_df=200,
+    )
+    comp = dedup.connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        docs.join(comp, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(F.col("cluster_size").desc(), F.col("component").asc())
+    )

@@ -2078,3 +2078,77 @@ SELECT d.doc_id,
 FROM doc_xy d JOIN xy USING (x, y) JOIN xdot USING (x) JOIN uni USING (y), n
 GROUP BY d.doc_id
 """
+
+ORACLES["repeated_ngram_docs"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
+), dg AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY doc_id, g
+), gd AS (SELECT g, count(*)::BIGINT AS nd FROM dg GROUP BY g)
+SELECT dg.doc_id,
+       sum(dg.c)::BIGINT AS n_grams,
+       sum(CASE WHEN gd.nd > 1 THEN dg.c ELSE 0 END)::BIGINT AS dup_grams,
+       round(sum(CASE WHEN gd.nd > 1 THEN dg.c ELSE 0 END)
+             / CAST(sum(dg.c) AS DOUBLE), 6) AS dup_fraction
+FROM dg JOIN gd USING (g)
+GROUP BY dg.doc_id
+"""
+
+ORACLES["text_search_phrase"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT doc_id
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE w[i] = 'table' AND w[i+1] = 'hash'
+)
+SELECT doc_id AS doc, count(*)::BIGINT AS n_occurrences
+FROM occ GROUP BY doc_id
+ORDER BY n_occurrences DESC, doc ASC
+LIMIT 50
+"""
+
+ORACLES["frequent_part_pairs"] = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), capped AS (
+  SELECT basket, item FROM b
+  WHERE basket IN (
+    SELECT basket FROM b GROUP BY basket HAVING count(*) <= 1000
+  )
+), kept AS (
+  SELECT basket, item FROM capped
+  WHERE item IN (SELECT item FROM capped GROUP BY item HAVING count(*) >= 3)
+)
+SELECT a.item AS item_a, c.item AS item_b, count(*)::BIGINT AS support
+FROM kept a JOIN kept c ON a.basket = c.basket AND a.item < c.item
+GROUP BY a.item, c.item
+HAVING count(*) >= 3
+ORDER BY support DESC, item_a ASC, item_b ASC
+LIMIT 100
+"""
+
+ORACLES["dedup_cluster_stats"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src)
+SELECT c.component,
+       count(*)::BIGINT AS cluster_size,
+       count(DISTINCT d.source)::BIGINT AS n_sources,
+       sum(d.n_chars)::BIGINT AS total_chars
+FROM comp c JOIN documents d USING (doc_id)
+GROUP BY c.component
+ORDER BY cluster_size DESC, component ASC
+"""

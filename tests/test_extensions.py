@@ -879,3 +879,111 @@ def test_bigram_fluency_prefers_seen_transitions(spark):
     out = {r["doc_id"]: r["mean_bigram_logprob"] for r in bigram_logprob_scores(df, "doc_id", "text").collect()}
     assert out[0] > out[100]
     assert out[100] > float("-inf")
+
+
+def test_cross_doc_ngram_dup_hand_corpus(spark):
+    """A doc sharing its full text with another is 100% duplicated;
+    a doc with unique trailing words is partially duplicated; an
+    all-unique doc scores 0; a doc shorter than n emits no row."""
+    from nabatshy_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "a b c x y z"),
+            (4, "p q r s"),
+            (5, "u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in textanalysis.cross_doc_ngram_dup(df, "doc_id", "text", n=3).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].dup_fraction == 1.0 and rows[2].dup_fraction == 1.0
+    # doc 3: grams {abc, bcx, cxy, xyz} — only "a b c" shared → 1/4
+    assert rows[3].n_grams == 4 and rows[3].dup_grams == 1
+    assert rows[4].dup_fraction == 0.0
+
+
+def test_phrase_search_counts_and_duplicate_words(spark):
+    """Phrase occurrences are counted per start position, including a
+    phrase with a repeated word (the distinct-j, not distinct-term,
+    path)."""
+    from nabatshy_spark.operators import invindex
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y z"),  # "x y" twice
+            (2, "y x q x x"),  # "x y" never (order matters); "x x" once
+            (3, "x x x"),      # "x x" twice (overlapping starts)
+        ],
+        ["doc_id", "text"],
+    )
+    postings = invindex.build_positional_postings(df, "doc_id", "text")
+    xy = {
+        r.doc: r.n_occurrences
+        for r in invindex.search_phrase(spark, postings, ["x", "y"]).collect()
+    }
+    assert xy == {1: 2}
+    xx = {
+        r.doc: r.n_occurrences
+        for r in invindex.search_phrase(spark, postings, ["x", "x"]).collect()
+    }
+    assert xx == {2: 1, 3: 2}
+
+
+def test_frequent_pairs_prunes_and_caps(spark):
+    """Items below min_support never reach the pair join; a basket over
+    the cap contributes nothing; support counts distinct baskets."""
+    from nabatshy_spark.operators import itemsets
+
+    rows = [(b, i) for b in (1, 2, 3) for i in (10, 20)]  # {10,20} ×3 baskets
+    rows += [(b, 30) for b in (1, 2)]          # 30 is frequent-ish (sup 2)
+    rows += [(4, 40), (4, 41), (4, 42)]        # oversized basket (cap 2)
+    rows += [(1, 10)]                          # duplicate row collapses
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = itemsets.frequent_pairs(
+        df, "basket", "item", min_support=3, max_basket=2, k=10
+    ).collect()
+    # baskets 1,2 have 3 distinct items -> dropped by cap; only basket 3
+    # remains, so nothing reaches support 3.
+    assert out == []
+    out2 = itemsets.frequent_pairs(
+        df, "basket", "item", min_support=3, max_basket=10, k=10
+    ).collect()
+    assert [(r.item_a, r.item_b, r.support) for r in out2] == [(10, 20, 3)]
+
+
+def test_dedup_cluster_stats_rollup(spark):
+    """Two identical docs + one identical pair from another source form
+    the expected clusters with size/source/byte rollups."""
+    from nabatshy_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "web", 11),
+            (2, "a b c d e f", "web", 11),
+            (3, "a b c d e f", "books", 11),
+            (4, "z y x w v u", "web", 11),  # unique: no cluster row
+        ],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    out = (
+        df.join(comp, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r.component, r.cluster_size, r.n_sources, r.total_chars) == (1, 3, 2, 33)
