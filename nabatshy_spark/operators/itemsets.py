@@ -39,9 +39,13 @@ def frequent_pairs(
     Input rows are (basket, item) — duplicates within a basket are
     collapsed first so support counts baskets, not rows.
     """
-    b = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    b = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .persist()  # referenced by the cap, the item-support agg, and both join sides
+    )
     sizes = b.groupBy("basket").agg(F.count("*").alias("__m"))
     b = b.join(
         sizes.filter(F.col("__m") <= max_basket).select("basket"), "basket"
