@@ -92,6 +92,11 @@ HEADLINE = [
     "quality_model_scores",
     "sample_token_mixture",
     "trade_triangles",
+    # round 3, second batch
+    "text_search_phrase",
+    "repeated_ngram_docs",
+    "frequent_part_pairs",
+    "dedup_cluster_stats",
 ]
 
 

@@ -281,3 +281,37 @@ def test_schema_evolution_append_and_merged_read(spark):
         assert merged.count() == 2 * n
         assert merged.filter(F.col("deployment_env").isNull()).count() == n
         assert merged.filter(F.col("deployment_env") == "prod").count() == n
+
+
+def test_jsonl_ingest_quarantines_corrupt_lines(spark, tmp_path):
+    """One parse pass yields the clean relation and the quarantine;
+    nothing is dropped or aborted."""
+    from nabatshy_spark.sources import textfiles
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "{broken json\n"
+        '{"id": 2, "text": "also ok"}\n'
+    )
+    good, bad = textfiles.read_jsonl(spark, str(p), "id BIGINT, text STRING")
+    assert sorted((r.id, r.text) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "also ok"),
+    ]
+    assert [r.raw_line for r in bad.collect()] == ["{broken json"]
+    rep = textfiles.quarantine_report(bad).collect()[0]
+    assert rep.n_corrupt == 1 and rep.sample_lines == ["{broken json"]
+
+
+def test_csv_ingest_quarantines_corrupt_lines(spark, tmp_path):
+    from nabatshy_spark.sources import textfiles
+
+    p = tmp_path / "drop.csv"
+    p.write_text("id,text\n1,ok\nnot_a_number,boom\n2,fine\n")
+    good, bad = textfiles.read_csv(spark, str(p), "id BIGINT, text STRING")
+    assert sorted((r.id, r.text) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "fine"),
+    ]
+    assert [r.raw_line for r in bad.collect()] == ["not_a_number,boom"]
