@@ -2152,3 +2152,29 @@ FROM comp c JOIN documents d USING (doc_id)
 GROUP BY c.component
 ORDER BY cluster_size DESC, component ASC
 """
+
+ORACLES["sql_cheapest_supplier_per_brand"] = """
+SELECT p.p_brand AS brand,
+       count(*)::BIGINT AS n_min_price_lines,
+       round(min(l.l_extendedprice), 2) AS cheapest_line
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p.p_brand
+ORDER BY brand
+"""
+
+ORACLES["sql_promo_revenue_share"] = """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 6
+       ) AS promo_share_pct,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""

@@ -62,3 +62,51 @@ def sql_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query("sql_cheapest_supplier_per_brand")
+def sql_cheapest_supplier_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery surface (the TPC-H Q2 shape, adapted
+    to this star — no partsupp table): lineitems selling a part at
+    that part's corpus-wide minimum price, rolled up per brand.
+    Catalyst DECORRELATES the subquery into an aggregate + equi-join
+    (one extra shuffle keyed on l_partkey), so the correlated form is
+    scale-safe — no per-row re-execution as a naive reading implies."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand AS brand,
+               count(*) AS n_min_price_lines,
+               round(min(l.l_extendedprice), 2) AS cheapest_line
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+        ORDER BY brand
+        """
+    )
+
+
+@query("sql_promo_revenue_share")
+def sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio over a join (the TPC-H Q14 shape):
+    share of revenue from ECONOMY-type parts in one month. Single
+    scan+join, the ratio is arithmetic over two conditional
+    aggregates — no second pass."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6
+               ) AS promo_share_pct,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+        """
+    )

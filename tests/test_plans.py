@@ -271,3 +271,12 @@ def test_ivfpq_adc_scan_skips_vector_column(spark, sf_dir, tmp_path):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "embedding" not in m.group(1), m.group(1) if m else plan[:300]
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """The Q2-shape correlated scalar subquery must plan as an
+    aggregate + equi-join on l_partkey, not a per-row subquery: no
+    ScalarSubquery node survives in the executed plan."""
+    plan = _plan(spark, "sql_cheapest_supplier_per_brand", sf_dir)
+    assert "ScalarSubquery" not in plan
+    assert "HashAggregate" in plan
