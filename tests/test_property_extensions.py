@@ -210,3 +210,107 @@ def test_triangle_counts_match_bruteforce(spark, flat):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == ref
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(docs_strategy)
+def test_cross_doc_ngram_dup_matches_reference(spark, docs):
+    """dup_grams per doc == occurrences of grams seen in >1 distinct
+    doc, computed by a pure-Python spec over the same tokenization."""
+    from collections import Counter
+
+    from nabatshy_spark.operators.textanalysis import cross_doc_ngram_dup
+
+    n = 2
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.dup_grams)
+        for r in cross_doc_ngram_dup(df, "doc_id", "text", n=n).collect()
+    }
+    per_doc = {}
+    gram_docs = Counter()
+    for i, t in enumerate(texts):
+        w = t.split(" ")  # split(" ") on "" yields [""], same as Spark
+        grams = [tuple(w[j : j + n]) for j in range(len(w) - n + 1)]
+        per_doc[i] = Counter(grams)
+        for g in set(grams):
+            gram_docs[g] += 1
+    want = {}
+    for i, c in per_doc.items():
+        if not c:
+            continue  # shorter than n: no row, matching explode semantics
+        total = sum(c.values())
+        dup = sum(v for g, v in c.items() if gram_docs[g] > 1)
+        want[i] = (total, dup)
+    assert got == want
+
+
+@SLOW
+@given(docs_strategy, st.lists(st.sampled_from("abcd"), min_size=1, max_size=3))
+def test_phrase_search_matches_reference(spark, docs, phrase):
+    """n_occurrences per doc == sliding-window phrase count."""
+    from nabatshy_spark.operators.invindex import (
+        build_positional_postings,
+        search_phrase,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    postings = build_positional_postings(df, "doc_id", "text")
+    got = {
+        r.doc: r.n_occurrences
+        for r in search_phrase(spark, postings, list(phrase), k=100).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        c = sum(
+            1
+            for j in range(len(w) - len(phrase) + 1)
+            if w[j : j + len(phrase)] == list(phrase)
+        )
+        if c:
+            want[i] = c
+    assert got == want
+
+
+baskets_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 6)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(baskets_strategy)
+def test_frequent_pairs_matches_bruteforce(spark, rows):
+    from collections import Counter
+    from itertools import combinations
+
+    from nabatshy_spark.operators.itemsets import frequent_pairs
+
+    minsup = 2
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in frequent_pairs(
+            df, "basket", "item", min_support=minsup, max_basket=100, k=1000
+        ).collect()
+    }
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    support = Counter()
+    for items in baskets.values():
+        for pair in combinations(sorted(items), 2):
+            support[pair] += 1
+    want = {p: s for p, s in support.items() if s >= minsup}
+    assert got == want
