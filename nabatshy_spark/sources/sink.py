@@ -34,21 +34,27 @@ def with_partition_col(df: DataFrame) -> DataFrame:
     )
 
 
-def append_spans(df: DataFrame, path: str) -> None:
+def append_spans(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Append a batch of wide span rows, time-partitioned and
     row-group-sorted. At-least-once (no dedup), matching the
-    reference's replay behavior (SURVEY §2.9)."""
+    reference's replay behavior (SURVEY §2.9).
+
+    ``fmt`` selects the columnar file format: ``parquet`` (default) or
+    ``orc`` — both stripe/row-group indexed, so the sort-within-
+    partition min/max pruning works identically; ORC is the drop-in
+    for Hive-ecosystem consumers."""
     (
         with_partition_col(df)
         .sortWithinPartitions("start_time_unix_nano", "trace_id")
         .write.mode("append")
         .partitionBy(PARTITION_COL)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 
-def read_spans(spark, path: str) -> DataFrame:
-    df = spark.read.parquet(path)
+def read_spans(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    df = spark.read.format(fmt).load(path)
     return df.drop(PARTITION_COL) if PARTITION_COL in df.columns else df
 
 

@@ -315,3 +315,31 @@ def test_csv_ingest_quarantines_corrupt_lines(spark, tmp_path):
         (2, "fine"),
     ]
     assert [r.raw_line for r in bad.collect()] == ["not_a_number,boom"]
+
+
+def test_orc_sink_roundtrip_matches_parquet(spark, tmp_path):
+    """The ORC format option writes the same partitioned layout and
+    reads back identical rows."""
+    from tests.test_otlp_ingest import _payload
+
+    batch = ingest_batch(spark, [_payload()])
+    append_spans(batch, str(tmp_path / "p"))
+    append_spans(batch, str(tmp_path / "o"), fmt="orc")
+    # Scalar columns only: map-typed attr columns stringify with
+    # engine-dependent key order, which is not a data difference.
+    cols = [
+        c
+        for c, t in read_spans(spark, str(tmp_path / "p")).dtypes
+        if not t.startswith(("map", "array", "struct"))
+    ]
+    pq = {
+        tuple(str(v) for v in r)
+        for r in read_spans(spark, str(tmp_path / "p")).select(cols).collect()
+    }
+    orc = {
+        tuple(str(v) for v in r)
+        for r in read_spans(spark, str(tmp_path / "o"), fmt="orc")
+        .select(cols)
+        .collect()
+    }
+    assert orc == pq and len(orc) > 0
