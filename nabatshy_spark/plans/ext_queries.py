@@ -1803,3 +1803,67 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cluster_size").desc(), F.col("component").asc())
     )
+
+
+@query("data_quality_report")
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations gate (operators/expectations.py,
+    Deequ-shaped): five constraints over orders — not-null FK, exact
+    key uniqueness, price range, status domain, minimum volume — all
+    evaluated in ONE scan (every metric is a column of a single agg;
+    verdicts computed on the one-row result). The range check's upper
+    bound 450000 deliberately FAILS on real data so the report
+    demonstrably discriminates."""
+    from nabatshy_spark.operators import expectations as E
+
+    return E.check(
+        load(spark, sf_dir, "orders"),
+        [
+            E.not_null("o_custkey"),
+            E.unique("o_orderkey", exact=True),
+            E.in_range("o_totalprice", 0.0, 450000.0),
+            E.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            E.min_rows(100),
+        ],
+    )
+
+
+@query("split_leakage_audit")
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit — the check a training run gates on
+    after splitting: near-duplicate pairs (3-gram Jaccard >= 0.5, the
+    same finder as `dedup_ngram_jaccard`) classified by the split
+    combination of their endpoints (sampling.split_corpus, the same
+    95/2.5/2.5 assignment as `corpus_split`). A (train, test) row IS
+    leakage; the same-split rows double as the intra-split dup rate.
+    The classification joins ride the pairs relation — tiny next to
+    the corpus — against the shuffle-free split projection."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+    splits = sampling.split_corpus(docs, "doc_id", train_bps=62259, val_bps=1638)
+    sp = splits.select("doc_id", "split")
+    classified = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("__sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+    )
+    return (
+        classified.groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("split_a", "split_b")
+    )

@@ -2178,3 +2178,56 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
 """
+
+ORACLES["data_quality_report"] = """
+WITH m AS (
+  SELECT count(*)::DOUBLE AS n,
+         coalesce(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 0.0) AS nullfrac,
+         count(DISTINCT o_orderkey)::DOUBLE AS uniq,
+         coalesce(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 450000.0
+                           THEN 1 ELSE 0 END), 0)::DOUBLE AS bad_range,
+         coalesce(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                           THEN 1 ELSE 0 END), 0)::DOUBLE AS bad_vals
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS rule, round(nullfrac, 6) AS metric,
+         nullfrac <= 0.0 AS passed FROM m
+  UNION ALL
+  SELECT 'unique(o_orderkey)', round(uniq, 6), uniq >= n * 1.0 FROM m
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0.0,450000.0)', round(bad_range, 6),
+         bad_range = 0.0 FROM m
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)', round(bad_vals, 6),
+         bad_vals = 0.0 FROM m
+  UNION ALL
+  SELECT 'min_rows(100)', round(n, 6), n >= 100 FROM m
+)
+ORDER BY rule
+"""
+
+ORACLES["split_leakage_audit"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+s AS (
+  SELECT doc_id,
+         CASE
+           WHEN u < 62259 THEN 'train'
+           WHEN u < 62259 + 1638 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT::INT AS u
+    FROM documents
+  )
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*)::BIGINT AS n_dup_pairs
+FROM pairs p
+JOIN s sa ON p.doc_a = sa.doc_id
+JOIN s sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2
+ORDER BY split_a, split_b
+"""

@@ -987,3 +987,80 @@ def test_dedup_cluster_stats_rollup(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.component, r.cluster_size, r.n_sources, r.total_chars) == (1, 3, 2, 33)
+
+
+def test_expectations_single_scan_and_verdicts(spark):
+    """All rules ride one aggregate (one scan in the plan); verdicts
+    match hand-computed truth, including a planted failure; an empty
+    table passes the content constraints and fails min_rows."""
+    from nabatshy_spark.operators import expectations as E
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 999.0), (4, None, 30.0)],
+        ["id", "cat", "price"],
+    )
+    rules = [
+        E.not_null("cat"),                      # fails: 1/4 null
+        E.not_null("cat", max_null_frac=0.3),   # passes
+        E.unique("id", exact=True),             # passes
+        E.in_range("price", 0.0, 100.0),        # fails: 999
+        E.accepted_values("cat", ["a", "b"]),   # passes (null not flagged)
+        E.min_rows(3),                          # passes
+    ]
+    rep = E.check(df, rules)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+    got = {r.rule: (r.metric, r.passed) for r in rep.collect()}
+    assert got["not_null(cat)"] == (0.25, False)
+    assert got["not_null(cat,max=0.3)"][1] is True
+    assert got["unique(id)"][1] is True
+    assert got["in_range(price,0.0,100.0)"] == (1.0, False)
+    assert got["accepted_values(cat)"][1] is True
+    assert got["min_rows(3)"] == (4.0, True)
+
+    empty = df.filter(F.lit(False))
+    got_e = {r.rule: r.passed for r in E.check(empty, rules).collect()}
+    assert got_e["in_range(price,0.0,100.0)"] is True
+    assert got_e["min_rows(3)"] is False
+
+
+def test_split_leakage_audit_hand_case(spark):
+    """Doc ids pinned to known splits (md5-prefix arithmetic): one
+    duplicated content spanning train(0) and val(44), one spanning
+    train(1,2) only, one unique test doc — the audit reports exactly
+    the (train,train) pair and the (train,val) leak."""
+    from nabatshy_spark.operators import dedup, sampling
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),    # train
+            (44, "a b c d e f g"),   # val   -> cross-split leak
+            (1, "p q r s t u v"),    # train
+            (2, "p q r s t u v"),    # train -> intra-split pair
+            (65, "z y x w v u t"),   # test, unique
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    sp = sampling.split_corpus(docs, "doc_id", train_bps=62259, val_bps=1638)
+    got = {
+        (r.split_a, r.split_b): r.n_dup_pairs
+        for r in pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .count()
+        .withColumnRenamed("count", "n_dup_pairs")
+        .collect()
+    }
+    assert got == {("train", "train"): 1, ("train", "val"): 1}
