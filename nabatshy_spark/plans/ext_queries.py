@@ -1867,3 +1867,32 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dup_pairs"))
         .orderBy("split_a", "split_b")
     )
+
+
+@query("value_trends")
+def value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time: OLS slope
+    (scaled to per-day), intercept-free fit quality r², and n — the
+    drift/trend monitor over the event stream. Entirely built-in
+    regression aggregates (`regr_slope`/`regr_r2`: sums of x, y, xy,
+    x² with map-side partial aggregation — ONE scan, one shuffle of
+    |event_types| groups). The x axis is epoch seconds CENTERED on a
+    fixed date so the double-precision products stay far from the
+    1e18 range where engine rounding could diverge."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lit(1704067200.0)  # 2024-01-01 epoch: fixed, engine-portable
+        ).alias("__x"),
+        F.col("value").cast("double").alias("__y"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("__y", "__x") * 86400, 6).alias("slope_per_day"),
+            F.round(F.regr_r2("__y", "__x"), 6).alias("r2"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -2231,3 +2231,19 @@ JOIN s sb ON p.doc_b = sb.doc_id
 GROUP BY 1, 2
 ORDER BY split_a, split_b
 """
+
+ORACLES["value_trends"] = """
+WITH e AS (
+  SELECT event_type,
+         epoch(ts) - 1704067200.0 AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+)
+SELECT event_type,
+       round(regr_slope(y, x) * 86400, 6) AS slope_per_day,
+       round(regr_r2(y, x), 6) AS r2,
+       count(*)::BIGINT AS n
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1064,3 +1064,31 @@ def test_split_leakage_audit_hand_case(spark):
         .collect()
     }
     assert got == {("train", "train"): 1, ("train", "val"): 1}
+
+
+def test_value_trends_recovers_planted_slope(spark):
+    """A perfectly linear series yields its slope (per day) and r²=1;
+    a constant series yields slope 0."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("up", t0 + dt.timedelta(hours=h), 10.0 + 2.0 * h) for h in range(24)]
+    rows += [("flat", t0 + dt.timedelta(hours=h), 7.0) for h in range(24)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).select(
+        "event_type",
+        (F.col("ts").cast("double") - F.lit(1704067200.0)).alias("__x"),
+        F.col("value").alias("__y"),
+    )
+    got = {
+        r.event_type: (r.slope, r.r2)
+        for r in df.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("__y", "__x") * 86400, 6).alias("slope"),
+            F.round(F.regr_r2("__y", "__x"), 6).alias("r2"),
+        )
+        .collect()
+    }
+    assert got["up"] == (48.0, 1.0)   # +2/hour == +48/day, perfect fit
+    assert got["flat"][0] == 0.0
