@@ -14,10 +14,12 @@ the honest semantics of an online detector (the batch twin is the
 exact-after-the-fact answer, same division of labor as sessionization
 vs ``operators/sessions``).
 
-No timeout is registered: statistics-bearing state never expires by
-itself. A production deployment bounds key cardinality upstream (the
-key IS the entity being monitored) or adds TTL eviction with the same
-state API.
+State TTL: a key idle past ``idle_ttl`` (event time, enforced via
+EventTimeTimeout once the watermark passes last-seen + TTL) is
+EVICTED — its statistics are forgotten and rebuild on the next
+arrival. Unbounded key churn (one-shot users) otherwise grows state
+forever; the cost of eviction is only that a returning key warms up
+through ``min_obs`` again.
 """
 
 from __future__ import annotations
@@ -55,18 +57,23 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _anomaly_fn(z: float, min_obs: int):
+def _anomaly_fn(z: float, min_obs: int, idle_ttl_ms: int):
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle key: forget its statistics
+            return
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         rows = []
         parts = [pdf for pdf in pdfs]
         batch = pd.concat(parts).sort_values("ts") if parts else pd.DataFrame()
+        last_ms = 0
         for ts, v in zip(batch.get("ts", []), batch.get("value", [])):
             v = float(v)
+            last_ms = max(last_ms, int(pd.Timestamp(ts).value // 1_000_000))
             if n >= min_obs:
                 sd = math.sqrt(m2 / n)
                 if sd > 0 and abs(v - mean) > z * sd:
@@ -80,6 +87,8 @@ def _anomaly_fn(z: float, min_obs: int):
             mean += d / n
             m2 += d * (v - mean)
         state.update((n, mean, m2))
+        if last_ms:
+            state.setTimeoutTimestamp(last_ms + idle_ttl_ms)
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "ts", "value", "zscore"])
 
@@ -91,10 +100,12 @@ def anomaly_stream(
     z: float = 3.0,
     min_obs: int = 5,
     watermark: str = "1 hour",
+    idle_ttl_days: int = 30,
 ) -> DataFrame:
     """Streaming z-score anomaly flags per user: rows more than ``z``
     running standard deviations from that user's prior values, once
-    ``min_obs`` observations have been seen. ``events`` must be a
+    ``min_obs`` observations have been seen. A key idle (event-time)
+    for ``idle_ttl_days`` is evicted from state. ``events`` must be a
     streaming frame with ``user_id``, event-time ``ts``, and a numeric
     ``value`` column."""
     return (
@@ -102,10 +113,10 @@ def anomaly_stream(
         .withWatermark("ts", watermark)
         .groupBy(F.col("user_id"))
         .applyInPandasWithState(
-            _anomaly_fn(z, min_obs),
+            _anomaly_fn(z, min_obs, idle_ttl_days * 86_400_000),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
