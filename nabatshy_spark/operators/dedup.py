@@ -343,7 +343,9 @@ def _shingle_sig_udf(n: int, fam: list[tuple[int, int]]):
         hs_out, sig_out = [], []
         with np.errstate(over="ignore"):
             for t in texts:
-                toks = t.split(" ")
+                # a NULL document has no shingles (the expression-side
+                # twin yields null → no rows); don't crash the batch
+                toks = t.split(" ") if t is not None else []
                 ln = len(toks)
                 if ln < n:
                     hs_out.append(empty)
@@ -664,7 +666,9 @@ def embedding_dup_pairs(
             for j in range(k)
         ]
     )
-    tasks = df.select(
+    # A NULL embedding cannot be a duplicate of anything; dropping it
+    # here also keeps the numpy stack in the task fn rectangular.
+    tasks = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         block.alias("__b"),
@@ -757,7 +761,9 @@ def embedding_dup_pairs_clustered(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    with_norm = df.select(
+    # NULL embeddings cannot pair; drop them before normalization (the
+    # blocked all-pairs twin applies the same filter).
+    with_norm = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__raw"),
         F.sqrt(sq_norm).alias("__nrm"),

@@ -2247,3 +2247,17 @@ FROM e
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["approx_revenue_estimate"] = """
+WITH s AS (
+  SELECT sum(l_extendedprice * (1 - l_discount)) * (65536.0 / 6554) AS est
+  FROM lineitem
+  WHERE substr(md5(l_orderkey::VARCHAR), 1, 4) < '199a'
+), t AS (
+  SELECT sum(l_extendedprice * (1 - l_discount)) AS tru FROM lineitem
+)
+SELECT round(s.est, 2) AS estimated_revenue,
+       round(t.tru, 2) AS true_revenue,
+       round(abs(s.est - t.tru) / t.tru, 6) AS rel_error
+FROM s, t
+"""

@@ -1092,3 +1092,47 @@ def test_value_trends_recovers_planted_slope(spark):
     }
     assert got["up"] == (48.0, 1.0)   # +2/hour == +48/day, perfect fit
     assert got["flat"][0] == 0.0
+
+
+def test_text_operators_survive_null_text(spark):
+    """NULL text (a real production state after a failed extract) must
+    not crash any text operator; the null doc simply yields no
+    shingles/pairs. Regression: the minhash signature UDF called
+    .split() on None."""
+    from nabatshy_spark.operators import dedup, textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(1, 3)}
+    exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert {(r.doc_a, r.doc_b) for r in exact.collect()} == {(1, 3)}
+    assert textanalysis.text_stats(df, "doc_id", "text").count() == 3
+    assert textanalysis.cross_doc_ngram_dup(df, "doc_id", "text").count() == 2
+
+
+def test_embedding_dedup_survives_null_vectors(spark):
+    """A NULL embedding row (failed encode) must not crash the blocked
+    or clustered dedup; it simply never pairs."""
+    from nabatshy_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, None), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    assert got == {(0, 2)}
+    got_c = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.embedding_dup_pairs_clustered(
+            emb, "vec_id", "embedding", threshold=0.45, k=2
+        ).collect()
+    }
+    assert got_c == {(0, 2)}

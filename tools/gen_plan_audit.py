@@ -80,9 +80,42 @@ def _dedupe_cached(plan: str) -> str:
     return "\n".join(process(plan.splitlines()))
 
 
+def _field_count(struct_body: str) -> int:
+    """Top-level field count of a ReadSchema struct<...> body, robust
+    to nested types and toString truncation ('... N more fields')."""
+    n, depth = 0, 0
+    more = re.search(r"\.\.\. (\d+) more fields", struct_body)
+    body = struct_body.split("...")[0].rstrip(", ")
+    if body:
+        n = 1
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+    return n + (int(more.group(1)) if more else 0)
+
+
+def _read_widths(plan: str) -> str:
+    """Per-scan projected column counts — the column-pruning evidence
+    (a 2-column projection must not read an 11-column schema). A
+    trailing ``+`` marks a scan whose schema text was line-truncated
+    by toString, making the count a lower bound."""
+    widths = []
+    for m in re.finditer(r"ReadSchema: struct<([^\n]*)", plan):
+        body = m.group(1)
+        truncated = not body.rstrip().endswith(">")
+        n = _field_count(body.rstrip().rstrip(">"))
+        widths.append(f"{n}+" if truncated else str(n))
+    return "/".join(widths) if widths else "-"
+
+
 def audit(plan: str) -> dict[str, object]:
     plan = _dedupe_cached(plan)
     return {
+        "read_widths": _read_widths(plan),
         "exchanges": len(re.findall(r"\bExchange hashpartitioning", plan)),
         "broadcasts": len(re.findall(r"\bBroadcastExchange", plan)),
         "scans": len(re.findall(r"\bFileScan parquet", plan)),
@@ -118,18 +151,19 @@ def main() -> None:
             "`cg` = whole-stage codegen present, `pf` = non-empty "
             "PushedFilters, `part` = non-empty PartitionFilters, "
             "`it` = driver-coordinated iterative/index construction "
-            "(plan shown is the final job's).\n"
+            "(plan shown is the final job's), `readcols` = per-scan "
+            "projected column counts (pruning evidence).\n"
             "Persisted subtrees are counted ONCE (toString re-prints a "
             "cached subtree per InMemoryTableScan reference; execution "
             "materializes it once).\n"
             "BroadcastNestedLoopJoin appears only for deliberate 1-row "
             "joins (grand totals); a `CART` flag would be a bug.\n\n"
-            "| query | ex | bc | scan | cg | pf | part | flags |\n"
-            "|---|---|---|---|---|---|---|---|\n"
+            "| query | ex | bc | scan | readcols | cg | pf | part | flags |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
         for name, a in rows:
             if "error" in a:
-                f.write(f"| `{name}` | — | — | — | — | — | — | ERROR: {a['error']} |\n")
+                f.write(f"| `{name}` | — | — | — | — | — | — | — | ERROR: {a['error']} |\n")
                 continue
             flags = []
             if name in ITERATIVE:
@@ -140,6 +174,7 @@ def main() -> None:
                 flags.append("CART")
             f.write(
                 f"| `{name}` | {a['exchanges']} | {a['broadcasts']} | {a['scans']} | "
+                f"{a['read_widths']} | "
                 f"{'y' if a['codegen'] else '-'} | {'y' if a['pushed'] else '-'} | "
                 f"{'y' if a['partfil'] else '-'} | {', '.join(flags) or '-'} |\n"
             )
