@@ -1927,3 +1927,42 @@ def approx_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@query("trade_reach_hops")
+def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (operators/graph.py:bfs_hops) over the SPARSE
+    trade graph — the 150 highest-revenue nation→nation edges (top-K by
+    revenue keeps the graph sparse at ANY scale factor; the dense
+    all-pairs graph has diameter ~1 and nothing to traverse). Min hops
+    from nation 0; frontier joins + anti-join per round, lineage
+    truncated per iteration."""
+    from nabatshy_spark.operators import graph
+
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    supp = F.broadcast(
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair_rev = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", rev.alias("__r"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum("__r").alias("__rev"))
+    )
+    top = pair_rev.orderBy(
+        F.col("__rev").desc(), F.col("src").asc(), F.col("dst").asc()
+    ).limit(150)
+    return (
+        graph.bfs_hops(top, source=0)
+        .select(F.col("node").alias("nationkey"), "hop")
+        .orderBy("hop", "nationkey")
+    )

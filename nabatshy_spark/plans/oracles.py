@@ -2261,3 +2261,32 @@ SELECT round(s.est, 2) AS estimated_revenue,
        round(abs(s.est - t.tru) / t.tru, 6) AS rel_error
 FROM s, t
 """
+
+ORACLES["trade_reach_hops"] = """
+WITH RECURSIVE pair_rev AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src, dst
+), topk AS (
+  SELECT src, dst FROM pair_rev
+  ORDER BY rev DESC, src ASC, dst ASC
+  LIMIT 150
+), hops(node, hop) AS (
+  -- UNION (distinct), not UNION ALL: recursion over distinct
+  -- (node, hop) rows stays <= |V| x 25; ALL would enumerate every
+  -- PATH, exponential in a denser graph
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT t.dst, h.hop + 1
+  FROM hops h JOIN topk t ON t.src = h.node
+  WHERE h.hop < 25
+)
+SELECT node AS nationkey, min(hop)::INT AS hop
+FROM hops
+GROUP BY node
+ORDER BY hop, nationkey
+"""

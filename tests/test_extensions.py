@@ -1136,3 +1136,16 @@ def test_embedding_dedup_survives_null_vectors(spark):
         ).collect()
     }
     assert got_c == {(0, 2)}
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Chain with a shortcut: 1->2->3->4 plus 1->3; min hops win and
+    unreachable nodes are absent."""
+    from nabatshy_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (9, 1)], ["src", "dst"]
+    )
+    got = {(r.node, r.hop) for r in graph.bfs_hops(edges, source=1).collect()}
+    # 9 is not reachable FROM 1 (only reaches 1); 3 via the shortcut
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}
