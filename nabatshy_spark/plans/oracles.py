@@ -2290,3 +2290,21 @@ FROM hops
 GROUP BY node
 ORDER BY hop, nationkey
 """
+
+ORACLES["spans_concurrency"] = f"""
+WITH ev AS (
+  SELECT trace_id, start_time_unix_nano AS t, 1 AS d FROM {_SPANS}
+  UNION ALL
+  SELECT trace_id, end_time_unix_nano, -1 FROM {_SPANS}
+), r AS (
+  SELECT trace_id,
+         sum(d) OVER (PARTITION BY trace_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM ev
+)
+SELECT trace_id, max(c)::BIGINT AS max_concurrent
+FROM r
+GROUP BY trace_id
+ORDER BY max_concurrent DESC, trace_id ASC
+LIMIT 50
+"""

@@ -280,3 +280,36 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     plan = _plan(spark, "sql_cheapest_supplier_per_brand", sf_dir)
     assert "ScalarSubquery" not in plan
     assert "HashAggregate" in plan
+
+
+def test_concurrency_sweep_line_hand_trace(spark):
+    """Known overlap structure: three overlapping spans peak at 3; a
+    back-to-back pair (end == next start, half-open) peaks at 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("t1", "a", 0, 100), ("t1", "b", 50, 150), ("t1", "c", 60, 70),
+        ("t2", "x", 0, 100), ("t2", "y", 100, 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, span_id string, start_time_unix_nano long, end_time_unix_nano long"
+    )
+    ev = df.select(
+        "trace_id", F.col("start_time_unix_nano").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        df.select("trace_id", F.col("end_time_unix_nano").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("trace_id")
+        .orderBy(F.col("t").asc(), F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r.trace_id: r.m
+        for r in ev.select("trace_id", F.sum("d").over(w).alias("c"))
+        .groupBy("trace_id")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    assert got == {"t1": 3, "t2": 1}
