@@ -2308,3 +2308,41 @@ GROUP BY trace_id
 ORDER BY max_concurrent DESC, trace_id ASC
 LIMIT 50
 """
+
+ORACLES["spans_self_time"] = f"""
+WITH parents AS (
+  SELECT trace_id AS t_id, span_id AS p_id, name,
+         start_time_unix_nano AS ps, end_time_unix_nano AS pe
+  FROM {_SPANS}
+), children AS (
+  SELECT trace_id AS t_id, parent_span_id AS p_id,
+         start_time_unix_nano AS cs, end_time_unix_nano AS ce
+  FROM {_SPANS} WHERE parent_span_id <> ''
+), clamped AS (
+  SELECT p.t_id, p.p_id,
+         greatest(c.cs, p.ps) AS s, least(c.ce, p.pe) AS e
+  FROM parents p JOIN children c ON p.t_id = c.t_id AND p.p_id = c.p_id
+  WHERE greatest(c.cs, p.ps) < least(c.ce, p.pe)
+), ev AS (
+  SELECT t_id, p_id, s AS t, 1 AS d FROM clamped
+  UNION ALL
+  SELECT t_id, p_id, e, -1 FROM clamped
+), r AS (
+  SELECT t_id, p_id, t,
+         sum(d) OVER (PARTITION BY t_id, p_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         lead(t) OVER (PARTITION BY t_id, p_id ORDER BY t, d) AS nt
+  FROM ev
+), cov AS (
+  SELECT t_id, p_id, sum(nt - t) AS covered
+  FROM r WHERE c > 0 AND nt IS NOT NULL
+  GROUP BY t_id, p_id
+)
+SELECT p.name,
+       round(sum(p.pe - p.ps - coalesce(cov.covered, 0)) / 1e6, 3) AS total_self_ms,
+       round(sum(p.pe - p.ps) / 1e6, 3) AS total_ms,
+       count(*)::BIGINT AS n_spans
+FROM parents p LEFT JOIN cov ON p.t_id = cov.t_id AND p.p_id = cov.p_id
+GROUP BY p.name
+ORDER BY total_self_ms DESC, name ASC
+"""

@@ -313,3 +313,30 @@ def test_concurrency_sweep_line_hand_trace(spark):
         .collect()
     }
     assert got == {"t1": 3, "t2": 1}
+
+
+def test_self_time_hand_tree(spark, monkeypatch, tmp_path):
+    """root [0,100] with children [10,30] and [20,50] (overlapping →
+    union 40) ⇒ self 60; leaf spans count full duration as self."""
+    import nabatshy_spark.plans.span_queries as SQ
+
+    rows = [
+        ("t1", "r", "", "root", 0, 100),
+        ("t1", "a", "r", "child", 10, 30),
+        ("t1", "b", "r", "child", 20, 50),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, start_time_unix_nano long, end_time_unix_nano long",
+    )
+    path = str(tmp_path / "spans")
+    df.write.parquet(path)
+    monkeypatch.setenv("NABATSHY_SPANS_PATH", path)
+    got = {
+        r.name: (r.total_self_ms, r.total_ms)
+        for r in QUERIES["spans_self_time"](spark, "unused").collect()
+    }
+    # union of [10,30]∪[20,50] = 40ns covered → self 60ns = 6e-5 ms
+    assert got["root"] == (round(60 / 1e6, 3), round(100 / 1e6, 3))
+    assert got["child"] == (round(50 / 1e6, 3), round(50 / 1e6, 3))

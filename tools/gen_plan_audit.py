@@ -35,6 +35,7 @@ ITERATIVE = {
     "dedup_pipeline", "curate_corpus", "bpe_vocab_merges",
     "bpe_token_stats", "ann_ivf_topk", "ann_ivfpq_topk",
     "dedup_embedding_clustered", "spans_critical_path",
+    "trade_reach_hops",
 }
 
 
