@@ -1966,3 +1966,56 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("nationkey"), "hop")
         .orderBy("hop", "nationkey")
     )
+
+
+@query("customer_rfm_segments")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer analytics rollup: per
+    customer recency (days since last order, against the corpus max
+    date), frequency (order count) and monetary (total spend), each
+    scored 1–3 against corpus-wide TERCILE boundaries computed with
+    exact quantile_cont (fixed value thresholds, NOT ntile — ntile
+    breaks ties by row order, which no two engines replicate), then
+    segment sizes. One groupBy(customer) + a 1-row broadcast of the
+    six boundaries; scoring is pure arithmetic on the joined row."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count("*").alias("__freq"),
+        F.sum("o_totalprice").alias("__spend"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("__maxd"))
+    rfm = per_cust.join(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("__maxd"), F.col("__last")).alias("__rec"),
+        "__freq",
+        "__spend",
+    )
+    bounds = rfm.agg(
+        F.percentile(F.col("__rec"), F.lit(1.0 / 3)).alias("__r1"),
+        F.percentile(F.col("__rec"), F.lit(2.0 / 3)).alias("__r2"),
+        F.percentile(F.col("__freq"), F.lit(1.0 / 3)).alias("__f1"),
+        F.percentile(F.col("__freq"), F.lit(2.0 / 3)).alias("__f2"),
+        F.percentile(F.col("__spend"), F.lit(1.0 / 3)).alias("__m1"),
+        F.percentile(F.col("__spend"), F.lit(2.0 / 3)).alias("__m2"),
+    )
+
+    def score(col, lo, hi, invert=False):
+        s = (
+            F.when(F.col(col) <= F.col(lo), 1)
+            .when(F.col(col) <= F.col(hi), 2)
+            .otherwise(3)
+        )
+        return (4 - s) if invert else s
+
+    scored = rfm.join(F.broadcast(bounds)).select(
+        # low recency days = RECENT = best → invert
+        score("__rec", "__r1", "__r2", invert=True).alias("r_score"),
+        score("__freq", "__f1", "__f2").alias("f_score"),
+        score("__spend", "__m1", "__m2").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

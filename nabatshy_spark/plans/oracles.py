@@ -2346,3 +2346,55 @@ FROM parents p LEFT JOIN cov ON p.t_id = cov.t_id AND p.p_id = cov.p_id
 GROUP BY p.name
 ORDER BY total_self_ms DESC, name ASC
 """
+
+ORACLES["spans_error_root_cause"] = f"""
+WITH err AS (
+  SELECT trace_id, span_id, parent_span_id, name
+  FROM {_SPANS}
+  WHERE len(list_filter(events, e -> e.name = 'exception')) > 0
+), culprits AS (
+  SELECT e.* FROM err e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM err c
+    WHERE c.trace_id = e.trace_id
+      AND c.parent_span_id = e.span_id
+      AND c.parent_span_id <> ''
+  )
+)
+SELECT name,
+       count(*)::BIGINT AS n_root_causes,
+       count(DISTINCT trace_id)::BIGINT AS n_traces
+FROM culprits
+GROUP BY name
+ORDER BY n_root_causes DESC, name ASC
+"""
+
+ORACLES["customer_rfm_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_d,
+         count(*) AS freq,
+         sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+), maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', last_d, md) AS rec, freq, spend
+  FROM per_cust, maxd
+), bounds AS (
+  SELECT quantile_cont(rec, 1.0/3) AS r1, quantile_cont(rec, 2.0/3) AS r2,
+         quantile_cont(freq, 1.0/3) AS f1, quantile_cont(freq, 2.0/3) AS f2,
+         quantile_cont(spend, 1.0/3) AS m1, quantile_cont(spend, 2.0/3) AS m2
+  FROM rfm
+), scored AS (
+  SELECT
+    4 - (CASE WHEN rec <= r1 THEN 1 WHEN rec <= r2 THEN 2 ELSE 3 END) AS r_score,
+    CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2 ELSE 3 END AS f_score,
+    CASE WHEN spend <= m1 THEN 1 WHEN spend <= m2 THEN 2 ELSE 3 END AS m_score
+  FROM rfm, bounds
+)
+SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""

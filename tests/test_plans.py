@@ -340,3 +340,33 @@ def test_self_time_hand_tree(spark, monkeypatch, tmp_path):
     # union of [10,30]∪[20,50] = 40ns covered → self 60ns = 6e-5 ms
     assert got["root"] == (round(60 / 1e6, 3), round(100 / 1e6, 3))
     assert got["child"] == (round(50 / 1e6, 3), round(50 / 1e6, 3))
+
+
+def test_error_root_cause_hand_tree(spark, monkeypatch, tmp_path):
+    """root(err) -> mid(err) -> leaf(err) attributes only the leaf;
+    a separate erroring span with a clean child is itself the cause."""
+    rows = [
+        # chain: propagation — only the leaf is the cause
+        ("t1", "r", "", "root", [("exception",)]),
+        ("t1", "m", "r", "mid", [("exception",)]),
+        ("t1", "l", "m", "leaf", [("exception",)]),
+        # erroring parent with a CLEAN child: parent is the cause
+        ("t2", "p", "", "parent", [("exception",)]),
+        ("t2", "c", "p", "clean", []),
+    ]
+    df = spark.createDataFrame(
+        [
+            (t, s, p, n, [{"name": e[0], "time_unix_nano": 0, "attributes": {}} for e in ev])
+            for t, s, p, n, ev in rows
+        ],
+        "trace_id string, span_id string, parent_span_id string, name string, "
+        "events array<struct<name string, time_unix_nano long, attributes map<string,string>>>",
+    )
+    path = str(tmp_path / "spans")
+    df.write.parquet(path)
+    monkeypatch.setenv("NABATSHY_SPANS_PATH", path)
+    got = {
+        r.name: r.n_root_causes
+        for r in QUERIES["spans_error_root_cause"](spark, "unused").collect()
+    }
+    assert got == {"leaf": 1, "parent": 1}
