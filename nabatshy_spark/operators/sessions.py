@@ -134,3 +134,43 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def top_session_paths(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common length-``n`` event-type paths WITHIN sessions — the
+    sequence-mining rollup behind "what do users do next" analyses.
+    Composes :func:`sessionize` with a lead-window n-gram: every
+    window of ``n`` consecutive events inside one session becomes a
+    '>'-joined path, counted corpus-wide, top ``k``.
+
+    The sequence order is (ts, id) — the id tiebreak makes paths
+    deterministic under equal timestamps (session ASSIGNMENT is
+    tie-invariant, sequences are not). Two shuffles total: the
+    session window (user key) and the path count; leads never cross a
+    session boundary because the window partitions on (user, session).
+    """
+    s = sessionize(df, user_col, ts_col)
+    w = Window.partitionBy(user_col, "session_seq").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = F.lead(type_col, n - 1).over(w).isNotNull()
+    return (
+        s.select(path.alias("path"), complete.alias("__ok"))
+        .filter(F.col("__ok"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )

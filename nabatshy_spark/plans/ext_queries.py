@@ -2019,3 +2019,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query("top_session_paths")
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 2-step event-type paths within sessions
+    (sessions.top_session_paths; n is a parameter — 2 here because
+    this corpus's sessions are short enough that longer paths are
+    all-unique): sessionize → lead-window n-gram → corpus count.
+    Deterministic sequence order via the event_id tiebreak."""
+    return sessions.top_session_paths(
+        load(spark, sf_dir, "events"), n=2, k=20
+    )

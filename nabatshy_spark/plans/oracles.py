@@ -2398,3 +2398,29 @@ FROM scored
 GROUP BY 1, 2, 3
 ORDER BY r_score, f_score, m_score
 """
+
+ORACLES["top_session_paths"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+), paths AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w2 AS path,
+         lead(event_type, 1) OVER w2 IS NOT NULL AS ok
+  FROM seq
+  WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+)
+SELECT path, count(*)::BIGINT AS n_occurrences
+FROM paths WHERE ok
+GROUP BY path
+ORDER BY n_occurrences DESC, path ASC
+LIMIT 20
+"""

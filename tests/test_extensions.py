@@ -1149,3 +1149,25 @@ def test_bfs_hops_hand_graph(spark):
     got = {(r.node, r.hop) for r in graph.bfs_hops(edges, source=1).collect()}
     # 9 is not reachable FROM 1 (only reaches 1); 3 via the shortcut
     assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}
+
+
+def test_session_paths_respect_boundaries(spark):
+    """A lead n-gram must never cross a session boundary: two events
+    36h apart are different sessions, so no path joins them."""
+    import datetime as dt
+
+    from nabatshy_spark.operators import sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, t0, "a"),
+        (1, 101, t0 + dt.timedelta(minutes=5), "b"),      # same session
+        (1, 102, t0 + dt.timedelta(hours=36), "c"),       # new session
+        (1, 103, t0 + dt.timedelta(hours=36, minutes=1), "d"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {
+        (r.path, r.n_occurrences)
+        for r in sessions.top_session_paths(df, n=2, k=10).collect()
+    }
+    assert got == {("a>b", 1), ("c>d", 1)}
