@@ -97,6 +97,16 @@ HEADLINE = [
     "repeated_ngram_docs",
     "frequent_part_pairs",
     "dedup_cluster_stats",
+    # round 3, third batch
+    "data_quality_report",
+    "value_trends",
+    "approx_revenue_estimate",
+    "spans_concurrency",
+    "spans_self_time",
+    "spans_error_root_cause",
+    "customer_rfm_segments",
+    "top_session_paths",
+    "trade_reach_hops",
 ]
 
 
