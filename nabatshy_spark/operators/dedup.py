@@ -1196,3 +1196,60 @@ def ngram_containment_pairs(
         F.round(F.col("__i") / F.col("__sb"), 6).alias("containment"),
     )
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# per-document duplicated-window coverage
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Per-document fraction of character ``k``-gram windows that also
+    occur in at least one OTHER document — the per-doc "how much of me
+    is boilerplate/copied" signal used to decide span-level scrubbing
+    vs whole-doc dropping in training-data curation (the document-level
+    view of what substring-dedup papers remove span-wise).
+
+    Plan: explode each doc into its window positions (narrow, no
+    shuffle), shuffle once on the shingle to get cross-doc document
+    frequency, then one shuffle back on the doc id.  At 100 TB the
+    shingle shuffle key should be ``xxhash64(shingle)`` (8 bytes
+    instead of k chars — collisions only overcount duplication by
+    ~1e-9); the string key is kept here so the DuckDB oracle is exact.
+    Docs shorter than ``k`` have no windows and are excluded, matching
+    the oracle.
+    """
+    docs = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).filter(F.col("__len") >= k)
+    sh = docs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("__len") - (k - 1))).alias("__pos"),
+        "__t",
+    ).select(id_col, F.expr(f"substring(__t, __pos, {k})").alias("__sh"))
+    docfreq = (
+        sh.select(id_col, "__sh")
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count("*").alias("__df"))
+    )
+    return (
+        sh.join(docfreq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "dup_windows",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_coverage"
+            ),
+        )
+        .orderBy(id_col)
+    )

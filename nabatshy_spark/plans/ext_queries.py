@@ -2031,3 +2031,7 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.top_session_paths(
         load(spark, sf_dir, "events"), n=2, k=20
     )
+
+
+# round-4 additions live in their own module; importing it registers them.
+from nabatshy_spark.plans import pipeline_queries as _pipeline_queries  # noqa: E402,F401

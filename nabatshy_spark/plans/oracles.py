@@ -2424,3 +2424,199 @@ GROUP BY path
 ORDER BY n_occurrences DESC, path ASC
 LIMIT 20
 """
+
+# --- round 4: TPC-H-shaped SQL surface -------------------------------------
+
+ORACLES["sql_small_qty_revenue"] = """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly_loss,
+       count(*) AS n_small_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+ORACLES["sql_large_orders"] = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice,
+       CAST(big.total_qty AS BIGINT) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_qty DESC, o.o_orderkey
+"""
+
+ORACLES["sql_late_sole_suppliers"] = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name, l1.l_suppkey AS suppkey,
+       count(DISTINCT l1.l_orderkey) AS n_waiting_orders
+FROM li l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.lag_days > 365
+  AND EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.lag_days > 365)
+GROUP BY s.s_name, l1.l_suppkey
+ORDER BY n_waiting_orders DESC, suppkey
+LIMIT 100
+"""
+
+ORACLES["sql_dormant_high_balance"] = """
+SELECT c.c_nationkey,
+       count(*) AS n_customers,
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(28,6))), 2)
+            AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= (
+        SELECT max(o2.o_orderdate) - INTERVAL 365 DAY FROM orders o2))
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+# --- round 4: entity resolution / coverage / embedding health --------------
+
+_ER_SCORED_SQL = """
+  SELECT p.ia AS id_a, p.ib AS id_b,
+         p.inter * 1.0 / (p.na + p.nb - p.inter) AS name_jaccard,
+         CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS brand_eq,
+         1.0 - least(abs(a.p_size - b.p_size), 10) / 10.0 AS size_sim
+  FROM (
+    SELECT ta.id AS ia, tb.id AS ib, count(*) AS inter,
+           any_value(ta.n) AS na, any_value(tb.n) AS nb
+    FROM (SELECT id, unnest(ts) AS tok, len(ts) AS n FROM (
+            SELECT p_partkey AS id,
+                   list_distinct(string_split_regex(lower(trim(p_name)), '\\s+')) AS ts
+            FROM part)) ta
+    JOIN (SELECT id, unnest(ts) AS tok, len(ts) AS n FROM (
+            SELECT p_partkey AS id,
+                   list_distinct(string_split_regex(lower(trim(p_name)), '\\s+')) AS ts
+            FROM part)) tb
+      ON ta.tok = tb.tok AND ta.id < tb.id
+    GROUP BY ta.id, tb.id) p
+  JOIN part a ON a.p_partkey = p.ia
+  JOIN part b ON b.p_partkey = p.ib
+"""
+
+ORACLES["er_part_pairs"] = f"""
+WITH scored AS ({_ER_SCORED_SQL})
+SELECT id_a, id_b,
+       round(name_jaccard, 6) AS name_jaccard,
+       brand_eq,
+       round(size_sim, 6) AS size_sim,
+       round(0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim, 6) AS score
+FROM scored
+WHERE 0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim >= 0.8
+ORDER BY id_a, id_b
+"""
+
+ORACLES["er_part_clusters"] = f"""
+WITH RECURSIVE scored AS ({_ER_SCORED_SQL}),
+matched AS (
+  SELECT id_a, id_b FROM scored
+  WHERE 0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim >= 0.9
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM matched
+  UNION
+  SELECT id_b, id_a FROM matched
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src, min(node) AS component FROM reach GROUP BY src),
+labeled AS (
+  SELECT p.p_partkey AS node, coalesce(c.component, p.p_partkey) AS component
+  FROM part p LEFT JOIN comp c ON c.src = p.p_partkey
+),
+sizes AS (SELECT component, count(*) AS cluster_size FROM labeled GROUP BY component)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+ORACLES["dup_ngram_coverage"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len
+  FROM documents WHERE length(text) >= 20),
+w AS (SELECT doc_id, unnest(generate_series(1, len - 19)) AS pos, text FROM d),
+s AS (SELECT doc_id, substr(text, pos, 20) AS sh FROM w),
+f AS (SELECT sh, count(DISTINCT doc_id) AS df FROM s GROUP BY sh),
+per AS (
+  SELECT s.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS dup_windows
+  FROM s JOIN f USING (sh) GROUP BY s.doc_id)
+SELECT doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(dup_windows AS BIGINT) AS dup_windows,
+       round(dup_windows * 1.0 / n_windows, 6) AS dup_coverage
+FROM per ORDER BY doc_id
+"""
+
+ORACLES["embedding_norm_stats"] = """
+SELECT label,
+       count(*) AS n,
+       round(avg(norm2), 6) AS avg_norm2,
+       round(min(norm2), 6) AS min_norm2,
+       round(max(norm2), 6) AS max_norm2
+FROM (
+  SELECT label,
+         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+  FROM embeddings)
+GROUP BY label ORDER BY label
+"""
+
+ORACLES["spans_exemplars"] = f"""
+WITH stats AS (
+  SELECT name, count(*) AS n_spans,
+         quantile_cont(duration_ns, 0.5) AS p50_ns,
+         max(duration_ns) AS max_ns
+  FROM {_SPANS} GROUP BY name),
+ex AS (
+  SELECT s.name, min(s.trace_id) AS exemplar_trace
+  FROM {_SPANS} s JOIN stats t ON s.name = t.name AND s.duration_ns = t.max_ns
+  GROUP BY s.name)
+SELECT stats.name, stats.n_spans, stats.p50_ns,
+       stats.max_ns,
+       ex.exemplar_trace
+FROM stats JOIN ex ON stats.name = ex.name
+ORDER BY stats.name
+"""
+
+ORACLES["spans_error_propagation"] = f"""
+WITH sp AS (
+  SELECT *, len(list_filter(events, e -> e.name = 'exception')) > 0 AS has_err
+  FROM {_SPANS})
+SELECT c.scope_name AS service,
+       count(*) AS n_child_errors,
+       sum(CASE WHEN p.has_err THEN 1 ELSE 0 END)::BIGINT AS n_parent_also_error,
+       round(sum(CASE WHEN p.has_err THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS propagation_rate
+FROM sp c JOIN sp p ON c.parent_span_id = p.span_id
+WHERE c.parent_span_id <> '' AND c.has_err
+GROUP BY c.scope_name
+ORDER BY c.scope_name
+"""

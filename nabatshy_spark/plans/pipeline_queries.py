@@ -1,0 +1,109 @@
+"""Round-4 training-pipeline queries: entity resolution, duplicated-
+window coverage, embedding norm health, and an ANN recall report.
+Registered into the same QUERIES dict; oracles in plans/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.operators import dedup, entity, similarity
+from nabatshy_spark.plans.queries import query
+
+
+@query("er_part_pairs")
+def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over ``part`` with a
+    multi-attribute match score (0.5·name-token Jaccard +
+    0.3·brand-equal + 0.2·size proximity), blocking on name tokens.
+    Blocking cost is Σ df² per token (cap-able via max_df at corpus
+    scale); scoring is pure column arithmetic — no UDFs, one shuffle
+    for candidate grouping, two broadcast-able attribute joins."""
+    return entity.score_part_pairs(
+        load(spark, sf_dir, "part"), threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@query("er_part_clusters")
+def er_part_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clusters at match threshold 0.9: connected components
+    (large-star/small-star, O(log n) rounds) over the scored pairs,
+    singletons included, reported as a cluster-size histogram."""
+    return entity.part_entity_clusters(
+        load(spark, sf_dir, "part"), threshold=0.9
+    )
+
+
+@query("dup_ngram_coverage")
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-window coverage: fraction of each doc's
+    character 20-gram windows that also appear in another document.
+    One shingle-keyed shuffle for document frequency, one doc-keyed
+    shuffle back; the 100 TB switch is hashing the shingle to int64."""
+    return dedup.duplicate_ngram_coverage(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=20
+    )
+
+
+@query("embedding_norm_stats")
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm² health stats (drift / collapsed-
+    vector detection before ANN indexing). The norm is a per-row
+    array fold (no explode, no shuffle until the tiny per-label agg);
+    6-dp rounding bounds cross-engine float reassociation, the same
+    contract as embedding_gram."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("norm2"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm2"), 6).alias("avg_norm2"),
+            F.round(F.min("norm2"), 6).alias("min_norm2"),
+            F.round(F.max("norm2"), 6).alias("max_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("ann_recall_report")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate ANN paths (hyperplane LSH, PQ/ADC)
+    against exact brute-force cosine, per probe query — the eval
+    artifact an index rollout gates on. Probabilistic by construction
+    → rows-only check (no SQL oracle); the unioned per-query plans
+    stay fully distributed (no collect of candidate sets).
+    """
+    emb = load(spark, sf_dir, "embeddings").cache()
+    probes = [0, 1, 2, 3]
+    reports = []
+    for qid in probes:
+        exact = similarity.cosine_topk(
+            emb, "vec_id", "embedding", query_id=qid, k=10
+        ).select(F.col("vec_id").alias("nbr"))
+        lsh = similarity.lsh_topk(
+            emb, "vec_id", "embedding", query_id=qid, k=10
+        ).select(F.col("vec_id").alias("nbr"))
+        hits = exact.join(lsh, "nbr", "inner").agg(
+            F.count("*").alias("n_hits")
+        )
+        reports.append(
+            hits.select(
+                F.lit(qid).alias("query_id"),
+                F.lit("lsh").alias("method"),
+                F.col("n_hits"),
+                F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("query_id", "method")

@@ -110,3 +110,128 @@ def sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
         """
     )
+
+
+@query("sql_small_qty_revenue")
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-average filter (the TPC-H Q17 shape): revenue that
+    would be lost by dropping small-quantity lines of one brand, where
+    "small" is relative to each part's own average quantity. Catalyst
+    decorrelates the scalar subquery into a per-part aggregate joined
+    back on l_partkey — one extra keyed shuffle, not per-row
+    re-execution.
+
+    Numeric stability: quantities are integral doubles so the
+    per-part avg is exact; the revenue sum goes through DECIMAL(28,6)
+    (associative, order-independent) before the final double cast."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly_loss,
+               count(*) AS n_small_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < 0.2 * (
+            SELECT avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@query("sql_large_orders")
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-then-semi-join (the TPC-H Q18 shape): orders whose total
+    quantity exceeds 300, joined back to customer/order attributes.
+    The HAVING aggregate runs first over lineitem only (partial
+    map-side combine on l_orderkey), and the tiny survivor set then
+    drives broadcast joins against orders and customer — the fact
+    table is scanned once."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               CAST(big.total_qty AS BIGINT) AS total_qty
+        FROM (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300
+        ) big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY total_qty DESC, o.o_orderkey
+        """
+    )
+
+
+@query("sql_late_sole_suppliers")
+def sql_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS pair (the TPC-H Q21 shape, adapted — this
+    star has l_shipdate + o_orderdate, not commit/receipt dates):
+    suppliers who were the ONLY late shipper (ship > order + 365d) in
+    multi-supplier orders. Catalyst plans the EXISTS as a left-semi
+    and the NOT EXISTS as a left-anti join on l_orderkey — both keyed
+    shuffles over the already-filtered late subset, no nested loops."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 datediff(l.l_shipdate, o.o_orderdate) AS lag_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT s.s_name, l1.l_suppkey AS suppkey,
+               count(DISTINCT l1.l_orderkey) AS n_waiting_orders
+        FROM li l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.lag_days > 365
+          AND EXISTS (
+            SELECT 1 FROM li l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM li l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.lag_days > 365)
+        GROUP BY s.s_name, l1.l_suppkey
+        ORDER BY n_waiting_orders DESC, suppkey
+        LIMIT 100
+        """
+    )
+
+
+@query("sql_dormant_high_balance")
+def sql_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + uncorrelated scalar subqueries (the TPC-H Q22
+    shape, adapted — no phone column): per-nation count and balance of
+    above-average-balance customers with no order in the final year of
+    the dataset. The NOT EXISTS becomes a left-anti join against the
+    (small) recent-orders projection; the global average is one scalar
+    broadcast.
+
+    The threshold is computed as an exact DECIMAL sum divided in
+    DOUBLE — identical bits in Spark and the DuckDB oracle, so the
+    boundary compare cannot flip between engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_nationkey,
+               count(*) AS n_customers,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS total_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= (
+                SELECT max(o2.o_orderdate) - INTERVAL 365 DAYS FROM orders o2))
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+        """
+    )
