@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -1250,6 +1250,69 @@ def duplicate_ngram_coverage(
             F.round(F.col("dup_windows") / F.col("n_windows"), 6).alias(
                 "dup_coverage"
             ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Character-level duplicated-SPAN coverage per document: the union
+    of all duplicated ``k``-gram windows (gaps-and-islands over window
+    intervals), i.e. exactly how many characters span-level scrubbing
+    would remove — the decision input for scrub-vs-drop in curation.
+
+    The island merge is two window functions over (doc, pos) — runs
+    inside the per-doc partition after the same two shuffles as
+    ``duplicate_ngram_coverage`` (shingle df, then doc rollup); pure
+    integer arithmetic end to end, so the DuckDB oracle is exact.
+    """
+    docs = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.length(text_col).alias("n_chars"),
+    ).filter(F.col("n_chars") >= k)
+    sh = docs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("n_chars") - (k - 1))).alias("__pos"),
+        "__t",
+    ).select(id_col, "__pos", F.expr(f"substring(__t, __pos, {k})").alias("__sh"))
+    docfreq = (
+        sh.select(id_col, "__sh")
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count("*").alias("__df"))
+    )
+    dupw = (
+        sh.join(docfreq, "__sh")
+        .filter(F.col("__df") >= 2)
+        .select(id_col, "__pos", (F.col("__pos") + (k - 1)).alias("__end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dupw.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("__pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(id_col, "__island").agg(
+        (F.max("__end") - F.min("__pos") + 1).alias("__covered")
+    )
+    per_doc = islands.groupBy(id_col).agg(F.sum("__covered").alias("dup_chars"))
+    return (
+        docs.select(id_col, "n_chars")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+            ).alias("dup_char_frac"),
         )
         .orderBy(id_col)
     )

@@ -135,3 +135,59 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    order_col: str,
+    depth: int = 8,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α=1/2) of the
+    last ``depth`` values, reported at each key's latest row — the
+    classic "current smoothed level" feature for monitoring/features.
+
+    Implemented as ``depth`` explicit ``lag`` terms over one window
+    (no recursion — Spark has no recursive per-row state, and a bounded
+    lag pyramid is the scale-safe shape: one partition-local pass).
+    Cross-engine determinism by construction: weights are powers of
+    two (exact doubles) and the weighted sum is a FIXED left-to-right
+    expression tree, so Spark and DuckDB compute identical IEEE bits —
+    no aggregate reassociation anywhere.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    out = df.select(
+        key_col, ts_col, order_col, F.col(val_col).cast("double").alias("__v0")
+    )
+    for j in range(1, depth):
+        out = out.withColumn(f"__v{j}", F.lag("__v0", j).over(w))
+    num = " + ".join(
+        f"coalesce(__v{j}, 0.0d) * {0.5 ** j!r}d" for j in range(depth)
+    )
+    den = " + ".join(
+        f"(CASE WHEN __v{j} IS NULL THEN 0.0d ELSE {0.5 ** j!r}d END)"
+        for j in range(depth)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col(order_col).desc()
+        )
+    )
+    scored = (
+        out.withColumn("__ewma", F.expr(f"({num}) / ({den})"))
+        .withColumn("__rn", rn)
+        .withColumn(
+            "__n", F.count("*").over(Window.partitionBy(key_col))
+        )
+    )
+    return (
+        scored.filter(F.col("__rn") == 1)
+        .select(
+            key_col,
+            F.col("__n").alias("n_events"),
+            F.round("__ewma", 6).alias("ewma_value"),
+        )
+        .orderBy(key_col)
+    )

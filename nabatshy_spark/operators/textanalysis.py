@@ -694,3 +694,34 @@ def cross_doc_ngram_dup(
             ),
         )
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS slope of ln(count) on ln(rank) for the top ``top_n`` terms
+    (natural text ≈ −1; synthetic/templated corpora flatten — a cheap
+    corpus-health signal). Tokenization matches vocab_top_terms
+    (single-space split); the regression runs over ≤``top_n`` rows
+    after the one term-count shuffle, via the built-in regr_*
+    aggregates."""
+    from pyspark.sql import Window as _W
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        ),
+    ).filter(F.col("rank") <= top_n)
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )

@@ -2620,3 +2620,86 @@ WHERE c.parent_span_id <> '' AND c.has_err
 GROUP BY c.scope_name
 ORDER BY c.scope_name
 """
+
+ORACLES["dup_span_chars"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars
+  FROM documents WHERE length(text) >= 20),
+w AS (SELECT doc_id, n_chars, unnest(generate_series(1, n_chars - 19)) AS pos, text FROM d),
+s AS (SELECT doc_id, pos, substr(text, pos, 20) AS sh FROM w),
+f AS (SELECT sh, count(DISTINCT doc_id) AS df FROM s GROUP BY sh),
+dupw AS (
+  SELECT s.doc_id, s.pos, s.pos + 19 AS e
+  FROM s JOIN f USING (sh) WHERE f.df >= 2),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM dupw),
+islands AS (
+  SELECT doc_id, pos, e,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+cov AS (
+  SELECT doc_id, island, max(e) - min(pos) + 1 AS covered
+  FROM islands GROUP BY doc_id, island),
+per AS (SELECT doc_id, sum(covered) AS dup_chars FROM cov GROUP BY doc_id)
+SELECT d.doc_id, d.n_chars,
+       CAST(coalesce(per.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(coalesce(per.dup_chars, 0) * 1.0 / d.n_chars, 6) AS dup_char_frac
+FROM d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+ORACLES["ewma_user_value"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS __v0
+  FROM events),
+lagged AS (
+  SELECT user_id, ts, event_id, __v0,
+         lag(__v0, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v1,
+         lag(__v0, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v2,
+         lag(__v0, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v3,
+         lag(__v0, 4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v4,
+         lag(__v0, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v5,
+         lag(__v0, 6) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v6,
+         lag(__v0, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __v7,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS __rn,
+         count(*) OVER (PARTITION BY user_id) AS __n
+  FROM base)
+SELECT user_id,
+       __n AS n_events,
+       round((coalesce(__v0, CAST(0.0 AS DOUBLE)) * CAST(1.0 AS DOUBLE) + coalesce(__v1, CAST(0.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) + coalesce(__v2, CAST(0.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE) + coalesce(__v3, CAST(0.0 AS DOUBLE)) * CAST(0.125 AS DOUBLE) + coalesce(__v4, CAST(0.0 AS DOUBLE)) * CAST(0.0625 AS DOUBLE) + coalesce(__v5, CAST(0.0 AS DOUBLE)) * CAST(0.03125 AS DOUBLE) + coalesce(__v6, CAST(0.0 AS DOUBLE)) * CAST(0.015625 AS DOUBLE) + coalesce(__v7, CAST(0.0 AS DOUBLE)) * CAST(0.0078125 AS DOUBLE)) / ((CASE WHEN __v0 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) + (CASE WHEN __v1 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) + (CASE WHEN __v2 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END) + (CASE WHEN __v3 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END) + (CASE WHEN __v4 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.0625 AS DOUBLE) END) + (CASE WHEN __v5 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.03125 AS DOUBLE) END) + (CASE WHEN __v6 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.015625 AS DOUBLE) END) + (CASE WHEN __v7 IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(0.0078125 AS DOUBLE) END)), 6) AS ewma_value
+FROM lagged WHERE __rn = 1
+ORDER BY user_id
+"""
+
+ORACLES["vocab_zipf_slope"] = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts),
+xy AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM ranked WHERE rank <= 1000)
+SELECT count(*) AS n_terms,
+       round(regr_slope(y, x), 6) AS zipf_slope,
+       round(regr_r2(y, x), 6) AS r2
+FROM xy
+"""
+
+ORACLES["image_dup_groups"] = """
+SELECT CAST((doc_id * 11 + 5) % 256 AS INT) AS gray,
+       count(*) AS n_images,
+       min(doc_id) AS canonical_doc
+FROM documents
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY gray
+"""

@@ -107,3 +107,58 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("query_id", "method")
+
+
+from nabatshy_spark.operators import multimodal, stats, textanalysis  # noqa: E402
+
+
+@query("dup_span_chars")
+def dup_span_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level duplicated-span coverage per doc: union of all
+    cross-doc-duplicated 20-gram windows via gaps-and-islands — the
+    exact number of characters span-scrubbing would remove."""
+    return dedup.duplicate_span_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=20
+    )
+
+
+@query("ewma_user_value")
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=1/2, depth 8) of event values at each user's
+    latest event — a bounded lag-pyramid window, one partition-local
+    pass, no recursion and no float-aggregate reassociation."""
+    return stats.ewma_last(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+@query("vocab_zipf_slope")
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the top-1000 term-frequency distribution
+    (corpus-health signal: natural text ≈ −1)."""
+    return textanalysis.zipf_fit(
+        load(spark, sf_dir, "documents"), "text", top_n=1000
+    )
+
+
+@query("image_dup_groups")
+def image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup on DECODED pixel content (not payload bytes —
+    the same pixels re-encoded compress differently): group by the
+    decoded gray level, keep groups of ≥2 with the canonical (min)
+    doc. The deterministic synth makes the expected groups analytic,
+    so the oracle checks the real PNG decode path end to end."""
+    feats = multimodal.image_features(
+        multimodal.attach_images(load(spark, sf_dir, "documents"), "doc_id")
+    )
+    return (
+        feats.filter(F.col("decode_error").isNull())
+        .select("doc_id", F.col("mean_pixel").cast("int").alias("gray"))
+        .groupBy("gray")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy("gray")
+    )
