@@ -400,6 +400,8 @@ def pq_topk(
     m: int = 8,
     ks: int = 16,
     rerank: int = 8,
+    books: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance computation (ADC),
     exact-cosine re-ranked: (1) train codebooks, (2) encode the corpus,
@@ -415,7 +417,13 @@ def pq_topk(
     ~64× less IO than the raw vectors — and ranking is a per-partition
     top-R merge (TakeOrderedAndProject), no global sort, no shuffle of
     vectors; the re-rank joins ``rerank·k`` ids back to the vector
-    table (broadcast of the id set → pushed-down point reads)."""
+    table (broadcast of the id set → pushed-down point reads).
+
+    ``books``/``encoded`` let a caller train and encode ONCE and fan
+    many probes over the shared index (the production shape: the
+    encoded relation is the persisted PQ index, probes only build a
+    LUT each) — ``ann_recall_report`` uses this to avoid re-training
+    per probe."""
     import numpy as np
 
     probe = df.filter(F.col(id_col) == query_id).select(vec_col).first()
@@ -423,12 +431,14 @@ def pq_topk(
         return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
     q = np.asarray(probe[0], dtype=np.float64)
     dim = len(q)
-    sub = dim // m
 
-    books = pq_codebooks(df, id_col, vec_col, dim, m=m, ks=ks)
-    encoded = pq_encode(
-        df.filter(F.col(id_col) != query_id), id_col, vec_col, books
-    )
+    if books is None:
+        books = pq_codebooks(df, id_col, vec_col, dim, m=m, ks=ks)
+    m = len(books)
+    sub = dim // m
+    if encoded is None:
+        encoded = pq_encode(df, id_col, vec_col, books)
+    encoded = encoded.filter(F.col(id_col) != query_id)
 
     # per-subspace LUT of squared distances from the query's subvector
     adc = None

@@ -2703,3 +2703,50 @@ FROM documents
 GROUP BY 1 HAVING count(*) >= 2
 ORDER BY gray
 """
+
+ORACLES["spans_apdex"] = f"""
+SELECT name,
+       count(*) AS n_spans,
+       sum(CASE WHEN duration_ns <= 10000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_satisfied,
+       sum(CASE WHEN duration_ns > 10000000 AND duration_ns <= 40000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_tolerating,
+       round((sum(CASE WHEN duration_ns <= 10000000 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN duration_ns > 10000000 AND duration_ns <= 40000000
+                         THEN 1 ELSE 0 END) / 2.0) * 1.0 / count(*), 6)
+         AS apdex
+FROM {_SPANS}
+GROUP BY name ORDER BY name
+"""
+
+ORACLES["sql_order_priority_check"] = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+ORACLES["sql_nation_trade_volume"] = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""

@@ -76,33 +76,45 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_recall_report")
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the approximate ANN paths (hyperplane LSH, PQ/ADC)
-    against exact brute-force cosine, per probe query — the eval
-    artifact an index rollout gates on. Probabilistic by construction
-    → rows-only check (no SQL oracle); the unioned per-query plans
-    stay fully distributed (no collect of candidate sets).
+    """Recall@10 of the approximate ANN paths (hyperplane LSH and
+    PQ/ADC) against exact brute-force cosine, per probe query — the
+    eval artifact an index rollout gates on. The PQ index (codebooks +
+    encoded corpus) is trained ONCE and shared across all probes, the
+    production shape: probes differ only in their driver-side LUT.
+    Probabilistic by construction → rows-only check (no SQL oracle);
+    the unioned per-query plans stay fully distributed (no collect of
+    candidate sets).
     """
     emb = load(spark, sf_dir, "embeddings").cache()
     probes = [0, 1, 2, 3]
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", dim=64)
+    encoded = similarity.pq_encode(emb, "vec_id", "embedding", books).cache()
     reports = []
     for qid in probes:
         exact = similarity.cosine_topk(
             emb, "vec_id", "embedding", query_id=qid, k=10
         ).select(F.col("vec_id").alias("nbr"))
-        lsh = similarity.lsh_topk(
-            emb, "vec_id", "embedding", query_id=qid, k=10
-        ).select(F.col("vec_id").alias("nbr"))
-        hits = exact.join(lsh, "nbr", "inner").agg(
-            F.count("*").alias("n_hits")
-        )
-        reports.append(
-            hits.select(
-                F.lit(qid).alias("query_id"),
-                F.lit("lsh").alias("method"),
-                F.col("n_hits"),
-                F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
+        approx = {
+            "lsh": similarity.lsh_topk(
+                emb, "vec_id", "embedding", query_id=qid, k=10
+            ),
+            "pq": similarity.pq_topk(
+                emb, "vec_id", "embedding", query_id=qid, k=10,
+                books=books, encoded=encoded,
+            ),
+        }
+        for method, res in approx.items():
+            hits = exact.join(
+                res.select(F.col("vec_id").alias("nbr")), "nbr", "inner"
+            ).agg(F.count("*").alias("n_hits"))
+            reports.append(
+                hits.select(
+                    F.lit(qid).alias("query_id"),
+                    F.lit(method).alias("method"),
+                    F.col("n_hits"),
+                    F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
+                )
             )
-        )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

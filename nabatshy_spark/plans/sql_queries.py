@@ -235,3 +235,57 @@ def sql_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_nationkey
         """
     )
+
+
+@query("sql_order_priority_check")
+def sql_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-driven priority audit (the TPC-H Q4 shape, adapted to
+    this star's l_shipdate): orders placed in one quarter with at
+    least one line shipped more than 60 days after the order date,
+    counted per priority. The EXISTS plans as a left-semi join on
+    l_orderkey — the lineitem side is filtered before the shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@query("sql_nation_trade_volume")
+def sql_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (the TPC-H Q7 shape): revenue shipped
+    between two nations in either direction, by year. Five-way join
+    where nation is broadcast twice and customer/supplier join keyed;
+    revenue goes through DECIMAL(28,6) so the sum is order-independent
+    across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
