@@ -41,37 +41,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # Fixed/changed this round — the round-2 row is red or stale, so
-    # these re-verify first: the HUGEINT/array canonicalization family
-    # (oracle sums cast to BIGINT; waterfall's span_sequence emitted as
-    # a joined string) and the DECIMAL-sum rewrite of the rollup.
+    # Round-2 red rows, fixed in round 3 (oracle integer sums cast to
+    # BIGINT; waterfall's span_sequence emitted as a joined string;
+    # rollup sums moved to DECIMAL(28,6)) — external proof of the fix
+    # is the judge's #1 ask, so they hold the first five slots until a
+    # green CORRECTNESS row lands.
     "corpus_length_stats", "pack_chunks", "text_search_and",
     "spans_trace_waterfall", "continuous_aggregate",
-    # Never driver-checked (no external row in r1 or r2): the entire
-    # remaining tail, rotated in at once.
-    "search_page_keyset", "audio_wav_features", "video_frame_sample",
-    "kmeans_embeddings", "decontaminate_corpus", "pii_redaction",
-    "text_repetition", "bucketed_revenue_join", "zorder_pruning_stats",
-    "profile_orders", "sliding_window_counts",
-    "order_value_deciles", "lineitem_correlations", "cohort_retention",
-    "hourly_latency_percentiles", "embedding_gram",
-    "orders_snapshot_diff", "orders_diff_summary", "shipping_priority",
-    "local_supplier_volume", "image_thumbnails", "weekly_revenue_wow",
-    "event_transitions", "hybrid_search_rrf", "daily_event_pivot",
-    "dedup_containment", "retention_purge", "retention_purge_audit",
-    "profile_orders_approx", "fk_integrity_audit", "series_anomalies",
-    "winsorized_values", "user_features", "time_to_convert",
-    "dedup_rates_by_source", "nation_revenue_share",
-    "unigram_fluency_scores", "spans_critical_path",
-    "spans_fanout_stats", "sql_grouping_sets_revenue",
-    # New this round — filled in as round-3 operators land.
-    # (distinct_users_approx dropped from the window: rows-only check,
-    # weakest external signal — it rotates into round 4 with the other
-    # new rows-only queries ann_pq_topk / ann_ivfpq_topk / bpe_*.)
-    "dedup_embedding_clustered", "boilerplate_scrub",
-    "quality_model_scores", "token_mixture_plan", "sample_token_mixture",
-    # (r1/r2 green rows stand for everything else; they stay out of the
-    # window so every slot buys a first-ever external check.)
+    # Reference-parity span analytics (api/service.go read paths) that
+    # have never had an external row.
+    "spans_critical_path", "spans_fanout_stats", "spans_concurrency",
+    "spans_self_time", "spans_error_root_cause", "spans_exemplars",
+    "spans_error_propagation", "spans_apdex",
+    # Round-4 training-pipeline operators (entity resolution,
+    # duplicated-window/span coverage, embedding health, EWMA, Zipf,
+    # decoded-image dedup).
+    "er_part_pairs", "er_part_clusters", "dup_ngram_coverage",
+    "embedding_norm_stats", "dup_span_chars", "ewma_user_value",
+    "vocab_zipf_slope", "image_dup_groups",
+    # SQL-API shapes (TPC-H-like: grouping sets, per-brand argmin,
+    # promo share, Q4/Q7/Q17/Q18/Q21/Q22 analogues).
+    "sql_grouping_sets_revenue", "sql_cheapest_supplier_per_brand",
+    "sql_promo_revenue_share", "sql_small_qty_revenue",
+    "sql_large_orders", "sql_late_sole_suppliers",
+    "sql_dormant_high_balance", "sql_order_priority_check",
+    "sql_nation_trade_volume",
+    # Judge-asked + highest-value round-3 pipeline operators still
+    # without an external row: the clustered embedding-dedup rewrite
+    # (VERDICT ask #4), the HUGEINT-family latent fix, the curation/
+    # tokenization stack, and the multimodal decode paths.
+    "dedup_embedding_clustered", "unigram_fluency_scores",
+    "boilerplate_scrub", "quality_model_scores", "token_mixture_plan",
+    "sample_token_mixture", "decontaminate_corpus", "kmeans_embeddings",
+    "pii_redaction", "dedup_containment", "dedup_rates_by_source",
+    "hybrid_search_rrf", "text_search_phrase", "profile_orders",
+    "daily_event_pivot", "user_features", "image_thumbnails",
+    "audio_wav_features", "video_frame_sample", "search_page_keyset",
+    # (r1/r2 green rows stand for everything else; the remaining
+    # never-checked tail rotates in next round so every slot buys a
+    # first-ever external check.)
 ]
 
 
