@@ -107,6 +107,18 @@ HEADLINE = [
     "customer_rfm_segments",
     "top_session_paths",
     "trade_reach_hops",
+    # round 4 additions
+    "er_part_pairs",
+    "er_part_clusters",
+    "dup_ngram_coverage",
+    "dup_span_chars",
+    "embedding_norm_stats",
+    "ewma_user_value",
+    "vocab_zipf_slope",
+    "image_dup_groups",
+    "spans_apdex",
+    "sql_order_priority_check",
+    "sql_nation_trade_volume",
 ]
 
 

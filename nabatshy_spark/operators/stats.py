@@ -175,8 +175,11 @@ def ewma_last(
             F.col(ts_col).desc(), F.col(order_col).desc()
         )
     )
+    # try_divide: a key whose visible lag window is entirely NULL has
+    # denominator 0 — the smoothed level is undefined (NULL), not a
+    # crash (ANSI mode raises DIVIDE_BY_ZERO on plain `/`).
     scored = (
-        out.withColumn("__ewma", F.expr(f"({num}) / ({den})"))
+        out.withColumn("__ewma", F.expr(f"try_divide(({num}), ({den}))"))
         .withColumn("__rn", rn)
         .withColumn(
             "__n", F.count("*").over(Window.partitionBy(key_col))

@@ -2750,3 +2750,114 @@ WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
 GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 ORDER BY supp_nation, cust_nation, l_year
 """
+
+ORACLES["sql_market_share"] = """
+WITH all_lines AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+              AS DECIMAL(28,6)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                           THEN volume
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM all_lines GROUP BY o_year ORDER BY o_year
+"""
+
+ORACLES["sql_product_profit"] = """
+SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.8 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS profit,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(l.l_shipdate)
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["sql_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["sql_discounted_revenue"] = """
+SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["sql_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+ORACLES["dedup_keep_best"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+sized AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM sized
+)
+SELECT component,
+       count(*)::BIGINT AS cluster_size,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars
+FROM ranked GROUP BY component ORDER BY component
+"""

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nabatshy_spark.catalog import load
 from nabatshy_spark.operators import dedup, entity, similarity
@@ -150,6 +151,40 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus-health signal: natural text ≈ −1)."""
     return textanalysis.zipf_fit(
         load(spark, sf_dir, "documents"), "text", top_n=1000
+    )
+
+
+@query("dedup_keep_best")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster — the
+    production retention policy (keep the longest/highest-quality
+    member, not the min-id): 3-gram Jaccard ≥ 0.5 pairs →
+    large-star/small-star components → per-component row_number over
+    (n_chars DESC, doc_id ASC). The ranking window partitions by
+    component, so it is partition-local after one shuffle of the tiny
+    components relation; the corpus itself only ever ships (id,
+    n_chars) pairs. Swap ``n_chars`` for any scored quality column
+    (quality_model_scores) for the model-based variant."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+    comp = dedup.connected_components(pairs)
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("component")
     )
 
 

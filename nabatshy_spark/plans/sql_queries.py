@@ -289,3 +289,141 @@ def sql_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supp_nation, cust_nation, l_year
         """
     )
+
+
+@query("sql_market_share")
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (the TPC-H Q8 shape): one supplier
+    nation's share of revenue sold into a region's market, by order
+    year. Seven-way star join where region/nation broadcast; both the
+    numerator and denominator sums go through DECIMAL(28,6) and are
+    cast to DOUBLE before the division so the ratio is
+    order-independent across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH all_lines AS (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(28,6)) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+          JOIN region r   ON n1.n_regionkey = r.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA'
+            AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                                   THEN volume
+                                   ELSE CAST(0 AS DECIMAL(28,6)) END)
+                          AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+               count(*) AS n_lines
+        FROM all_lines GROUP BY o_year ORDER BY o_year
+        """
+    )
+
+
+@query("sql_product_profit")
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by supplier nation and ship year (the
+    TPC-H Q9 shape, adapted: this star has no partsupp table, so cost
+    is proxied as 80% of the part's retail price × quantity). The
+    LIKE filter prunes part before the join; profit terms go through
+    DECIMAL(28,6)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   - 0.8 * p.p_retailprice * l.l_quantity
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS profit,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, year(l.l_shipdate)
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+@query("sql_customer_distribution")
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (the TPC-H Q13 shape):
+    LEFT JOIN with a join-side predicate (non-urgent orders only) so
+    zero-order customers survive into the c_count=0 bucket, then a
+    second aggregation over the first. Two shuffles total; the outer
+    histogram relation is tiny."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+@query("sql_discounted_revenue")
+def sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue (the TPC-H Q19 shape): three OR
+    branches over (brand, size range, quantity range). Catalyst
+    extracts the common p_partkey equi-join and pushes the brand/size
+    disjunction down to the part scan; the quantity bounds filter the
+    lineitem side before the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+@query("sql_top_supplier")
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (the TPC-H Q15 shape): a
+    revenue CTE reused twice — once joined to supplier, once under a
+    scalar-subquery max. Revenue is rounded AFTER a DECIMAL(28,6)
+    sum, so the equality against the max is exact on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+        """
+    )

@@ -92,3 +92,81 @@ def test_image_dup_groups_match_analytic(spark, sf_dir):
     # 500 docs at sf0.01: ids x and x+256 share gray -> 244 groups of 2
     assert all(r.n_images == 2 for r in rows)
     assert len(rows) == 244
+
+
+def test_dedup_keep_best_prefers_longest_then_min_id(spark):
+    # Three mutual near-dups (shared 3-gram shingles): the survivor
+    # must be the longest text; equal lengths tie-break to min doc_id.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base, n_chars=len(base)),
+            Row(doc_id=11, text=base + " iota", n_chars=len(base) + 5),
+            Row(doc_id=12, text=base, n_chars=len(base)),
+        ]
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    comp = dedup.connected_components(pairs)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        sized.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    assert len(kept) == 1 and kept[0].doc_id == 11
+
+
+def test_pq_shared_index_matches_per_probe_training(spark, sf_dir):
+    # pq_topk with a caller-supplied trained index must return the
+    # same neighbors as the self-training path (same deterministic
+    # kmeans seeds), for every probe.
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings").cache()
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", dim=64)
+    encoded = similarity.pq_encode(emb, "vec_id", "embedding", books).cache()
+    for qid in (0, 3):
+        solo = [
+            r.vec_id
+            for r in similarity.pq_topk(
+                emb, "vec_id", "embedding", qid, k=5
+            ).collect()
+        ]
+        shared = [
+            r.vec_id
+            for r in similarity.pq_topk(
+                emb, "vec_id", "embedding", qid, k=5,
+                books=books, encoded=encoded,
+            ).collect()
+        ]
+        assert solo == shared
+
+
+def test_ewma_all_null_values_yields_null_not_crash(spark):
+    # A key whose every value is NULL has a zero weight denominator;
+    # ANSI mode would raise DIVIDE_BY_ZERO on a plain division — the
+    # operator must emit NULL for that key instead (try_divide).
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=dt.datetime(2024, 1, 1), value=None, event_id=1),
+            Row(user_id=1, ts=dt.datetime(2024, 1, 2), value=2.0, event_id=2),
+            Row(user_id=2, ts=dt.datetime(2024, 1, 1), value=None, event_id=3),
+        ]
+    )
+    out = {
+        r.user_id: r
+        for r in stats.ewma_last(
+            ev, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert out[1].ewma_value == 2.0
+    assert out[2].ewma_value is None
