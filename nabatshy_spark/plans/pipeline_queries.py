@@ -18,12 +18,16 @@ from nabatshy_spark.plans.queries import query
 def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs over ``part`` with a
     multi-attribute match score (0.5·name-token Jaccard +
-    0.3·brand-equal + 0.2·size proximity), blocking on name tokens.
-    Blocking cost is Σ df² per token (cap-able via max_df at corpus
-    scale); scoring is pure column arithmetic — no UDFs, one shuffle
-    for candidate grouping, two broadcast-able attribute joins."""
+    0.3·brand-equal + 0.2·size proximity), multi-pass blocking:
+    df-capped token postings ∪ canonical-name equality (the cap bounds
+    posting joins at Σ min(df,cap)²; the name pass catches all-common-
+    token exact matches the cap would drop). At threshold 0.8 a match
+    needs name Jaccard ≥ 0.6, which on this catalog's 2-token names
+    forces identical token sets — so the capped pair set is provably
+    identical to the exhaustive one the oracle enumerates. Scoring is
+    pure column arithmetic — no UDFs."""
     return entity.score_part_pairs(
-        load(spark, sf_dir, "part"), threshold=0.8
+        load(spark, sf_dir, "part"), threshold=0.8, max_df=200
     ).orderBy("id_a", "id_b")
 
 
@@ -31,9 +35,11 @@ def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_part_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity clusters at match threshold 0.9: connected components
     (large-star/small-star, O(log n) rounds) over the scored pairs,
-    singletons included, reported as a cluster-size histogram."""
+    singletons included, reported as a cluster-size histogram. Same
+    capped multi-pass blocking as er_part_pairs (lossless at this
+    threshold — see that docstring)."""
     return entity.part_entity_clusters(
-        load(spark, sf_dir, "part"), threshold=0.9
+        load(spark, sf_dir, "part"), threshold=0.9, max_df=200
     )
 
 

@@ -114,3 +114,33 @@ def test_within_doc_repeat_is_not_cross_doc_duplication(spark):
         for r in dedup.duplicate_ngram_coverage(docs, "doc_id", "text").collect()
     }
     assert out[1].dup_windows == 0
+
+
+def test_capped_blocking_equals_exhaustive_at_high_threshold(spark):
+    # On a catalog where EVERY token is above the df cap (the
+    # low-cardinality regime that melts pure token blocking), the
+    # capped multi-pass result must still equal the exhaustive
+    # (max_df=None) result for thresholds that force token-set
+    # equality — the canonical-name pass carries those pairs.
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            Row(
+                p_partkey=i,
+                p_name="red plate" if i % 2 == 0 else "blue plate",
+                p_brand=f"Brand#{i % 3}",
+                p_size=(i % 7) + 1,
+            )
+        )
+    df = spark.createDataFrame(rows)
+    exhaustive = {
+        (r.id_a, r.id_b, r.score)
+        for r in entity.score_part_pairs(df, threshold=0.8).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.score)
+        for r in entity.score_part_pairs(df, threshold=0.8, max_df=5).collect()
+    }
+    assert exhaustive and capped == exhaustive
