@@ -1221,27 +1221,34 @@ def duplicate_ngram_coverage(
     Docs shorter than ``k`` have no windows and are excluded, matching
     the oracle.
     """
-    docs = df.select(
-        F.col(id_col), F.col(text_col).alias("__t"),
-        F.length(text_col).alias("__len"),
-    ).filter(F.col("__len") >= k)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(parallelism, id_col)
+        .select(
+            F.col(id_col), F.col(text_col).alias("__t"),
+            F.length(text_col).alias("__len"),
+        )
+        .filter(F.col("__len") >= k)
+    )
     sh = docs.select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.col("__len") - (k - 1))).alias("__pos"),
         "__t",
     ).select(id_col, F.expr(f"substring(__t, __pos, {k})").alias("__sh"))
-    docfreq = (
-        sh.select(id_col, "__sh")
-        .distinct()
-        .groupBy("__sh")
-        .agg(F.count("*").alias("__df"))
-    )
+    # Compact to (doc, shingle, occurrence-count) in ONE shuffle: the
+    # window expansion is computed once, document frequency is a
+    # count over this compacted relation (one row per doc×shingle),
+    # and the df join never touches per-position rows again.
+    g = sh.groupBy(id_col, "__sh").agg(F.count("*").alias("__c"))
+    docfreq = g.groupBy("__sh").agg(F.count("*").alias("__df"))
     return (
-        sh.join(docfreq, "__sh")
+        g.join(docfreq, "__sh")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("dup_windows"),
+            F.sum("__c").alias("n_windows"),
+            F.sum(F.when(F.col("__df") >= 2, F.col("__c")).otherwise(0)).alias(
+                "dup_windows"
+            ),
         )
         .select(
             id_col,
@@ -1268,10 +1275,15 @@ def duplicate_span_stats(
     ``duplicate_ngram_coverage`` (shingle df, then doc rollup); pure
     integer arithmetic end to end, so the DuckDB oracle is exact.
     """
-    docs = df.select(
-        F.col(id_col), F.col(text_col).alias("__t"),
-        F.length(text_col).alias("n_chars"),
-    ).filter(F.col("n_chars") >= k)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(parallelism, id_col)
+        .select(
+            F.col(id_col), F.col(text_col).alias("__t"),
+            F.length(text_col).alias("n_chars"),
+        )
+        .filter(F.col("n_chars") >= k)
+    )
     sh = docs.select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.col("n_chars") - (k - 1))).alias("__pos"),
