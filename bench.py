@@ -119,6 +119,15 @@ HEADLINE = [
     "spans_apdex",
     "sql_order_priority_check",
     "sql_nation_trade_volume",
+    # round 4, second batch
+    "dedup_keep_best",
+    "sql_market_share",
+    "sql_customer_distribution",
+    "sql_discounted_revenue",
+    "sql_returned_item_report",
+    "spans_error_budget",
+    "source_overlap_matrix",
+    "token_count_histogram",
 ]
 
 

@@ -2861,3 +2861,61 @@ SELECT component,
        max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars
 FROM ranked GROUP BY component ORDER BY component
 """
+
+ORACLES["spans_error_budget"] = f"""
+WITH per_bucket AS (
+  SELECT scope_name AS service,
+         (start_time_unix_nano // 1000000000) // 600 AS b,
+         count(*) AS n,
+         sum(CASE WHEN len(list_filter(events, e -> e.name = 'exception')) > 0
+                  THEN 1 ELSE 0 END) AS errs
+  FROM {{spans}}
+  GROUP BY 1, 2
+)
+SELECT service,
+       count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN errs * 1.0 / n > 0.01 THEN 1 ELSE 0 END)::BIGINT
+         AS n_burned_buckets,
+       round(max(errs * 1.0 / n), 6) AS worst_bucket_rate,
+       sum(errs)::BIGINT AS n_errors
+FROM per_bucket GROUP BY service ORDER BY service
+""".format(spans=_SPANS)
+
+ORACLES["sql_returned_item_report"] = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["source_overlap_matrix"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+ORACLES["token_count_histogram"] = """
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n FROM documents
+)
+SELECT length(bin(n)) - 1 AS log2_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_tokens
+FROM t GROUP BY 1 ORDER BY log2_bucket
+"""

@@ -160,6 +160,61 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("source_overlap_matrix")
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pair counts (3-gram
+    Jaccard ≥ 0.5) between every pair of corpus sources — the signal
+    for "which feeds copy from which" before choosing per-source
+    sampling weights. The pair relation is tiny next to the corpus,
+    so the two source lookups broadcast; the (least, greatest)
+    normalization makes the matrix triangular and order-stable."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "source", "src_a"
+    )
+    sb = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "source", "src_b"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query("token_count_histogram")
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-document token counts — the
+    packing/sequence-length planning input. The log2 bucket is
+    computed as length(bin(n))−1, exact integer arithmetic on both
+    engines (no float log whose rounding could flip a boundary doc);
+    one narrow scan, one tiny bucket agg."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select(
+            (F.length(F.bin(n_tok.cast("long"))) - 1).alias("log2_bucket"),
+            n_tok.alias("__n"),
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 @query("dedup_keep_best")
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection per near-dup cluster — the

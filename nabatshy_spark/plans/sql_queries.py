@@ -427,3 +427,32 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_suppkey
         """
     )
+
+
+@query("sql_returned_item_report")
+def sql_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (the TPC-H Q10 shape): top 20 customers
+    by revenue lost to returns in one quarter. The quarter predicate
+    prunes orders before the join, nation broadcasts, and the top-20
+    is a TakeOrdered over the aggregated relation — no global sort of
+    the fact table."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 20
+        """
+    )
