@@ -2919,3 +2919,41 @@ SELECT length(bin(n)) - 1 AS log2_bucket,
        sum(n)::BIGINT AS total_tokens
 FROM t GROUP BY 1 ORDER BY log2_bucket
 """
+
+ORACLES["tokenizer_fertility_by_lang"] = """
+WITH per AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS ws,
+         ceil(length(text) / 4.0)::BIGINT AS sw,
+         length(text) AS ch
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS ws_tokens,
+       sum(sw)::BIGINT AS subword_tokens,
+       round(sum(sw)::DOUBLE / sum(ws)::DOUBLE, 6) AS fertility,
+       round(sum(ch)::DOUBLE / sum(ws)::DOUBLE, 6) AS chars_per_word
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["sql_order_ship_lag"] = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(floor(date_diff('day', o.o_orderdate, f.first_ship) / 7.0) AS INT)
+         AS lag_weeks,
+       count(*) AS n_orders
+FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+GROUP BY 1 ORDER BY lag_weeks
+"""
+
+ORACLES["dup_threshold_curve"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL})
+SELECT CASE WHEN jaccard >= 0.9 THEN '0.9+'
+            WHEN jaccard >= 0.7 THEN '0.7-0.9'
+            ELSE '0.5-0.7' END AS jaccard_band,
+       count(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY jaccard_band
+"""

@@ -160,6 +160,37 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tokenizer_fertility_by_lang")
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword-estimate tokens per
+    whitespace word, the standard signal for how well a tokenizer
+    serves each language before fixing a corpus mixture. One narrow
+    scan (two integer expressions per row), one 5-row agg; ratios are
+    computed from the BIGINT sums so the oracle is exact."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("__ws"),
+        F.ceil(F.length("text") / F.lit(4.0)).alias("__sw"),
+        F.length("text").alias("__ch"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__ws").alias("ws_tokens"),
+            F.sum("__sw").alias("subword_tokens"),
+            F.round(
+                F.sum("__sw").cast("double") / F.sum("__ws").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("__ch").cast("double") / F.sum("__ws").cast("double"), 6
+            ).alias("chars_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("source_overlap_matrix")
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: near-dup pair counts (3-gram
@@ -212,6 +243,31 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__n").alias("total_tokens"),
         )
         .orderBy("log2_bucket")
+    )
+
+
+@query("dup_threshold_curve")
+def dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate curve: how many candidate pairs fall into each
+    Jaccard band (0.5–0.7, 0.7–0.9, ≥0.9) — ONE pair-finding pass
+    (threshold at the lowest band, bands as a post-hoc bucket expr)
+    instead of re-running the finder per threshold. The report a
+    curation run uses to pick its dedup threshold before committing
+    to a full pass."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+    band = (
+        F.when(F.col("jaccard") >= 0.9, F.lit("0.9+"))
+        .when(F.col("jaccard") >= 0.7, F.lit("0.7-0.9"))
+        .otherwise(F.lit("0.5-0.7"))
+    )
+    return (
+        pairs.select(band.alias("jaccard_band"))
+        .groupBy("jaccard_band")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("jaccard_band")
     )
 
 

@@ -456,3 +456,26 @@ def sql_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query("sql_order_ship_lag")
+def sql_order_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship lag distribution: per order, days from
+    order date to its FIRST shipped line (min over lines), bucketed
+    into a weekly histogram. Aggregate-join-aggregate where the first
+    agg pre-shrinks lineitem to one row per order before the join —
+    the shape that keeps the fact-fact join narrow at scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH first_ship AS (
+          SELECT l_orderkey, min(l_shipdate) AS first_ship
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(floor(datediff(f.first_ship, o.o_orderdate) / 7.0) AS INT)
+                 AS lag_weeks,
+               count(*) AS n_orders
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+        GROUP BY 1 ORDER BY lag_weeks
+        """
+    )
