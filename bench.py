@@ -128,6 +128,7 @@ HEADLINE = [
     "spans_error_budget",
     "source_overlap_matrix",
     "token_count_histogram",
+    "curation_funnel",
 ]
 
 

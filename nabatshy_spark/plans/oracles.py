@@ -2957,3 +2957,85 @@ SELECT CASE WHEN jaccard >= 0.9 THEN '0.9+'
        count(*)::BIGINT AS n_pairs
 FROM pairs GROUP BY 1 ORDER BY jaccard_band
 """
+
+ORACLES["curation_funnel"] = f"""
+WITH RECURSIVE
+t0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS w
+       FROM documents),
+q AS (
+  SELECT doc_id FROM t0
+  WHERE round(least(len(w) / 100.0, 1.0) * 0.5
+        + least(len(list_filter(w, x -> list_contains({_STOPWORDS_SQL}, x))) / 5.0,
+                1.0) * 0.5, 6) >= 0.6
+),
+ls AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> list_contains(['the','a','is','of','and'], x)))::INT  AS score_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x)))::INT AS score_de,
+    len(list_filter(w, x -> list_contains(['el','los','es','y','que'], x)))::INT  AS score_es,
+    len(list_filter(w, x -> list_contains(['le','les','est','et','une'], x)))::INT AS score_fr
+  FROM t0
+),
+en AS (
+  SELECT doc_id FROM ls
+  WHERE NOT (score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0)
+    AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+  JOIN q USING (doc_id) JOIN en USING (doc_id)
+),
+ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+sdocs AS (SELECT k.* FROM kept k JOIN ex USING (doc_id)),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM sdocs),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM t
+  WHERE len(w) >= 3
+),
+exx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM exx a JOIN exx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz x ON inter.doc_a = x.doc_id
+  JOIN sz y ON inter.doc_b = y.doc_id
+  WHERE round(i / (x.sz + y.sz - i), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+removed AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING min(node) < src
+),
+near AS (
+  SELECT doc_id FROM sdocs
+  WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+),
+final AS (
+  SELECT doc_id FROM near
+  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '199a'
+)
+SELECT * FROM (
+  SELECT 0 AS stage_no, 'input' AS stage,
+         (SELECT count(*) FROM documents)::BIGINT AS n_docs
+  UNION ALL SELECT 1, 'quality_gte_0.6', (SELECT count(*) FROM q)::BIGINT
+  UNION ALL SELECT 2, 'lang_en', (SELECT count(*) FROM kept)::BIGINT
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM sdocs)::BIGINT
+  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM near)::BIGINT
+  UNION ALL SELECT 5, 'sample_10pct', (SELECT count(*) FROM final)::BIGINT
+) ORDER BY stage_no
+"""

@@ -160,6 +160,41 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("curation_funnel")
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts for the exact `curate_corpus`
+    composition — the audit artifact a curation run ships alongside
+    its output (how many docs each stage rejected, so a threshold
+    change's blast radius is visible before committing the full pass).
+    Six one-row count aggregates unioned; every stage reuses the same
+    operators as the real pipeline, so the funnel IS the pipeline's
+    accounting, not a reimplementation."""
+    from nabatshy_spark.operators import sampling, textanalysis
+
+    docs = load(spark, sf_dir, "documents")
+    q = docs.filter(textanalysis.quality_score_expr(F.col("text")) >= 0.6)
+    kept = q.filter(textanalysis.pred_lang_expr(F.col("text")) == "en")
+    exact = dedup.exact_dedup(kept, "doc_id", "text")
+    near = dedup.dedup_pipeline(kept, "doc_id", "text", n=3, threshold=0.5,
+                                max_df=200)
+    sampled = sampling.hash_sample(near, "doc_id", bps=6554)
+    stages = [
+        (0, "input", docs),
+        (1, "quality_gte_0.6", q),
+        (2, "lang_en", kept),
+        (3, "exact_dedup", exact),
+        (4, "near_dedup", near),
+        (5, "sample_10pct", sampled),
+    ]
+    out = None
+    for no, label, df in stages:
+        row = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_no")
+
+
 @query("tokenizer_fertility_by_lang")
 def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language — subword-estimate tokens per
