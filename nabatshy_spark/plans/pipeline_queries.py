@@ -95,7 +95,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").cache()
     probes = [0, 1, 2, 3]
     books = similarity.pq_codebooks(emb, "vec_id", "embedding", dim=64)
-    encoded = similarity.pq_encode(emb, "vec_id", "embedding", books).cache()
+    # An empty corpus trains no centroids — report the LSH path only
+    # (every per-probe frame is empty anyway) instead of encoding
+    # against zero codebooks.
+    have_pq = bool(books and books[0])
+    encoded = (
+        similarity.pq_encode(emb, "vec_id", "embedding", books).cache()
+        if have_pq
+        else None
+    )
     reports = []
     for qid in probes:
         exact = similarity.cosine_topk(
@@ -105,11 +113,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lsh": similarity.lsh_topk(
                 emb, "vec_id", "embedding", query_id=qid, k=10
             ),
-            "pq": similarity.pq_topk(
+        }
+        if have_pq:
+            approx["pq"] = similarity.pq_topk(
                 emb, "vec_id", "embedding", query_id=qid, k=10,
                 books=books, encoded=encoded,
-            ),
-        }
+            )
         for method, res in approx.items():
             hits = exact.join(
                 res.select(F.col("vec_id").alias("nbr")), "nbr", "inner"
