@@ -129,6 +129,9 @@ HEADLINE = [
     "source_overlap_matrix",
     "token_count_histogram",
     "curation_funnel",
+    "spans_top_endpoints_per_service",
+    "spans_duration_histogram",
+    "spans_latency_trend",
 ]
 
 

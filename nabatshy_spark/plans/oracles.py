@@ -3039,3 +3039,42 @@ SELECT * FROM (
   UNION ALL SELECT 5, 'sample_10pct', (SELECT count(*) FROM final)::BIGINT
 ) ORDER BY stage_no
 """
+
+ORACLES["spans_top_endpoints_per_service"] = f"""
+WITH per AS (
+  SELECT scope_name AS service, name AS endpoint,
+         count(*) AS n_spans,
+         round(avg(duration_ns / 1000000.0), 6) AS avg_ms
+  FROM {_SPANS}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY service
+                               ORDER BY avg_ms DESC, endpoint ASC) AS rank
+  FROM per
+)
+SELECT service, endpoint, n_spans, avg_ms, rank
+FROM ranked WHERE rank <= 3 ORDER BY service, rank
+"""
+
+ORACLES["spans_duration_histogram"] = f"""
+SELECT name AS endpoint,
+       length(bin((duration_ns // 1000000) + 1)) - 1 AS log2_ms_bucket,
+       count(*) AS n_spans
+FROM {_SPANS}
+GROUP BY 1, 2 ORDER BY endpoint, log2_ms_bucket
+"""
+
+ORACLES["spans_latency_trend"] = f"""
+WITH t AS (
+  SELECT name AS endpoint,
+         start_time_unix_nano / 1000000000.0 - 1706745605 AS x,
+         duration_ns / 1000000.0 AS y
+  FROM {_SPANS}
+)
+SELECT endpoint,
+       round(regr_slope(y, x) * 3600, 6) AS slope_ms_per_hour,
+       round(regr_r2(y, x), 6) AS r2,
+       count(*) AS n_spans
+FROM t GROUP BY endpoint ORDER BY endpoint
+"""
