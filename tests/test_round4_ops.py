@@ -170,3 +170,50 @@ def test_ewma_all_null_values_yields_null_not_crash(spark):
     }
     assert out[1].ewma_value == 2.0
     assert out[2].ewma_value is None
+
+
+def test_log2_ms_bucket_boundaries(spark):
+    # bucket = length(bin(ms+1))-1: ms 0 -> 0, 1..2 -> 1, 3..6 -> 2,
+    # 7..14 -> 3 — powers of two minus one are the bucket edges.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(ms=0), Row(ms=1), Row(ms=2), Row(ms=3), Row(ms=6), Row(ms=7)]
+    )
+    got = {
+        r.ms: r.b
+        for r in df.select(
+            "ms", (F.length(F.bin(F.col("ms") + 1)) - 1).alias("b")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 6: 2, 7: 3}
+
+
+def test_curation_funnel_monotonic(spark):
+    from nabatshy_spark.plans.queries import QUERIES
+
+    rows = QUERIES["curation_funnel"](spark, "/root/testdata/sf0.001").collect()
+    counts = [r.n_docs for r in sorted(rows, key=lambda r: r.stage_no)]
+    assert len(counts) == 6
+    # every stage can only reject documents
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_top_endpoints_per_service_ranking(spark):
+    import os
+
+    os.environ.pop("NABATSHY_SPANS_PATH", None)
+    import nabatshy_spark.plans.span_queries  # noqa: F401  (registers)
+    from nabatshy_spark.plans.queries import QUERIES
+
+    rows = QUERIES["spans_top_endpoints_per_service"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_service = {}
+    for r in rows:
+        by_service.setdefault(r.service, []).append(r)
+    for svc, rs in by_service.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        avgs = [r.avg_ms for r in rs]
+        assert avgs == sorted(avgs, reverse=True)
+        assert len(rs) <= 3
