@@ -370,3 +370,42 @@ def test_error_root_cause_hand_tree(spark, monkeypatch, tmp_path):
         for r in QUERIES["spans_error_root_cause"](spark, "unused").collect()
     }
     assert got == {"leaf": 1, "parent": 1}
+
+
+def test_q4_exists_plans_left_semi(spark, sf_dir):
+    p = _plan(spark, "sql_order_priority_check", sf_dir)
+    assert "LeftSemi" in p, "EXISTS must decorrelate to a left-semi join"
+
+
+def test_q19_disjunction_pushes_to_part_scan(spark, sf_dir):
+    p = _plan(spark, "sql_discounted_revenue", sf_dir)
+    m = re.search(r"FileScan parquet[^\n]*part\.parquet[^\n]*", p)
+    scan_region = p[: m.end() + 400] if m else p
+    assert "p_brand" in p and "Or(" in p, (
+        "the brand/size disjunction must be pushed down, not evaluated "
+        "post-join"
+    )
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    p = _plan(spark, "sql_market_share", sf_dir)
+    assert p.count("BroadcastHashJoin") == 6, (
+        "orders/customer/nation×2/region/supplier all broadcast against "
+        "the lineitem scan — no sort-merge for any of the six joins"
+    )
+    assert "SortMergeJoin" not in p
+
+
+def test_keep_best_single_corpus_scan_for_ranking(spark, sf_dir):
+    p = _plan(spark, "dedup_keep_best", sf_dir)
+    # components relation is tiny -> it must broadcast back onto the
+    # documents projection, never shuffle the corpus for the join
+    assert "BroadcastHashJoin" in p
+
+
+def test_er_pairs_uses_brand_blocked_candidates(spark, sf_dir):
+    # threshold 0.8 > 0.7 ⇒ brand is a necessary condition and must be
+    # part of the candidate-join keys (conjunctive blocking), not only
+    # a post-join filter.
+    p = _plan(spark, "er_part_pairs", sf_dir)
+    assert "__bk0" in p, "brand block key must reach the join"
