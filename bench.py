@@ -132,6 +132,9 @@ HEADLINE = [
     "spans_top_endpoints_per_service",
     "spans_duration_histogram",
     "spans_latency_trend",
+    "hourly_event_forecast",
+    "ab_test_lift",
+    "join_skew_report",
 ]
 
 

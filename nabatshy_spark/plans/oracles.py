@@ -3078,3 +3078,66 @@ SELECT endpoint,
        count(*) AS n_spans
 FROM t GROUP BY endpoint ORDER BY endpoint
 """
+
+ORACLES["hourly_event_forecast"] = """
+WITH hourly AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT cur.event_type,
+       count(*)::BIGINT AS n_hours,
+       round(avg(abs(cur.n - prev.n) * 1.0 / cur.n), 6) AS mape
+FROM hourly cur
+JOIN hourly prev
+  ON cur.event_type = prev.event_type AND cur.h = prev.h + 24
+WHERE cur.n > 0
+GROUP BY cur.event_type
+ORDER BY cur.event_type
+"""
+
+ORACLES["ab_test_lift"] = """
+WITH per AS (
+  SELECT CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(28,6))) AS s1,
+         sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)))
+           AS s2
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+m AS (
+  SELECT arm, n,
+         s1::DOUBLE / n AS mean,
+         (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1) AS var
+  FROM per
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.mean, 6) AS mean_a,
+       round(b.mean, 6) AS mean_b,
+       round(b.mean - a.mean, 6) AS lift,
+       round((b.mean - a.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+         AS welch_t
+FROM (SELECT * FROM m WHERE arm = 'A') a, (SELECT * FROM m WHERE arm = 'B') b
+"""
+
+ORACLES["join_skew_report"] = """
+WITH o AS (
+  SELECT count(*) AS c FROM orders GROUP BY o_custkey
+),
+l AS (
+  SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT * FROM (
+  SELECT 'orders' AS relation, 'o_custkey' AS key,
+         sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         max(c)::BIGINT AS max_per_key,
+         round(max(c) / (sum(c) * 1.0 / count(*)), 6) AS skew_ratio
+  FROM o
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey',
+         sum(c)::BIGINT, count(*)::BIGINT, max(c)::BIGINT,
+         round(max(c) / (sum(c) * 1.0 / count(*)), 6)
+  FROM l
+) ORDER BY relation
+"""

@@ -370,3 +370,135 @@ def image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_images") >= 2)
         .orderBy("gray")
     )
+
+
+@query("hourly_event_forecast")
+def hourly_event_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's event
+    count per type as the SAME HOUR YESTERDAY (t−24h) and score MAPE
+    over the whole history — the zero-parameter baseline every real
+    forecasting rollout must beat. One hourly agg, then a self
+    equi-join on (type, hour−24h): the joined relation is
+    types×hours (tiny), so everything after the first agg is
+    negligible at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    cur = hourly.alias("cur")
+    prev = hourly.alias("prev")
+    joined = cur.join(
+        prev,
+        (F.col("cur.event_type") == F.col("prev.event_type"))
+        & (F.col("cur.h") == F.col("prev.h") + 24),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.n").alias("actual"),
+        F.col("prev.n").alias("forecast"),
+    )
+    return (
+        joined.filter(F.col("actual") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("actual") - F.col("forecast"))
+                    / F.col("actual")
+                ),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("ab_test_lift")
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B analysis over a deterministic hash split: users are
+    assigned to arm A/B by md5(user_id) (engine-portable, stable
+    under reruns — the same predicate family as hash_sample), the
+    purchase-value metric is compared with a Welch t statistic.
+    Moments come from DECIMAL(28,6) sums of x and x² (exact, so the
+    derived mean/variance/t are order-independent across engines);
+    the whole query is one scan + one 2-row agg."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    x = F.col("value").cast("decimal(28,6)")
+    per = (
+        ev.select(arm.alias("arm"), x.alias("x"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .select(
+            "arm",
+            "n",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("var"),
+        )
+    )
+    a = per.filter(F.col("arm") == "A").alias("a")
+    b = per.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round("a.mean", 6).alias("mean_a"),
+        F.round("b.mean", 6).alias("mean_b"),
+        F.round(F.col("b.mean") - F.col("a.mean"), 6).alias("lift"),
+        F.round(
+            (F.col("b.mean") - F.col("a.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            ),
+            6,
+        ).alias("welch_t"),
+    )
+
+
+@query("join_skew_report")
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for the two hottest fact keys — the
+    pre-flight check before sizing a shuffle (a skew_ratio ≫ 1 says
+    salt or AQE-skew-join this key). Per key: rows, distinct keys,
+    max rows under one key, and max/avg ratio. Each relation is one
+    two-level agg; results union into a 2-row report."""
+    def _stats(df: DataFrame, rel: str, key: str) -> DataFrame:
+        per_key = df.groupBy(F.col(key)).agg(F.count("*").alias("c"))
+        return per_key.agg(
+            F.lit(rel).alias("relation"),
+            F.lit(key).alias("key"),
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_per_key"),
+            F.round(
+                F.max("c") / (F.sum("c") / F.count("*")), 6
+            ).alias("skew_ratio"),
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        _stats(orders, "orders", "o_custkey")
+        .unionByName(_stats(lineitem, "lineitem", "l_orderkey"))
+        .orderBy("relation")
+    )
