@@ -135,6 +135,7 @@ HEADLINE = [
     "hourly_event_forecast",
     "ab_test_lift",
     "join_skew_report",
+    "video_scene_changes",
 ]
 
 

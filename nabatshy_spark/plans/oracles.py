@@ -3141,3 +3141,23 @@ SELECT * FROM (
   FROM l
 ) ORDER BY relation
 """
+
+ORACLES["video_scene_changes"] = """
+WITH f AS (
+  SELECT d.doc_id, i.i AS frame_idx,
+         ((d.doc_id * 7 + i.i * 13) % 256) * 1.0 AS mean_pixel
+  FROM documents d, (SELECT unnest([0, 1, 2, 3]) AS i) i
+),
+w AS (
+  SELECT doc_id, frame_idx, mean_pixel,
+         lag(mean_pixel) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev
+  FROM f
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_frames,
+       sum(CASE WHEN abs(mean_pixel - prev) > 100 THEN 1 ELSE 0 END)::BIGINT
+         AS n_cuts,
+       round(max(abs(mean_pixel - prev)), 6) AS max_delta
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""

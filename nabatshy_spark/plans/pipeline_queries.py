@@ -502,3 +502,36 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stats(lineitem, "lineitem", "l_orderkey"))
         .orderBy("relation")
     )
+
+
+@query("video_scene_changes")
+def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over keyframe videos: decode EVERY keyframe
+    (real PNG decode, Arrow-batched mapInPandas), then a per-video lag
+    window on the frame means flags cuts where |Δ| > 100 gray levels.
+    The synthetic frames' gray = (id·7 + i·13) mod 256, so the oracle
+    re-derives every mean analytically and the check covers the
+    actual decode→window composition end to end. The window
+    partitions by video — partition-local after the frame-feature
+    shuffle; blobs never shuffle (they explode inside the Python
+    batch)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    frames = multimodal.attach_frames(docs, "doc_id")
+    feats = multimodal.frame_sample_features(frames, every_n=1).filter(
+        F.col("decode_error").isNull()
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = feats.withColumn("__prev", F.lag("mean_pixel").over(w)).withColumn(
+        "__delta", F.abs(F.col("mean_pixel") - F.col("__prev"))
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(
+                F.when(F.col("__delta") > 100, 1).otherwise(0)
+            ).alias("n_cuts"),
+            F.round(F.max("__delta"), 6).alias("max_delta"),
+        )
+        .orderBy("doc_id")
+    )
