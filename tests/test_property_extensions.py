@@ -314,3 +314,52 @@ def test_frequent_pairs_matches_bruteforce(spark, rows):
             support[pair] += 1
     want = {p: s for p, s in support.items() if s >= minsup}
     assert got == want
+
+
+er_catalog_strategy = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["red", "blue", "hot", "old", "plate", "rod"]),
+            min_size=1, max_size=3, unique=True,
+        ),
+        st.integers(0, 2),   # brand id
+        st.integers(1, 12),  # size
+    ),
+    min_size=2, max_size=14,
+)
+
+
+@SLOW
+@given(er_catalog_strategy)
+def test_er_capped_blocking_lossless_above_brand_threshold(spark, rows):
+    # For ANY catalog: at threshold > 0.7 (brand equality provably
+    # necessary) the df-capped multi-pass blocking must emit exactly
+    # the pairs the exhaustive (uncapped) scorer emits — the cap and
+    # the conjunctive brand key may only prune non-matches.  Threshold
+    # 0.85 additionally needs name Jaccard ≥ 0.7, which over 1-3-token
+    # names forces identical token sets, so the canonical-name pass is
+    # the load-bearing path whenever every token is capped out.
+    from pyspark.sql import Row
+
+    from nabatshy_spark.operators import entity
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                p_partkey=i,
+                p_name=" ".join(toks),
+                p_brand=f"B{b}",
+                p_size=s,
+            )
+            for i, (toks, b, s) in enumerate(rows)
+        ]
+    )
+    exhaustive = {
+        (r.id_a, r.id_b, r.score)
+        for r in entity.score_part_pairs(df, threshold=0.85).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.score)
+        for r in entity.score_part_pairs(df, threshold=0.85, max_df=1).collect()
+    }
+    assert capped == exhaustive
