@@ -363,3 +363,45 @@ def test_er_capped_blocking_lossless_above_brand_threshold(spark, rows):
         for r in entity.score_part_pairs(df, threshold=0.85, max_df=1).collect()
     }
     assert capped == exhaustive
+
+
+span_docs_strategy = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=12),
+    min_size=2, max_size=6,
+)
+
+
+@SLOW
+@given(span_docs_strategy)
+def test_duplicate_span_stats_matches_bruteforce(spark, texts):
+    # Reference semantics, computed the slow way: a position p of doc d
+    # is "duplicated" iff it is covered by some k-window of d whose
+    # substring also occurs (as a window) in ANOTHER doc.  dup_chars
+    # must equal the size of that covered-position union exactly —
+    # islands, overlaps, and multi-island gaps included.
+    from pyspark.sql import Row
+
+    from nabatshy_spark.operators.dedup import duplicate_span_stats
+
+    k = 3
+    windows = {}
+    for d, t in enumerate(texts):
+        windows[d] = [t[i : i + k] for i in range(len(t) - k + 1)]
+    expected = {}
+    for d, t in enumerate(texts):
+        if len(t) < k:
+            continue
+        covered = set()
+        for i, w in enumerate(windows[d]):
+            if any(w in windows[o] for o in windows if o != d):
+                covered.update(range(i, i + k))
+        expected[d] = len(covered)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: r.dup_chars
+        for r in duplicate_span_stats(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == expected
