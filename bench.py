@@ -136,6 +136,8 @@ HEADLINE = [
     "ab_test_lift",
     "join_skew_report",
     "video_scene_changes",
+    "langid_confusion",
+    "spans_anomalous_traces",
 ]
 
 

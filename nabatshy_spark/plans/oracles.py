@@ -3161,3 +3161,44 @@ SELECT doc_id,
        round(max(abs(mean_pixel - prev)), 6) AS max_delta
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
+
+ORACLES["langid_confusion"] = """
+WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT lang,
+    len(list_filter(w, x -> list_contains(['the','a','is','of','and'], x)))::INT  AS score_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x)))::INT AS score_de,
+    len(list_filter(w, x -> list_contains(['el','los','es','y','que'], x)))::INT  AS score_es,
+    len(list_filter(w, x -> list_contains(['le','les','est','et','une'], x)))::INT AS score_fr
+  FROM t
+),
+p AS (
+  SELECT lang AS gold_lang,
+    CASE
+      WHEN score_en = 0 AND score_de = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+      WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+      WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+      WHEN score_es >= score_fr THEN 'es'
+      ELSE 'fr'
+    END AS pred_lang
+  FROM s
+)
+SELECT gold_lang, pred_lang, count(*)::BIGINT AS n_docs
+FROM p GROUP BY 1, 2 ORDER BY gold_lang, pred_lang
+"""
+
+ORACLES["spans_anomalous_traces"] = f"""
+WITH traces AS (
+  SELECT trace_id,
+         (max(end_time_unix_nano) - min(start_time_unix_nano)) / 1e6
+           AS trace_ms,
+         count(*) AS n_spans
+  FROM {_SPANS}
+  GROUP BY trace_id
+),
+thr AS (SELECT quantile_cont(trace_ms, 0.99) AS p99 FROM traces)
+SELECT trace_id, round(trace_ms, 6) AS trace_ms, n_spans
+FROM traces, thr
+WHERE trace_ms > thr.p99
+ORDER BY trace_ms DESC, trace_id ASC
+"""

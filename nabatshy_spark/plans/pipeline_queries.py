@@ -535,3 +535,24 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("langid_confusion")
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: gold label vs marker-argmax
+    prediction, with per-cell counts — the eval artifact that says
+    WHERE the classifier fails (e.g. zh → 'und': no zh marker list),
+    not just how often. One scan (prediction is a pure column
+    expression), one tiny (gold, pred) agg."""
+    from nabatshy_spark.operators import textanalysis
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("gold_lang"),
+            textanalysis.pred_lang_expr(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("gold_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("gold_lang", "pred_lang")
+    )
