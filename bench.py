@@ -138,6 +138,9 @@ HEADLINE = [
     "video_scene_changes",
     "langid_confusion",
     "spans_anomalous_traces",
+    "sql_order_backlog",
+    "audience_overlap",
+    "user_stickiness",
 ]
 
 

@@ -3202,3 +3202,77 @@ FROM traces, thr
 WHERE trace_ms > thr.p99
 ORDER BY trace_ms DESC, trace_id ASC
 """
+
+ORACLES["sql_order_backlog"] = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+ev AS (
+  SELECT date_trunc('week', o.o_orderdate)::DATE AS wk, 1 AS d FROM orders o
+  UNION ALL
+  SELECT date_trunc('week', f.first_ship)::DATE, -1 FROM first_ship f
+),
+weekly AS (SELECT wk, sum(d) AS delta FROM ev GROUP BY wk)
+SELECT wk,
+       sum(delta) OVER (ORDER BY wk
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS open_orders
+FROM weekly ORDER BY wk
+"""
+
+ORACLES["audience_overlap"] = """
+WITH masks AS (
+  SELECT mask, count(*) AS n_users FROM (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'click'    THEN 1  ELSE 0 END)
+         + max(CASE WHEN event_type = 'error'    THEN 2  ELSE 0 END)
+         + max(CASE WHEN event_type = 'purchase' THEN 4  ELSE 0 END)
+         + max(CASE WHEN event_type = 'signup'   THEN 8  ELSE 0 END)
+         + max(CASE WHEN event_type = 'view'     THEN 16 ELSE 0 END)
+           AS mask
+    FROM events GROUP BY user_id
+  ) GROUP BY mask
+),
+pairs(type_a, type_b, ba, bb) AS (
+  VALUES ('click','error',1,2), ('click','purchase',1,4),
+         ('click','signup',1,8), ('click','view',1,16),
+         ('error','purchase',2,4), ('error','signup',2,8),
+         ('error','view',2,16), ('purchase','signup',4,8),
+         ('purchase','view',4,16), ('signup','view',8,16)
+)
+SELECT p.type_a, p.type_b,
+       sum(CASE WHEN (m.mask & p.ba) > 0 AND (m.mask & p.bb) > 0
+                THEN m.n_users ELSE 0 END)::BIGINT AS n_both,
+       sum(CASE WHEN (m.mask & p.ba) > 0 OR (m.mask & p.bb) > 0
+                THEN m.n_users ELSE 0 END)::BIGINT AS n_either,
+       round(sum(CASE WHEN (m.mask & p.ba) > 0 AND (m.mask & p.bb) > 0
+                      THEN m.n_users ELSE 0 END) * 1.0
+             / sum(CASE WHEN (m.mask & p.ba) > 0 OR (m.mask & p.bb) > 0
+                        THEN m.n_users ELSE 0 END), 6) AS jaccard
+FROM pairs p CROSS JOIN masks m
+GROUP BY p.type_a, p.type_b
+ORDER BY type_a, type_b
+"""
+
+ORACLES["user_stickiness"] = """
+WITH daily AS (
+  SELECT date_trunc('month', ts)::DATE AS month, ts::DATE AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+),
+monthly AS (
+  SELECT date_trunc('month', ts)::DATE AS month,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d.month,
+       count(*)::BIGINT AS n_days,
+       round(avg(d.dau), 6) AS avg_dau,
+       max(d.dau)::BIGINT AS peak_dau,
+       any_value(m.mau)::BIGINT AS mau,
+       round(avg(d.dau) / any_value(m.mau), 6) AS stickiness
+FROM daily d JOIN monthly m USING (month)
+GROUP BY d.month
+ORDER BY d.month
+"""

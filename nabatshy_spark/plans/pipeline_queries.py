@@ -556,3 +556,96 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("gold_lang", "pred_lang")
     )
+
+
+@query("audience_overlap")
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: per type pair, the
+    Jaccard of their user sets. One user-grain rollup to a 5-bit
+    behavior bitmask, then ALL pairwise overlaps are derived from the
+    ≤32-row mask-count relation — the corpus is touched once no
+    matter how many pairs, instead of one semi-join per pair."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    bit = None
+    for i, t in enumerate(types):
+        b = F.max(
+            F.when(F.col("event_type") == t, F.lit(1 << i)).otherwise(0)
+        )
+        bit = b if bit is None else bit + b
+    masks = (
+        ev.groupBy("user_id")
+        .agg(bit.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n_users"))
+    )
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            both = F.sum(
+                F.when(
+                    (F.col("mask").bitwiseAND(1 << i) > 0)
+                    & (F.col("mask").bitwiseAND(1 << j) > 0),
+                    F.col("n_users"),
+                ).otherwise(0)
+            )
+            either = F.sum(
+                F.when(
+                    (F.col("mask").bitwiseAND(1 << i) > 0)
+                    | (F.col("mask").bitwiseAND(1 << j) > 0),
+                    F.col("n_users"),
+                ).otherwise(0)
+            )
+            rows.append(
+                masks.agg(
+                    F.lit(ta).alias("type_a"),
+                    F.lit(tb).alias("type_b"),
+                    both.alias("n_both"),
+                    either.alias("n_either"),
+                    F.round(both / either, 6).alias("jaccard"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("type_a", "type_b")
+
+
+@query("user_stickiness")
+def user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU and stickiness (avg DAU / MAU) per calendar month —
+    the engagement headline metric. Distinct-user counts at three
+    grains from one scan; the ratio divides the two BIGINT aggregates
+    so the oracle is exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("month", "day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    monthly = (
+        ev.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"), "user_id"
+        )
+        .groupBy("month")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.max("dau").alias("peak_dau"),
+        )
+        .join(monthly, "month")
+        .select(
+            "month", "n_days", "avg_dau", "peak_dau", "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

@@ -479,3 +479,38 @@ def sql_order_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY lag_weeks
         """
     )
+
+
+@query("sql_order_backlog")
+def sql_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: how many orders were placed but
+    not yet first-shipped at each week boundary — the interval-overlap
+    sweep-line (+1 at order, −1 at first ship, running sum over the
+    merged event stream), the same shape spans_concurrency uses on
+    traces, here on the TPC-H star. Costs one order-grain agg + one
+    tiny 2-column sweep; never a week×orders cross join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH first_ship AS (
+          SELECT l_orderkey, min(l_shipdate) AS first_ship
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        ev AS (
+          SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS wk,
+                 1 AS d
+          FROM orders o
+          UNION ALL
+          SELECT CAST(date_trunc('week', f.first_ship) AS DATE), -1
+          FROM first_ship f
+        ),
+        weekly AS (
+          SELECT wk, sum(d) AS delta FROM ev GROUP BY wk
+        )
+        SELECT wk,
+               sum(delta) OVER (ORDER BY wk
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS open_orders
+        FROM weekly ORDER BY wk
+        """
+    )
