@@ -141,6 +141,9 @@ HEADLINE = [
     "sql_order_backlog",
     "audience_overlap",
     "user_stickiness",
+    "brand_affinity",
+    "conversion_attribution",
+    "supplier_concentration",
 ]
 
 

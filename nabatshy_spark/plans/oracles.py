@@ -3276,3 +3276,64 @@ FROM daily d JOIN monthly m USING (month)
 GROUP BY d.month
 ORDER BY d.month
 """
+
+ORACLES["brand_affinity"] = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT count(DISTINCT o)::DOUBLE AS n FROM ob),
+bn AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+pairs AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_both
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT p.brand_a, p.brand_b, p.n_both::BIGINT AS n_both,
+       round(p.n_both * t.n / (na.nb * nb.nb), 6) AS lift
+FROM pairs p
+JOIN bn na ON na.b = p.brand_a
+JOIN bn nb ON nb.b = p.brand_b
+CROSS JOIN tot t
+ORDER BY brand_a, brand_b
+"""
+
+ORACLES["conversion_attribution"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+attr AS (
+  SELECT user_id, t, event_type,
+         (SELECT e2.event_type FROM ev e2
+          WHERE e2.user_id = ev.user_id
+            AND e2.event_type <> 'purchase'
+            AND e2.t >= ev.t - 86400000000 AND e2.t < ev.t
+          ORDER BY e2.t ASC LIMIT 1) AS first_prior
+  FROM ev
+)
+SELECT coalesce(first_prior, 'direct') AS channel,
+       count(*)::BIGINT AS n_conversions
+FROM attr WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY channel
+"""
+
+ORACLES["supplier_concentration"] = """
+WITH rev AS (
+  SELECT n.n_name AS nation, s.s_suppkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,6))) AS sr
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT nation, sum(sr) AS tr, count(*) AS n_suppliers
+  FROM rev GROUP BY nation
+)
+SELECT r.nation, t.n_suppliers::BIGINT AS n_suppliers,
+       round(sum(pow(r.sr::DOUBLE / t.tr::DOUBLE, 2)), 6) AS hhi
+FROM rev r JOIN tot t USING (nation)
+GROUP BY r.nation, t.n_suppliers
+ORDER BY r.nation
+"""

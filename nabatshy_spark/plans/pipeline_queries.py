@@ -649,3 +649,118 @@ def user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query("brand_affinity")
+def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between brands: for brand pairs co-bought in
+    ≥ 20 orders, lift = P(a,b) / (P(a)·P(b)) over order baskets.
+    Baskets collapse to distinct (order, brand) first — pair counting
+    then runs on the collapsed relation (≤25 brands ⇒ bounded fanout
+    per basket, no cap needed); the three probabilities divide BIGINT
+    counts so the oracle is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    # grand total stays in-plan as a 1-row broadcast (bnlj-1row
+    # pattern) — no driver count() round-trip
+    n_orders_df = ob.agg(
+        F.count_distinct("o").cast("double").alias("__n_orders")
+    )
+    brand_n = ob.groupBy("b").agg(F.count("*").alias("nb"))
+    a = ob.alias("a")
+    c = ob.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    na = brand_n.withColumnRenamed("b", "brand_a").withColumnRenamed("nb", "n_a")
+    nb = brand_n.withColumnRenamed("b", "brand_b").withColumnRenamed("nb", "n_b")
+    return (
+        pairs.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "brand_a", "brand_b", "n_both",
+            F.round(
+                (F.col("n_both") * F.col("__n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+@query("conversion_attribution")
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited to the FIRST
+    event type the user emitted in the preceding 24 hours (falling
+    back to 'direct' when nothing preceded it). A range-frame window
+    per user — no self-join against the event history; conversions
+    roll up per attributed channel."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    first_prior = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("__attr", first_prior)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("__attr", F.lit("direct")).alias("channel"))
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy("channel")
+    )
+
+
+@query("supplier_concentration")
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration (Herfindahl–Hirschman index) of revenue
+    per supplier nation: Σ share² over that nation's suppliers. Both
+    the per-supplier and per-nation revenue go through DECIMAL(28,6)
+    sums; the share division and Σ share² happen in double on the
+    tiny per-supplier relation, rounded to 6 dp."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(28,6)")
+            .alias("r"),
+        )
+        .groupBy("nation", "s_suppkey")
+        .agg(F.sum("r").alias("sr"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("sr").alias("tr"), F.count("*").alias("n_suppliers")
+    )
+    share2 = (
+        rev.join(tot, "nation")
+        .select(
+            "nation", "n_suppliers",
+            F.pow(F.col("sr").cast("double") / F.col("tr").cast("double"), 2)
+            .alias("s2"),
+        )
+        .groupBy("nation", "n_suppliers")
+        .agg(F.round(F.sum("s2"), 6).alias("hhi"))
+    )
+    return share2.orderBy("nation")
