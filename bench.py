@@ -144,6 +144,7 @@ HEADLINE = [
     "brand_affinity",
     "conversion_attribution",
     "supplier_concentration",
+    "user_type_scd2",
 ]
 
 

@@ -35,3 +35,55 @@ def latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an append-only
+    change log: per key, consecutive runs of the same ``attr_col``
+    value collapse into one VERSION with a validity interval
+    [valid_from, valid_to) in epoch-µs (NULL valid_to ⇒ current).
+
+    Classic gaps-and-islands: a change flag (value differs from its
+    lag) cumulative-sums into a version id — two window passes and a
+    version-grain aggregate, all on the same (key × time) partition
+    order, so the log shuffles ONCE. Emitting epoch-µs keeps the
+    interval columns engine-portable (timestamp stringification is
+    the only cross-engine hazard here)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(key_col), us.alias("__us"), F.col(attr_col), F.col(order_col)
+    )
+    w = Window.partitionBy(key_col).orderBy("__us", order_col)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.col(attr_col) != F.lag(attr_col).over(w))
+    ).cast("int")
+    versioned = base.withColumn(
+        "__vid",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = versioned.groupBy(key_col, "__vid").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min("__us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("__vid")
+    return (
+        versions.withColumn("valid_to_us", F.lead("valid_from_us").over(wv))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .select(
+            key_col,
+            F.col("__vid").alias("version"),
+            attr_col,
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            "is_current",
+        )
+    )

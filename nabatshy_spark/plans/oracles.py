@@ -3337,3 +3337,39 @@ FROM rev r JOIN tot t USING (nation)
 GROUP BY r.nation, t.n_suppliers
 ORDER BY r.nation
 """
+
+ORACLES["user_type_scd2"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+  FROM events WHERE user_id < 30
+),
+flagged AS (
+  SELECT user_id, us, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+versioned AS (
+  SELECT user_id, us, event_type,
+         sum(changed) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS vid
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, vid AS version, any_value(event_type) AS event_type,
+         min(us) AS valid_from_us, count(*) AS n_events
+  FROM versioned GROUP BY user_id, vid
+)
+SELECT user_id, version::BIGINT AS version, event_type,
+       valid_from_us::BIGINT AS valid_from_us,
+       (lead(valid_from_us) OVER (PARTITION BY user_id
+                                  ORDER BY version))::BIGINT AS valid_to_us,
+       n_events::BIGINT AS n_events,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL AS is_current
+FROM versions
+ORDER BY user_id, version
+"""

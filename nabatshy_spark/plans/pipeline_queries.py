@@ -764,3 +764,19 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("s2"), 6).alias("hhi"))
     )
     return share2.orderBy("nation")
+
+
+@query("user_type_scd2")
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (cdc.scd2_history): each user's
+    event-type change log collapsed to versions with [valid_from,
+    valid_to) epoch-µs intervals and an is_current flag — the standard
+    mutable-entity materialization next to latest_per_key's type-1.
+    Point-lookup slice (user_id < 30) keeps the registered result
+    review-sized; the operator itself is full-corpus."""
+    from nabatshy_spark.operators import cdc
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return cdc.scd2_history(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("user_id", "version")

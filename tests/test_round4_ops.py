@@ -217,3 +217,32 @@ def test_top_endpoints_per_service_ranking(spark):
         avgs = [r.avg_ms for r in rs]
         assert avgs == sorted(avgs, reverse=True)
         assert len(rs) <= 3
+
+
+def test_scd2_versions_collapse_runs_and_cover_timeline(spark):
+    import datetime as dt
+
+    from nabatshy_spark.operators.cdc import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=m), event_type=t, event_id=i)
+        for i, (m, t) in enumerate(
+            [(0, "view"), (1, "view"), (2, "click"), (3, "click"),
+             (4, "view"), (5, "view")]
+        )
+    ]
+    out = sorted(
+        scd2_history(
+            spark.createDataFrame(rows), "user_id", "ts", "event_type",
+            "event_id",
+        ).collect(),
+        key=lambda r: r.version,
+    )
+    # consecutive runs collapse: view(2) click(2) view(2) -> 3 versions
+    assert [r.event_type for r in out] == ["view", "click", "view"]
+    assert [r.n_events for r in out] == [2, 2, 2]
+    # intervals tile the timeline: each valid_to == next valid_from
+    for a, b in zip(out, out[1:]):
+        assert a.valid_to_us == b.valid_from_us
+    assert out[-1].is_current and out[-1].valid_to_us is None
