@@ -145,6 +145,7 @@ HEADLINE = [
     "conversion_attribution",
     "supplier_concentration",
     "user_type_scd2",
+    "sql_top_customers_per_nation",
 ]
 
 

@@ -3373,3 +3373,21 @@ SELECT user_id, version::BIGINT AS version, event_type,
 FROM versions
 ORDER BY user_id, version
 """
+
+ORACLES["sql_top_customers_per_nation"] = """
+WITH per_cust AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,6))), 2)
+              AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, c.c_custkey
+)
+SELECT nation, c_custkey, revenue, rnk FROM (
+  SELECT *, rank() OVER (PARTITION BY nation
+                         ORDER BY revenue DESC, c_custkey ASC) AS rnk
+  FROM per_cust
+) t WHERE rnk <= 2
+ORDER BY nation, rnk, c_custkey
+"""

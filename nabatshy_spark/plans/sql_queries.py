@@ -514,3 +514,32 @@ def sql_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM weekly ORDER BY wk
         """
     )
+
+
+@query("sql_top_customers_per_nation")
+def sql_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL API: top-2 customers per
+    nation by order revenue, RANK() over the AGGREGATED per-customer
+    relation (the window never sees order-grain rows). Revenue goes
+    through a DECIMAL(28,6) sum and is emitted rounded, so rank ties
+    and values are engine-exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH per_cust AS (
+          SELECT n.n_name AS nation, c.c_custkey,
+                 CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,6))), 2)
+                      AS DOUBLE) AS revenue
+          FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY n.n_name, c.c_custkey
+        )
+        SELECT nation, c_custkey, revenue, rnk FROM (
+          SELECT *, rank() OVER (PARTITION BY nation
+                                 ORDER BY revenue DESC, c_custkey ASC) AS rnk
+          FROM per_cust
+        ) WHERE rnk <= 2
+        ORDER BY nation, rnk, c_custkey
+        """
+    )
