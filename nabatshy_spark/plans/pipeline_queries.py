@@ -1,5 +1,8 @@
-"""Round-4 training-pipeline queries: entity resolution, duplicated-
-window coverage, embedding norm health, and an ANN recall report.
+"""Round-4 training-pipeline and analytics queries: entity resolution,
+duplicated-window/span coverage, keep-best dedup retention, curation
+funnel accounting, ANN recall report (LSH + PQ), tokenizer fertility,
+forecast backtest, A/B lift, skew report, scene-cut detection,
+audience overlap, attribution, HHI concentration, and SCD2 history.
 Registered into the same QUERIES dict; oracles in plans/oracles.py.
 """
 
