@@ -146,6 +146,9 @@ HEADLINE = [
     "supplier_concentration",
     "user_type_scd2",
     "sql_top_customers_per_nation",
+    "revenue_gini",
+    "doc_token_entropy",
+    "user_burstiness",
 ]
 
 

@@ -3391,3 +3391,67 @@ SELECT nation, c_custkey, revenue, rnk FROM (
 ) t WHERE rnk <= 2
 ORDER BY nation, rnk, c_custkey
 """
+
+ORACLES["revenue_gini"] = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev,
+         row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+         count(*) OVER () AS n
+  FROM rev
+)
+SELECT max(n)::BIGINT AS n_customers,
+       round((max(n) + 1
+              - 2 * (sum((n - i + 1) * rev)::DOUBLE) / (sum(rev)::DOUBLE))
+             / max(n), 6) AS gini,
+       round(sum(CASE WHEN i > n - floor(n / 10) THEN rev
+                      ELSE CAST(0 AS DECIMAL(28,6)) END)::DOUBLE
+             / sum(rev)::DOUBLE, 6) AS top_decile_share
+FROM ranked
+"""
+
+ORACLES["doc_token_entropy"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id,
+         round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+           AS entropy_bits
+  FROM tf GROUP BY doc_id
+)
+SELECT floor(entropy_bits)::BIGINT AS entropy_floor,
+       count(*)::BIGINT AS n_docs
+FROM ent GROUP BY 1 ORDER BY entropy_floor
+"""
+
+ORACLES["user_burstiness"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT user_id,
+         CAST(us - lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)
+              AS DECIMAL(28,6)) AS g
+  FROM ev
+),
+per_user AS (
+  SELECT user_id, count(*) AS n, sum(g) AS s1, sum(g * g) AS s2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 2
+),
+cvs AS (
+  SELECT user_id,
+         round(sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1))
+               / (s1::DOUBLE / n), 6) AS cv
+  FROM per_user
+)
+SELECT CAST(round(cv, 0) AS INT) AS cv_bucket,
+       count(*)::BIGINT AS n_users
+FROM cvs GROUP BY 1 ORDER BY cv_bucket
+"""

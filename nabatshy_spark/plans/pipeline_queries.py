@@ -783,3 +783,142 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.scd2_history(
         ev, "user_id", "ts", "event_type", "event_id"
     ).orderBy("user_id", "version")
+
+
+@query("revenue_gini")
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality across customers: Gini coefficient from the
+    Lorenz curve (G = (n+1 − 2·Σ cumshare / total) / n over revenue-
+    ascending customers) plus the top-decile revenue share. Per-
+    customer revenue through DECIMAL(28,6); the Lorenz accumulation is
+    ONE window pass over the (small) per-customer relation, and the
+    rank cut uses ntile-free integer arithmetic so both engines agree
+    on every boundary row."""
+    orders = load(spark, sf_dir, "orders")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(28,6)").alias("r"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("r").alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    n_tot = ranked.agg(F.count("*").alias("n"))
+    # the rank-weighted sum stays DECIMAL (int × decimal is exact), so
+    # gini is bit-identical across engines before the final division
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(
+                (
+                    F.max("n")
+                    + 1
+                    - 2
+                    * F.sum(
+                        (F.col("n") - F.col("i") + 1) * F.col("rev")
+                    ).cast("double")
+                    / F.sum("rev").cast("double")
+                )
+                / F.max("n"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("i") > F.col("n") - F.floor(F.col("n") / 10),
+                        F.col("rev"),
+                    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+                ).cast("double")
+                / F.sum("rev").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+@query("doc_token_entropy")
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy (bits) — the
+    compressibility/diversity proxy next to repetition_stats: low
+    entropy ⇒ repetitive/templated text. One (doc, term) shuffle;
+    entropy is Σ −p·log2(p) over each doc's term frequencies, rounded
+    at 6 dp. Reported as per-bucket doc counts so the result stays
+    review-sized at any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    ent = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2(F.col("c"))).alias("clog"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(F.col("n")) - F.col("clog") / F.col("n"), 6
+            ).alias("entropy_bits"),
+        )
+    )
+    return (
+        ent.select(F.floor(F.col("entropy_bits")).alias("entropy_floor"))
+        .groupBy("entropy_floor")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("entropy_floor")
+    )
+
+
+@query("user_burstiness")
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: coefficient of variation of
+    the gaps between consecutive events, bucketed into a corpus-level
+    histogram (CV ≈ 1 ⇒ Poisson-like, ≫1 ⇒ bursty). Gaps come from
+    one lag window; per-user moments use exact integer µs sums (the
+    DECIMAL pattern) so the CV is engine-exact before rounding."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    gaps = (
+        ev.select("user_id", us.alias("__us"), "event_id")
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .filter(F.col("__gap").isNotNull())
+        .select("user_id", F.col("__gap").cast("decimal(28,6)").alias("g"))
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("g").alias("s1"),
+            F.sum(F.col("g") * F.col("g")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("sd"),
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        )
+        .select(
+            "user_id", F.round(F.col("sd") / F.col("mean"), 6).alias("cv")
+        )
+    )
+    return (
+        per_user.select(
+            F.round(F.col("cv"), 0).cast("int").alias("cv_bucket")
+        )
+        .groupBy("cv_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cv_bucket")
+    )
