@@ -606,7 +606,10 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(tb).alias("type_b"),
                     both.alias("n_both"),
                     either.alias("n_either"),
-                    F.round(both / either, 6).alias("jaccard"),
+                    # try_divide: a type absent from the corpus makes a
+                    # pair's union empty — jaccard is undefined (NULL),
+                    # not an ANSI DIVIDE_BY_ZERO crash
+                    F.round(F.try_divide(both, either), 6).alias("jaccard"),
                 )
             )
     out = rows[0]

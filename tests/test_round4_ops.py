@@ -246,3 +246,87 @@ def test_scd2_versions_collapse_runs_and_cover_timeline(spark):
     for a, b in zip(out, out[1:]):
         assert a.valid_to_us == b.valid_from_us
     assert out[-1].is_current and out[-1].valid_to_us is None
+
+
+def test_audience_overlap_bitmask_matches_sets(spark):
+    import datetime as dt
+
+    import nabatshy_spark.plans.ext_queries  # noqa: F401
+    from nabatshy_spark.plans.queries import QUERIES
+
+    # known memberships: view={1,2,3}, click={2,3}, purchase={3}
+    rows = []
+    eid = 0
+    for u, types in [(1, ["view"]), (2, ["view", "click"]),
+                     (3, ["view", "click", "purchase"])]:
+        for t in types:
+            rows.append(
+                Row(event_id=eid, ts=dt.datetime(2024, 1, 1), user_id=u,
+                    event_type=t, value=1.0, props="{}")
+            )
+            eid += 1
+    import os, tempfile
+    d = os.path.join(tempfile.gettempdir(), "nabatshy_overlap_fixture")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    # copy the other tables' paths is unnecessary: audience_overlap only
+    # loads events
+    out = {
+        (r.type_a, r.type_b): (r.n_both, r.n_either, r.jaccard)
+        for r in QUERIES["audience_overlap"](spark, d).collect()
+    }
+    assert out[("click", "view")] == (2, 3, round(2 / 3, 6))
+    assert out[("purchase", "view")] == (1, 3, round(1 / 3, 6))
+    assert out[("click", "purchase")] == (1, 2, 0.5)
+
+
+def test_first_touch_attribution_prefers_earliest_in_window(spark):
+    import datetime as dt
+    import os, tempfile
+
+    import nabatshy_spark.plans.ext_queries  # noqa: F401
+    from nabatshy_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        # user 1: view then click then purchase -> first touch = view
+        Row(event_id=1, ts=t0, user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 + dt.timedelta(hours=1), user_id=1,
+            event_type="click", value=1.0, props="{}"),
+        Row(event_id=3, ts=t0 + dt.timedelta(hours=2), user_id=1,
+            event_type="purchase", value=1.0, props="{}"),
+        # user 2: stale view (>24h before), then purchase -> direct
+        Row(event_id=4, ts=t0 - dt.timedelta(hours=30), user_id=2,
+            event_type="view", value=1.0, props="{}"),
+        Row(event_id=5, ts=t0, user_id=2, event_type="purchase", value=1.0,
+            props="{}"),
+    ]
+    d = os.path.join(tempfile.gettempdir(), "nabatshy_attr_fixture")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = {
+        r.channel: r.n_conversions
+        for r in QUERIES["conversion_attribution"](spark, d).collect()
+    }
+    assert out == {"view": 1, "direct": 1}
+
+
+def test_gini_extremes(spark):
+    import os, tempfile
+
+    import nabatshy_spark.plans.ext_queries  # noqa: F401
+    from nabatshy_spark.plans.queries import QUERIES
+
+    d = os.path.join(tempfile.gettempdir(), "nabatshy_gini_fixture")
+    # perfectly equal: 10 customers, one order of 100 each -> gini ~ 0
+    rows = [(i, i, "F", 100.0, None, "1-URGENT") for i in range(10)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    r = QUERIES["revenue_gini"](spark, d).collect()[0]
+    assert r.n_customers == 10 and abs(r.gini) < 1e-9
+    assert r.top_decile_share == 0.1
