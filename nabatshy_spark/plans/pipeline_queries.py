@@ -582,40 +582,51 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mask")
         .agg(F.count("*").alias("n_users"))
     )
-    rows = []
-    for i, ta in enumerate(types):
-        for j in range(i + 1, len(types)):
-            tb = types[j]
-            both = F.sum(
+    # ALL pair overlaps from ONE aggregate over the ≤32-row mask
+    # relation (a per-pair agg would rescan the corpus 10×): one row of
+    # 2×10 columns, then stack() unpivots it back to pair rows.
+    aggs, stack_args = [], []
+    pairs = [
+        (i, j, types[i], types[j])
+        for i in range(len(types))
+        for j in range(i + 1, len(types))
+    ]
+    for k, (i, j, ta, tb) in enumerate(pairs):
+        aggs.append(
+            F.sum(
                 F.when(
                     (F.col("mask").bitwiseAND(1 << i) > 0)
                     & (F.col("mask").bitwiseAND(1 << j) > 0),
                     F.col("n_users"),
                 ).otherwise(0)
-            )
-            either = F.sum(
+            ).alias(f"b{k}")
+        )
+        aggs.append(
+            F.sum(
                 F.when(
                     (F.col("mask").bitwiseAND(1 << i) > 0)
                     | (F.col("mask").bitwiseAND(1 << j) > 0),
                     F.col("n_users"),
                 ).otherwise(0)
-            )
-            rows.append(
-                masks.agg(
-                    F.lit(ta).alias("type_a"),
-                    F.lit(tb).alias("type_b"),
-                    both.alias("n_both"),
-                    either.alias("n_either"),
-                    # try_divide: a type absent from the corpus makes a
-                    # pair's union empty — jaccard is undefined (NULL),
-                    # not an ANSI DIVIDE_BY_ZERO crash
-                    F.round(F.try_divide(both, either), 6).alias("jaccard"),
-                )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("type_a", "type_b")
+            ).alias(f"e{k}")
+        )
+        stack_args.append(f"'{ta}', '{tb}', b{k}, e{k}")
+    one_row = masks.agg(*aggs)
+    stacked = one_row.select(
+        F.expr(
+            f"stack({len(pairs)}, {', '.join(stack_args)}) "
+            "AS (type_a, type_b, n_both, n_either)"
+        )
+    )
+    return stacked.select(
+        "type_a", "type_b", "n_both", "n_either",
+        # try_divide: a type absent from the corpus makes a pair's
+        # union empty — jaccard is undefined (NULL), not an ANSI
+        # DIVIDE_BY_ZERO crash
+        F.round(F.try_divide(F.col("n_both"), F.col("n_either")), 6).alias(
+            "jaccard"
+        ),
+    ).orderBy("type_a", "type_b")
 
 
 @query("user_stickiness")
