@@ -149,6 +149,9 @@ HEADLINE = [
     "revenue_gini",
     "doc_token_entropy",
     "user_burstiness",
+    "events_dow_hour_profile",
+    "order_priority_sla",
+    "length_quality_correlation",
 ]
 
 

@@ -3455,3 +3455,50 @@ SELECT CAST(round(cv, 0) AS INT) AS cv_bucket,
        count(*)::BIGINT AS n_users
 FROM cvs GROUP BY 1 ORDER BY cv_bucket
 """
+
+ORACLES["events_dow_hour_profile"] = """
+SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+       count(*)::BIGINT AS n_events,
+       round(sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*), 6)
+         AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY dow, hour
+"""
+
+ORACLES["order_priority_sla"] = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN date_diff('day', o.o_orderdate, f.first_ship) <= 30
+                THEN 1 ELSE 0 END)::BIGINT AS n_within_30d,
+       round(sum(CASE WHEN date_diff('day', o.o_orderdate, f.first_ship) <= 30
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS sla_rate
+FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+ORACLES["length_quality_correlation"] = f"""
+WITH d AS (
+  SELECT CAST(n_chars AS DECIMAL(28,6)) AS x,
+         CAST(round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                    + least(len(list_filter(string_split(text, ' '),
+                                            t -> list_contains({_STOPWORDS_SQL}, t)))
+                            / 5.0, 1.0) * 0.5, 6)
+              AS DECIMAL(28,6)) AS y
+  FROM documents
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM d
+)
+SELECT n::BIGINT AS n_docs,
+       round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+         AS pearson_r
+FROM m
+"""

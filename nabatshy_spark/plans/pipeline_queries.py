@@ -936,3 +936,101 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cv_bucket")
     )
+
+
+@query("events_dow_hour_profile")
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event counts and mean value per
+    (day-of-week, hour-of-day) cell — the 7×24 heatmap behind load
+    forecasting and anomaly baselines. One scan, one 168-cell agg;
+    the mean divides a DECIMAL(28,6) sum so the oracle is exact."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+            F.col("value").cast("decimal(28,6)").alias("v"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum("v").cast("double") / F.count("*"), 6
+            ).alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@query("order_priority_sla")
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA compliance by order priority: share of orders
+    whose FIRST line shipped within 30 days, per priority class — the
+    report that shows whether priority actually buys faster
+    fulfillment. Aggregate-join-aggregate: lineitem collapses to one
+    first-ship row per order before the join (same shape as
+    sql_order_ship_lag)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    joined = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("first_ship", "o_orderdate").alias("lag_days"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("lag_days") <= 30).cast("int")).alias("n_within_30d"),
+            F.round(
+                F.sum((F.col("lag_days") <= 30).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("sla_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("length_quality_correlation")
+def length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and the heuristic
+    quality score — the sanity check that a quality model is not just
+    a length detector. The five moment sums (Σx, Σy, Σx², Σy², Σxy)
+    accumulate in DECIMAL(28,6), so r is bit-identical across engines
+    before the 6-dp round; one scan, one 1-row agg."""
+    from nabatshy_spark.operators import textanalysis
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").cast("decimal(28,6)").alias("x"),
+        textanalysis.quality_score_expr(F.col("text"))
+        .cast("decimal(28,6)")
+        .alias("y"),
+    )
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.round(
+            (n * F.col("sxy").cast("double") - sx * sy)
+            / F.sqrt(
+                (n * F.col("sxx").cast("double") - sx * sx)
+                * (n * F.col("syy").cast("double") - sy * sy)
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
