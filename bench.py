@@ -182,9 +182,16 @@ def _prev_bench(here: str) -> tuple[int | None, dict[str, float]]:
         try:
             with open(p) as fh:
                 data = json.load(fh)
-            # the driver wraps our JSON line under "parsed"
-            q = (data.get("queries") or data.get("parsed", {}).get("queries")) or {}
+            # the driver wraps our JSON line under "parsed" (which is
+            # null when the line overflowed its tail buffer — r4)
+            q = (
+                data.get("queries")
+                or (data.get("parsed") or {}).get("queries")
+                or {}
+            )
         except (OSError, json.JSONDecodeError):
+            continue
+        if not q:
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:
@@ -228,19 +235,51 @@ def main() -> None:
     delta = {
         k: round(v - prev[k], 4) for k, v in timings.items() if k in prev
     }
-    print(
-        json.dumps(
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
             {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "prev_round": prev_round,
                 "delta_vs_prev": delta,
-            }
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # The driver keeps only the LAST 2000 BYTES of stdout and parses the
+    # final JSON line from that tail — round 4's line (105-query map +
+    # delta map) overflowed it and the round was recorded with
+    # parsed=null. Keep the final line under budget: report the slowest
+    # queries individually and fold the fast tail into one aggregate;
+    # the full per-query map is committed as BENCH_DETAIL.json.
+    LINE_BUDGET = 1800
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+
+    def _line(top_n: int) -> str:
+        top = {k: timings[k] for k in by_cost[:top_n]}
+        rest = [k for k in by_cost[top_n:]]
+        payload = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": top,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "omitted_fast_queries": len(rest),
+            "omitted_fast_sec": round(sum(timings[k] for k in rest), 4),
+            "detail": "BENCH_DETAIL.json",
+        }
+        return json.dumps(payload, separators=(",", ":"))
+
+    n = len(timings)
+    line = _line(n)
+    while n > 1 and len(line) > LINE_BUDGET:
+        n -= 1
+        line = _line(n)
+    print(line)
 
 
 if __name__ == "__main__":

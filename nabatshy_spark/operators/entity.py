@@ -210,7 +210,7 @@ def part_entity_clusters(
     histogram (cluster_size, n_clusters) — the shape reviewers actually
     look at for an ER run.
     """
-    edges = score_part_pairs(part, threshold=threshold).select(
+    edges = score_part_pairs(part, threshold=threshold, max_df=max_df).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     comp = connected_components(edges, "a", "b").withColumnRenamed(

@@ -283,6 +283,17 @@ def frame_sample_features(df: DataFrame, every_n: int = 2) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(ids: DataFrame) -> DataFrame:
+    """Spread the id relation across the session's full parallelism
+    BEFORE payload synthesis: the fixture table is one parquet file
+    (one input split), which would serialize the whole decode stage on
+    a single core. Shuffling the pre-payload ids costs O(8 bytes/row);
+    real blob ingest gets the same fan-out for free from
+    spark.sql.files.maxPartitionBytes over many object files."""
+    sc = ids.sparkSession.sparkContext
+    return ids.repartition(sc.defaultParallelism)
+
+
 def attach_audio(df: DataFrame, id_col: str) -> DataFrame:
     """Stand-in audio ingest: a deterministic 16 kHz mono square-wave
     WAV per row (n_samples and amplitude are simple functions of the
@@ -311,7 +322,7 @@ def attach_audio(df: DataFrame, id_col: str) -> DataFrame:
                 outs.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": ids, "payload": outs})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _fan_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
 
@@ -339,7 +350,7 @@ def attach_frames(df: DataFrame, id_col: str, n_frames: int = 4) -> DataFrame:
                 ])
             yield pd.DataFrame({"doc_id": ids, "frames": frames})
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _fan_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, schema="doc_id long, frames array<binary>"
     )
 
@@ -372,7 +383,7 @@ def attach_images(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    return _fan_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
         batches, schema="doc_id long, payload binary"
     )
 

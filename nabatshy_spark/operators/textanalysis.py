@@ -710,12 +710,18 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    ranked = counts.withColumn(
+    # Pre-prune with a top-N (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank: the unpartitioned row_number
+    # window only ever sees <= top_n rows, never the whole vocabulary.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
+        top_n
+    )
+    ranked = top.withColumn(
         "rank",
         F.row_number().over(
             _W.orderBy(F.col("cnt").desc(), F.col("term").asc())
         ),
-    ).filter(F.col("rank") <= top_n)
+    )
     xy = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),

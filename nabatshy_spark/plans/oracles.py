@@ -3502,3 +3502,49 @@ SELECT n::BIGINT AS n_docs,
          AS pearson_r
 FROM m
 """
+
+ORACLES["sql_important_parts"] = """
+WITH natl AS (
+  SELECT l.l_partkey AS p_partkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,6))) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+FROM natl
+WHERE value * 500 > (SELECT sum(value) FROM natl)
+ORDER BY value DESC, p_partkey
+"""
+
+ORACLES["sql_supplier_part_variety"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 5, 11, 15, 21, 25, 31, 35, 41)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+ORACLES["sql_promo_part_suppliers"] = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT sh.l_suppkey FROM shipped sh
+  JOIN part p ON p.p_partkey = sh.l_partkey
+  WHERE p.p_name LIKE 'red%' AND sh.qty > 40
+)
+ORDER BY s.s_suppkey
+"""

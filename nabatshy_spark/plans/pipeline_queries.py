@@ -137,7 +137,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
-    return out.orderBy("query_id", "method")
+    out = out.orderBy("query_id", "method")
+    # The report is O(probes × methods) rows — materialize it, then
+    # release the cached corpus/index so a long-lived session running
+    # many queries doesn't leak executor storage memory.
+    rows = out.collect()
+    schema = out.schema
+    emb.unpersist()
+    if encoded is not None:
+        encoded.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 from nabatshy_spark.operators import multimodal, stats, textanalysis  # noqa: E402
@@ -656,13 +665,20 @@ def user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("month")
         .agg(
             F.count("*").alias("n_days"),
-            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            # keep the unrounded average for the ratio — rounding
+            # before dividing composes differently from the oracle's
+            # round(avg/mau) and can flip the 6th decimal
+            F.avg("dau").alias("__avg_dau_raw"),
             F.max("dau").alias("peak_dau"),
         )
         .join(monthly, "month")
         .select(
-            "month", "n_days", "avg_dau", "peak_dau", "mau",
-            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+            "month", "n_days",
+            F.round("__avg_dau_raw", 6).alias("avg_dau"),
+            "peak_dau", "mau",
+            F.round(F.col("__avg_dau_raw") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
         )
         .orderBy("month")
     )

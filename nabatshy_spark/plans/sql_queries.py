@@ -543,3 +543,85 @@ def sql_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, rnk, c_custkey
         """
     )
+
+
+@query("sql_important_parts")
+def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disproportionate-value parts (the TPC-H Q11 shape, adapted:
+    the schema has no partsupp, so "stock value" is the shipped
+    revenue of one nation's suppliers per part). The per-part value
+    relation is built once and reused under the scalar-subquery total;
+    the share filter multiplies the exact DECIMAL sum by an integer
+    (value*500 > total ⟺ share > 0.2%) instead of dividing, so the
+    comparison is exact on both engines — no rounded-quotient edge."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH natl AS (
+          SELECT l.l_partkey AS p_partkey,
+                 sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,6))) AS value
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_name = 'NATION_3'
+          GROUP BY 1
+        )
+        SELECT p_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+        FROM natl
+        WHERE value * 500 > (SELECT sum(value) FROM natl)
+        ORDER BY value DESC, p_partkey
+        """
+    )
+
+
+@query("sql_supplier_part_variety")
+def sql_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part profile (the TPC-H Q16 shape, linked
+    through lineitem since there is no partsupp): distinct shipping
+    suppliers per (brand, type, size) for a filtered part slice. The
+    NOT-equal predicates and the IN-list push to the part scan; the
+    exact count(DISTINCT) groups on the post-join relation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
+          AND p.p_size IN (1, 5, 11, 15, 21, 25, 31, 35, 41)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@query("sql_promo_part_suppliers")
+def sql_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with significant shipments of promo parts (the TPC-H
+    Q20 semi-join shape, adapted to shipped quantities): the IN
+    subquery plans as a LEFT SEMI join against the pre-aggregated
+    (part, supplier) quantity relation — supplier rows are emitted at
+    most once without a distinct, and the 'red%' prefix filter prunes
+    part before the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1, 2
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+          SELECT sh.l_suppkey FROM shipped sh
+          JOIN part p ON p.p_partkey = sh.l_partkey
+          WHERE p.p_name LIKE 'red%' AND sh.qty > 40
+        )
+        ORDER BY s.s_suppkey
+        """
+    )
