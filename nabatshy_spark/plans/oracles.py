@@ -3548,3 +3548,63 @@ WHERE s.s_suppkey IN (
 )
 ORDER BY s.s_suppkey
 """
+
+ORACLES["gopher_rule_flags"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS n_words,
+         (nc - len(ws) + 1) / CAST(len(ws) AS DOUBLE) AS mean_wl,
+         len(list_filter(ws, x -> x IN ('the', 'a')))
+           / CAST(len(ws) AS DOUBLE) AS stop_frac
+  FROM w
+),
+bg AS (
+  SELECT w.doc_id, ws[i] || ' ' || ws[i+1] AS b
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1)
+SELECT base.doc_id,
+       base.n_words::BIGINT AS n_words,
+       round(base.mean_wl, 6) AS mean_word_len,
+       round(base.stop_frac, 6) AS stopword_frac,
+       round(2.0 * coalesce(mx.mc, 0) / base.n_words, 6)
+         AS top_bigram_frac,
+       (base.n_words >= 30) AS pass_word_count,
+       (base.mean_wl >= 3 AND base.mean_wl <= 10) AS pass_mean_word_len,
+       (base.stop_frac >= 0.03) AS pass_stopword,
+       (2.0 * coalesce(mx.mc, 0) / base.n_words <= 0.125)
+         AS pass_repetition,
+       ((base.n_words >= 30) AND (base.mean_wl >= 3 AND base.mean_wl <= 10)
+        AND (base.stop_frac >= 0.03)
+        AND (2.0 * coalesce(mx.mc, 0) / base.n_words <= 0.125)) AS keep
+FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id
+ORDER BY base.doc_id
+"""
+
+ORACLES["export_shard_plan"] = """
+WITH g AS (
+  SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+         count(*) AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY 1
+)
+SELECT shard, n_docs::BIGINT AS n_docs, total_chars,
+       round(n_docs * 16.0 / sum(n_docs) OVER (), 6) AS balance_ratio
+FROM g ORDER BY shard
+"""
+
+ORACLES["k_anonymity_audit"] = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         count(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT k::BIGINT AS group_size, count(*)::BIGINT AS n_groups,
+       sum(k)::BIGINT AS n_rows, (k < 5) AS at_risk
+FROM g GROUP BY k ORDER BY group_size
+"""

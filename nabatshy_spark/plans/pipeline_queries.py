@@ -1050,3 +1050,135 @@ def length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+@query("gopher_rule_flags")
+def gopher_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery per document (Rae et al. 2021
+    §A1.1, the applicable subset for a single-line corpus): word-count
+    floor, mean-word-length band, stopword-fraction floor, and
+    top-bigram dominance (fraction of words covered by repeats of the
+    most frequent 2-gram — the repetition rule). Rules are hard
+    booleans, not a blended score (that's quality_model_scores); the
+    bigram pass is one doc_id-keyed shuffle of hashed grams, all other
+    rules are pure scan expressions."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.length("text").alias("nc"),
+    ).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_words"),
+        ((F.col("nc") - F.size("w") + 1) / F.size("w")).alias("mean_wl"),
+        (
+            F.size(F.filter("w", lambda x: x.isin("the", "a")))
+            / F.size("w")
+        ).alias("stop_frac"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w)-1),"
+                " (x, i) -> concat(x, ' ', element_at(w, i+2)))"
+            )
+        ).alias("b"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    joined = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round("mean_wl", 6).alias("mean_word_len"),
+        F.round("stop_frac", 6).alias("stopword_frac"),
+        F.round(
+            2.0 * F.coalesce(F.col("mc"), F.lit(0)) / F.col("n_words"), 6
+        ).alias("top_bigram_frac"),
+        (F.col("n_words") >= 30).alias("pass_word_count"),
+        ((F.col("mean_wl") >= 3) & (F.col("mean_wl") <= 10)).alias(
+            "pass_mean_word_len"
+        ),
+        (F.col("stop_frac") >= 0.03).alias("pass_stopword"),
+        (
+            2.0 * F.coalesce(F.col("mc"), F.lit(0)) / F.col("n_words")
+            <= 0.125
+        ).alias("pass_repetition"),
+    )
+    return joined.withColumn(
+        "keep",
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_stopword")
+        & F.col("pass_repetition"),
+    ).orderBy("doc_id")
+
+
+@query("export_shard_plan")
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard plan: every document lands in one of 16
+    shards keyed by the first hex nibble of md5(doc_id) — deterministic,
+    engine-portable (no integer hash conversion), retry-safe, and the
+    write side is a plain partitionBy('shard') append. The report is
+    the per-shard balance audit an export job gates on: doc count,
+    byte mass, and the count's ratio to the ideal uniform share. A
+    single hash-agg over the scan; the balance window runs on the
+    16-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+                "shard"
+            ),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("n_docs") * 16.0 / F.sum("n_docs").over(w), 6
+        ).alias("balance_ratio"),
+    ).orderBy("shard")
+
+
+@query("k_anonymity_audit")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers (segment ×
+    nation × $1000 balance bucket): the group-size histogram plus an
+    at-risk flag for equivalence classes smaller than k=5 — the
+    re-identification exposure report a privacy review runs before
+    features derived from the table enter a training set. Two
+    hash-aggs, second over the tiny group-size relation."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count("*").alias("k"))
+    return (
+        g.groupBy(F.col("k").alias("group_size"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+        )
+        .select(
+            "group_size",
+            "n_groups",
+            "n_rows",
+            (F.col("group_size") < 5).alias("at_risk"),
+        )
+        .orderBy("group_size")
+    )

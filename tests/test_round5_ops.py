@@ -1,0 +1,81 @@
+"""Invariant tests for the round-5 operators: Gopher rule battery,
+export shard plan, k-anonymity audit, and the new TPC-H SQL shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import nabatshy_spark.plans.pipeline_queries  # noqa: F401
+import nabatshy_spark.plans.sql_queries  # noqa: F401
+from nabatshy_spark.catalog import load
+from nabatshy_spark.plans.queries import QUERIES
+
+
+def test_gopher_keep_is_conjunction(spark, sf_dir):
+    df = QUERIES["gopher_rule_flags"](spark, sf_dir)
+    bad = df.filter(
+        F.col("keep")
+        != (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_stopword")
+            & F.col("pass_repetition")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_gopher_covers_every_doc_once(spark, sf_dir):
+    df = QUERIES["gopher_rule_flags"](spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+
+
+def test_gopher_bigram_frac_bounds(spark, sf_dir):
+    df = QUERIES["gopher_rule_flags"](spark, sf_dir)
+    # 2*max_bigram_count/n_words is in (0, 2]; with n_words >= 2 a
+    # bigram exists so the fraction is strictly positive here.
+    out_of_range = df.filter(
+        (F.col("top_bigram_frac") <= 0) | (F.col("top_bigram_frac") > 2)
+    ).count()
+    assert out_of_range == 0
+
+
+def test_export_shards_partition_the_corpus(spark, sf_dir):
+    df = QUERIES["export_shard_plan"](spark, sf_dir)
+    rows = df.collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.shard in "0123456789abcdef" for r in rows)
+    # balance ratios average 1 across shards (sum == shard count)
+    assert abs(sum(r.balance_ratio for r in rows) - len(rows)) < 1e-4
+
+
+def test_k_anonymity_accounts_every_customer(spark, sf_dir):
+    df = QUERIES["k_anonymity_audit"](spark, sf_dir)
+    rows = df.collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    for r in rows:
+        assert r.n_rows == r.group_size * r.n_groups
+        assert r.at_risk == (r.group_size < 5)
+
+
+def test_sql_important_parts_share_bound(spark, sf_dir):
+    df = QUERIES["sql_important_parts"](spark, sf_dir)
+    rows = df.collect()
+    total = sum(r.value for r in rows)
+    # every returned part individually exceeds 0.2% of the full
+    # nation total, so the returned mass certainly does too
+    assert rows and total > 0
+
+
+def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
+    plan = (
+        QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
