@@ -858,6 +858,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     rounds_out: list[int] | None = None,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Group near-dup *pairs* into duplicate clusters: every node gets
     ``component`` = the minimum doc id reachable from it. This is the
@@ -872,7 +873,19 @@ def connected_components(
     (the round-count unit test in test_extensions.py pins this).
     ``localCheckpoint`` per round truncates lineage; convergence is
     detected by the canonical edge set reaching a fixed point
-    (count + order-insensitive hash — no full except-diff)."""
+    (count + order-insensitive hash — no full except-diff).
+
+    Adaptive small-graph path: the first convergence probe already
+    counts the canonical edge set; when it is at or below
+    ``local_threshold`` edges (default 1M, env
+    ``NABATSHY_LOCAL_CC_EDGES``), the edges collect to the driver and
+    a path-compressed min-root union-find labels them — identical
+    output, none of the per-round job overhead that dominates small
+    graphs. Pair-finder edge sets are SMALL relative to their corpora
+    (they are the near-dup survivors), so this path serves most real
+    runs; a 100 TB-scale edge set exceeds the threshold and takes the
+    distributed star rounds. Passing ``rounds_out`` forces the
+    distributed path (round telemetry only exists there)."""
     # Materialize the (usually expensive) pair-finder output once —
     # every star round re-reads edges, and without this the whole
     # upstream plan (e.g. a MinHash/Jaccard self-join) would
@@ -897,6 +910,47 @@ def connected_components(
         return row["n"], row["h"]
 
     state = _state(edges)
+    if local_threshold is None:
+        import os as _os
+
+        local_threshold = int(
+            _os.environ.get("NABATSHY_LOCAL_CC_EDGES", "1000000")
+        )
+    if rounds_out is None and state[0] <= local_threshold:
+        utype = edges.schema["u"].dataType
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            u, v = r["u"], r["v"]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # min id stays the root
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", utype, False),
+                StructField("component", utype, False),
+            ]
+        )
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(n, _find(n)) for n in parent], schema
+        )
     for _round in range(64):  # 64 ≫ log₂(any real corpus): loop guard only
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_state = _state(edges)

@@ -64,7 +64,7 @@ def frequent_pairs(
         (F.col("a.basket") == F.col("c.basket"))
         & (F.col("a.item") < F.col("c.item")),
     ).select(F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b"))
-    return (
+    out = (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
@@ -75,3 +75,11 @@ def frequent_pairs(
         )
         .limit(k)
     )
+    # Materialize the ≤k-row result, then drop the cached basket
+    # relation — a long-lived session running many queries must not
+    # accumulate per-query cached relations (same policy as
+    # ann_recall_report / curation_funnel).
+    rows = out.collect()
+    schema = out.schema
+    b.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)

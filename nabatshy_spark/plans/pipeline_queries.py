@@ -189,15 +189,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     change's blast radius is visible before committing the full pass).
     Six one-row count aggregates unioned; every stage reuses the same
     operators as the real pipeline, so the funnel IS the pipeline's
-    accounting, not a reimplementation."""
+    accounting, not a reimplementation. The filtered relation and the
+    near-dedup survivor set are each consumed by several downstream
+    stage branches — they are cached for the run (the batch analogue
+    of checkpointing between pipeline stages at 100 TB), the 6-row
+    report is materialized, and the caches released."""
     from nabatshy_spark.operators import sampling, textanalysis
 
     docs = load(spark, sf_dir, "documents")
     q = docs.filter(textanalysis.quality_score_expr(F.col("text")) >= 0.6)
-    kept = q.filter(textanalysis.pred_lang_expr(F.col("text")) == "en")
+    kept = q.filter(
+        textanalysis.pred_lang_expr(F.col("text")) == "en"
+    ).cache()
     exact = dedup.exact_dedup(kept, "doc_id", "text")
     near = dedup.dedup_pipeline(kept, "doc_id", "text", n=3, threshold=0.5,
-                                max_df=200)
+                                max_df=200).cache()
     sampled = sampling.hash_sample(near, "doc_id", bps=6554)
     stages = [
         (0, "input", docs),
@@ -213,7 +219,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_docs"
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("stage_no")
+    out = out.orderBy("stage_no")
+    rows = out.collect()
+    schema = out.schema
+    kept.unpersist()
+    near.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 @query("tokenizer_fertility_by_lang")

@@ -71,6 +71,34 @@ def test_sql_important_parts_share_bound(spark, sf_dir):
     assert rows and total > 0
 
 
+def test_local_cc_equals_distributed(spark):
+    """The adaptive driver-side union-find path must label components
+    identically to the distributed large-star/small-star rounds."""
+    from nabatshy_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> min 1
+        (10, 11), (11, 10), (12, 10),    # triangle-ish -> min 10
+        (20, 21),                        # pair -> min 20
+        (30, 30),                        # self-loop: dropped entirely
+        (41, 40), (43, 42), (42, 41),    # chain given backwards -> min 40
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local  # non-empty
+    comp_of = dict(local)
+    assert comp_of[4] == 1 and comp_of[12] == 10 and comp_of[43] == 40
+    assert 30 not in comp_of
+
+
 def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
     plan = (
         QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
