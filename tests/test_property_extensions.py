@@ -51,6 +51,24 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == set(_union_find(edges).items())
 
 
+@SLOW
+@given(edges_strategy)
+def test_connected_components_distributed_matches_union_find(spark, edges):
+    """Same property, but forcing the distributed star rounds
+    (local_threshold=0 bypasses the small-graph union-find path, which
+    the test above now exercises)."""
+    from nabatshy_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert got == set(_union_find(edges).items())
+
+
 events_strategy = st.lists(
     st.tuples(
         st.integers(1, 4),                      # user
