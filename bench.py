@@ -159,6 +159,8 @@ HEADLINE = [
     "gopher_rule_flags",
     "export_shard_plan",
     "k_anonymity_audit",
+    "weighted_median_price",
+    "feature_spine_join",
 ]
 
 

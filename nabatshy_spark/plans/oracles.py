@@ -3608,3 +3608,44 @@ SELECT k::BIGINT AS group_size, count(*)::BIGINT AS n_groups,
        sum(k)::BIGINT AS n_rows, (k < 5) AS at_risk
 FROM g GROUP BY k ORDER BY group_size
 """
+
+ORACLES["weighted_median_price"] = """
+WITH v AS (
+  SELECT p.p_brand AS brand, l.l_extendedprice AS price,
+         sum(l.l_quantity) AS w
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT brand, price,
+         sum(w) OVER (PARTITION BY brand ORDER BY price) AS cumw,
+         sum(w) OVER (PARTITION BY brand) AS totw
+  FROM v
+)
+SELECT brand, min(price) AS weighted_median_price,
+       round(max(totw), 2) AS total_qty
+FROM c WHERE cumw * 2 >= totw
+GROUP BY brand ORDER BY brand
+"""
+
+ORACLES["feature_spine_join"] = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,6)) AS dv
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, event_type, ts,
+         count(*) OVER w7 AS n_events_7d,
+         round(CAST(coalesce(sum(dv) OVER w7, 0) AS DOUBLE), 6)
+           AS sum_value_7d,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS prev_event_type
+  FROM base
+  WINDOW w7 AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, n_events_7d::BIGINT AS n_events_7d,
+       sum_value_7d, prev_event_type
+FROM f WHERE event_type = 'purchase' ORDER BY event_id
+"""

@@ -1193,3 +1193,96 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+@query("weighted_median_price")
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median selling price per brand — the
+    weighted quantile Spark has no native aggregate for, built
+    sort-based: pre-aggregate weight per (brand, price) so the window
+    walks distinct prices only, cumulative weight over the
+    brand-partitioned price order, median = first price where
+    2·cumweight ≥ total. The running sum accumulates in ascending
+    price order on both engines, so the IEEE result is identical and
+    the boundary compare is hash-stable. Per-brand sort is
+    partition-local after one shuffle; a low-cardinality group column
+    at extreme scale would take a two-level pre-agg (price-bucket then
+    exact within the straddling bucket)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    v = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("w"),
+        )
+        .groupBy("brand", "price")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = Window.partitionBy("brand").orderBy("price")
+    tot = Window.partitionBy("brand")
+    c = v.select(
+        "brand",
+        "price",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(tot).alias("totw"),
+    )
+    return (
+        c.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("brand")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.round(F.max("totw"), 2).alias("total_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query("feature_spine_join")
+def feature_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly (the feature-store
+    'spine join'): for every purchase event, the user's trailing-7-day
+    event count and value sum plus the immediately preceding event
+    type — no leakage from at-or-after the spine timestamp. One
+    user-keyed shuffle serves all three features: a microsecond-epoch
+    RANGE window frame [-7d, -1µs] and a lag over (ts, event_id). The
+    value sum goes through DECIMAL so the frame's summation order
+    can't produce engine-divergent floats."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        # ts loads as TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+        # the cast is the identity wall-clock -> epoch mapping DuckDB's
+        # epoch_us applies to its naive timestamps
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("dv"),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-7 * 24 * 3600 * 1000000, -1)
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    feats = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.count("*").over(frame).alias("n_events_7d"),
+        F.round(
+            F.coalesce(F.sum("dv").over(frame), F.lit(0)).cast("double"), 6
+        ).alias("sum_value_7d"),
+        F.lag("event_type").over(order).alias("prev_event_type"),
+    )
+    return (
+        feats.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts", "n_events_7d", "sum_value_7d",
+            "prev_event_type",
+        )
+        .orderBy("event_id")
+    )

@@ -99,6 +99,70 @@ def test_local_cc_equals_distributed(spark):
     assert 30 not in comp_of
 
 
+def test_weighted_median_is_a_real_median(spark, sf_dir):
+    """For every brand, weight strictly below the reported median must
+    be < half the total, and weight at-or-below must be >= half."""
+    from nabatshy_spark.catalog import load
+
+    med = {
+        r.brand: r.weighted_median_price
+        for r in QUERIES["weighted_median_price"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rows = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("l_quantity").alias("tot"),
+            *[
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= m, F.col("l_quantity"))
+                ).alias(f"le_{b.replace('#', '_')}")
+                for b, m in med.items()
+            ],
+        )
+        .collect()
+    )
+    for r in rows:
+        le = r[f"le_{r.brand.replace('#', '_')}"]
+        assert le * 2 >= r.tot, r.brand
+
+
+def test_feature_spine_no_leakage(spark, sf_dir):
+    """Point-in-time correctness: recompute one user's features in
+    pure Python from the raw events and compare."""
+    import datetime as dt
+
+    from nabatshy_spark.catalog import load
+
+    out = QUERIES["feature_spine_join"](spark, sf_dir)
+    uid = out.select("user_id").first().user_id
+    got = {
+        r.event_id: (r.n_events_7d, r.sum_value_7d, r.prev_event_type)
+        for r in out.filter(F.col("user_id") == uid).collect()
+    }
+    evs = sorted(
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    for i, e in enumerate(evs):
+        if e.event_type != "purchase":
+            continue
+        lo = e.ts - dt.timedelta(days=7)
+        prior = [
+            x for x in evs if lo <= x.ts < e.ts
+        ]
+        n = len(prior)
+        s = round(sum(x.value for x in prior), 6) if prior else 0.0
+        prev = evs[i - 1].event_type if i > 0 else None
+        gn, gs, gp = got[e.event_id]
+        assert gn == n and gp == prev, (e.event_id, gn, n, gp, prev)
+        assert abs(gs - s) < 1e-6
+
+
 def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
     plan = (
         QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
