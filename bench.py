@@ -161,6 +161,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "weighted_median_price",
     "feature_spine_join",
+    "km_churn_survival",
+    "benford_price_audit",
 ]
 
 

@@ -3649,3 +3649,55 @@ SELECT event_id, user_id, ts, n_events_7d::BIGINT AS n_events_7d,
        sum_value_7d, prev_event_type
 FROM f WHERE event_type = 'purchase' ORDER BY event_id
 """
+
+ORACLES["km_churn_survival"] = """
+WITH h AS (SELECT max(ts) AS mx FROM events),
+pu AS (SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1),
+d AS (
+  SELECT date_diff('day', pu.f::DATE, pu.l::DATE) AS duration,
+         CASE WHEN pu.l < h.mx - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churn
+  FROM pu, h
+),
+t AS (SELECT duration, sum(churn) AS d, count(*) AS c FROM d GROUP BY 1),
+r AS (
+  SELECT duration, d,
+         (SELECT sum(c) FROM t)
+           - coalesce(sum(c) OVER (ORDER BY duration
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+  FROM t
+),
+s AS (
+  SELECT duration, d, n_risk,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS anyzero,
+         sum(ln(CASE WHEN d < n_risk
+                     THEN 1.0 - d / CAST(n_risk AS DOUBLE)
+                     ELSE 1.0 END)) OVER w AS lnsum
+  FROM r
+  WINDOW w AS (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT duration AS duration_days, n_risk::BIGINT AS n_at_risk,
+       d::BIGINT AS churned,
+       round(CASE WHEN anyzero = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+         AS survival
+FROM s ORDER BY duration_days
+"""
+
+ORACLES["benford_price_audit"] = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders
+),
+per AS (
+  SELECT digit, count(*) AS n FROM digits
+  WHERE digit BETWEEN 1 AND 9 GROUP BY 1
+)
+SELECT digit, n::BIGINT AS n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_share,
+       round(n / CAST(sum(n) OVER () AS DOUBLE)
+             - log10(1.0 + 1.0 / digit), 6) AS deviation
+FROM per ORDER BY digit
+"""

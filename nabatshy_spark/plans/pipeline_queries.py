@@ -1286,3 +1286,102 @@ def feature_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query("km_churn_survival")
+def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (public estimator,
+    Kaplan & Meier 1958): per-user duration = days between first and
+    last event; users still active in the final 7 days are censored,
+    not churned. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) computed as exp of an
+    ordered ln-sum over the ≤31-row per-duration relation (the window
+    runs post-aggregate, never over raw events), with an any-zero-
+    factor guard because ln(0) is −inf in DuckDB but NULL in Spark.
+    One user-grain rollup + one tiny windowed relation; the horizon is
+    an in-plan 1-row broadcast (bnlj-1row pattern), no driver
+    round-trip."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.agg(F.max("ts").alias("mx"))
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    d = pu.join(h).select(
+        F.datediff(F.to_date("l"), F.to_date("f")).alias("duration"),
+        F.when(
+            F.col("l") < F.col("mx") - F.expr("INTERVAL 7 DAYS"), 1
+        ).otherwise(0).alias("churn"),
+    )
+    t = d.groupBy("duration").agg(
+        F.sum("churn").alias("d"), F.count("*").alias("c")
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = t.select(
+        "duration",
+        "d",
+        (
+            F.sum("c").over(w_all)
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor_ln = F.log(
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            1.0 - F.col("d") / F.col("n_risk").cast("double"),
+        ).otherwise(F.lit(1.0))
+    )
+    s = r.select(
+        "duration",
+        "d",
+        "n_risk",
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        ).over(w_cum).alias("anyzero"),
+        F.sum(factor_ln).over(w_cum).alias("lnsum"),
+    )
+    return s.select(
+        F.col("duration").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("churned"),
+        F.round(
+            F.when(F.col("anyzero") == 1, F.lit(0.0)).otherwise(
+                F.exp("lnsum")
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("duration_days")
+
+
+@query("benford_price_audit")
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fabricated-data screen for financial columns: observed
+    first-significant-digit shares vs log10(1 + 1/d), with per-digit
+    deviation. One scan + 9-group agg; the share window runs over the
+    9-row aggregate."""
+    o = load(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    ).filter(F.col("digit").between(1, 9))
+    per = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return per.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("observed_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+            "expected_share"
+        ),
+        F.round(
+            F.col("n") / F.sum("n").over(w)
+            - F.log10(1.0 + 1.0 / F.col("digit")),
+            6,
+        ).alias("deviation"),
+    ).orderBy("digit")

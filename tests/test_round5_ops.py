@@ -163,6 +163,31 @@ def test_feature_spine_no_leakage(spark, sf_dir):
         assert abs(gs - s) < 1e-6
 
 
+def test_km_survival_is_monotone_and_consistent(spark, sf_dir):
+    rows = QUERIES["km_churn_survival"](spark, sf_dir).collect()
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev_s + 1e-9  # non-increasing
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n  # risk set shrinks
+        assert r.churned <= r.n_at_risk
+        prev_s, prev_n = r.survival, r.n_at_risk
+    # first step: S = 1 - d1/n1
+    f = rows[0]
+    assert abs(f.survival - (1 - f.churned / f.n_at_risk)) < 1e-6
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = QUERIES["benford_price_audit"](spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.deviation - (r.observed_share - r.expected_share)) < 2e-6
+
+
 def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
     plan = (
         QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
