@@ -163,6 +163,7 @@ HEADLINE = [
     "feature_spine_join",
     "km_churn_survival",
     "benford_price_audit",
+    "stream_batch_parity_rollup",
 ]
 
 

@@ -3701,3 +3701,11 @@ SELECT digit, n::BIGINT AS n,
              - log10(1.0 + 1.0 / digit), 6) AS deviation
 FROM per ORDER BY digit
 """
+
+ORACLES["stream_batch_parity_rollup"] = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1385,3 +1385,68 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("deviation"),
     ).orderBy("digit")
+
+
+@query("stream_batch_parity_rollup")
+def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-type rollup executed through an ACTUAL Structured
+    Streaming run — readStream file source, event-time watermark,
+    windowed aggregation, availableNow trigger, memory sink — whose
+    result must equal the plain batch GROUP BY (the Dataflow-model
+    stream/batch parity promise, and the SQL oracle checks exactly
+    that). Complete output mode so tail windows inside the watermark
+    margin are emitted too; the ns-typed ts takes the same
+    nanosAsLong + floor-to-µs path as the batch catalog loader. The
+    memory sink is drained and dropped after the run (no temp-view
+    leak across a long session)."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    qname = f"sbp_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sbp_ckpt_")
+    srcdir = tempfile.mkdtemp(prefix="sbp_src_")
+    _os.symlink(src, _os.path.join(srcdir, "events.parquet"))
+    try:
+        stream = spark.readStream.schema(raw_schema).parquet(srcdir)
+        ts_type = dict(stream.dtypes).get("ts")
+        if ts_type == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # watermarks require TIMESTAMP; the session TZ is UTC so
+            # the cast is the identity wall-clock mapping
+            stream = stream.withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qname).select(
+            F.col("w.start").alias("hour_start"), "event_type", "n"
+        ).orderBy("hour_start", "event_type")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(srcdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -188,6 +188,25 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
         assert abs(r.deviation - (r.observed_share - r.expected_share)) < 2e-6
 
 
+def test_stream_batch_parity(spark, sf_dir):
+    """The streaming availableNow rollup must equal the batch
+    aggregation of the same table, row for row."""
+    got = {
+        (r.hour_start, r.event_type): r.n
+        for r in QUERIES["stream_batch_parity_rollup"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
     plan = (
         QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
