@@ -74,9 +74,11 @@ _PRIORITY = [
     # Business rollups + data-infra audits.
     "brand_affinity", "supplier_concentration", "revenue_gini",
     "order_priority_sla", "data_quality_report", "fk_integrity_audit",
-    "join_skew_report", "video_scene_changes",
-    # (Remaining ~25 never-checked oracle-backed queries + the 7
-    # rows-only ones rotate in next round.)
+    # (join_skew_report, video_scene_changes, the remaining ~25
+    # never-checked oracle-backed queries, the 7 rows-only ones, and
+    # this round's 10 new operators rotate in next round. Exactly 50
+    # entries above — the driver checks the FIRST 50 only; entry #51
+    # would silently never get a row.)
 ]
 
 
