@@ -164,6 +164,7 @@ HEADLINE = [
     "km_churn_survival",
     "benford_price_audit",
     "stream_batch_parity_rollup",
+    "scd2_point_in_time_join",
 ]
 
 

@@ -3709,3 +3709,46 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+ORACLES["scd2_point_in_time_join"] = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+         CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
+  FROM events WHERE user_id < 30
+),
+flagged AS (
+  SELECT user_id, us, tier, event_id,
+         CASE WHEN lag(tier) OVER w IS NULL
+                OR tier <> lag(tier) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+versioned AS (
+  SELECT user_id, us, tier,
+         sum(changed) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS vid
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, vid AS version, any_value(tier) AS tier,
+         min(us) AS valid_from_us
+  FROM versioned GROUP BY user_id, vid
+),
+dim AS (
+  SELECT user_id, version, tier, valid_from_us,
+         lead(valid_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY version) AS valid_to_us
+  FROM versions
+)
+SELECT e.event_id, e.user_id, e.ts, d.tier AS tier_at_purchase,
+       d.version::BIGINT AS dim_version
+FROM ev e
+JOIN dim d
+  ON d.user_id = e.user_id
+ AND d.valid_from_us <= e.us
+ AND (d.valid_to_us IS NULL OR e.us < d.valid_to_us)
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""

@@ -1450,3 +1450,48 @@ def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(srcdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query("scd2_point_in_time_join")
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup through an SCD2 history — the
+    warehouse pattern that answers "what was the user's segment WHEN
+    the transaction happened", never the current value: a value-tier
+    change log collapses to SCD2 versions (cdc.scd2_history), and each
+    purchase event resolves the version whose validity interval
+    contains its timestamp. The lookup is the scalable as-of shape
+    (operators/joins.py asof_join: union + last-non-null carry on ONE
+    user shuffle), not an interval nested-loop; the oracle states the
+    same semantics as the declarative containment join."""
+    from nabatshy_spark.operators import cdc
+    from nabatshy_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    tiered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("tier"),
+    )
+    dim = cdc.scd2_history(tiered, "user_id", "ts", "tier", "event_id")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    out = asof_join(
+        spine,
+        dim,
+        left_key=F.col("user_id"),
+        right_key=F.col("user_id"),
+        left_ts=F.col("us"),
+        right_ts=F.col("valid_from_us"),
+        payload={
+            "tier_at_purchase": F.col("tier"),
+            "dim_version": F.col("version"),
+        },
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "tier_at_purchase", "dim_version"
+    ).orderBy("event_id")

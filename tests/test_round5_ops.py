@@ -207,6 +207,37 @@ def test_stream_batch_parity(spark, sf_dir):
     assert got == want
 
 
+def test_scd2_lookup_matches_containment(spark, sf_dir):
+    """The as-of lookup must equal a brute-force interval-containment
+    join against the same SCD2 dimension."""
+    from nabatshy_spark.operators import cdc
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    tiered = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("tier"),
+    )
+    dim = cdc.scd2_history(tiered, "user_id", "ts", "tier", "event_id")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    brute = {
+        (r.event_id, r.tier, r.version)
+        for r in spine.join(
+            dim,
+            (spine.user_id == dim.user_id)
+            & (dim.valid_from_us <= spine.us)
+            & (dim.valid_to_us.isNull() | (spine.us < dim.valid_to_us)),
+        ).select("event_id", "tier", "version").collect()
+    }
+    got = {
+        (r.event_id, r.tier_at_purchase, r.dim_version)
+        for r in QUERIES["scd2_point_in_time_join"](spark, sf_dir).collect()
+    }
+    assert got == brute and got
+
+
 def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
     plan = (
         QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
