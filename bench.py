@@ -165,6 +165,8 @@ HEADLINE = [
     "benford_price_audit",
     "stream_batch_parity_rollup",
     "scd2_point_in_time_join",
+    "heaps_law_fit",
+    "did_purchase_lift",
 ]
 
 

@@ -3752,3 +3752,68 @@ JOIN dim d
 WHERE e.event_type = 'purchase'
 ORDER BY e.event_id
 """
+
+ORACLES["heaps_law_fit"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+first AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+intro AS (
+  SELECT first_doc AS doc_id, count(*) AS new_terms FROM first GROUP BY 1
+),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         coalesce(any_value(i.new_terms), 0) AS new_terms
+  FROM toks t LEFT JOIN intro i ON i.doc_id = t.doc_id
+  GROUP BY t.doc_id
+),
+curve AS (
+  SELECT sum(n_tokens) OVER w AS N, sum(new_terms) OVER w AS V
+  FROM per_doc
+  WINDOW w AS (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT count(*)::BIGINT AS n_points,
+       round(regr_slope(ln(CAST(V AS DOUBLE)), ln(CAST(N AS DOUBLE))), 6)
+         AS heaps_beta,
+       round(exp(regr_intercept(ln(CAST(V AS DOUBLE)),
+                                ln(CAST(N AS DOUBLE)))), 6) AS heaps_k,
+       round(regr_r2(ln(CAST(V AS DOUBLE)), ln(CAST(N AS DOUBLE))), 6) AS r2
+FROM curve
+"""
+
+ORACLES["did_purchase_lift"] = """
+WITH h AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM events
+  WHERE event_type = 'purchase'
+),
+base AS (
+  SELECT CAST(value AS DECIMAL(18,6)) AS v,
+         substr(md5(user_id::VARCHAR), 1, 1) < '8' AS treated,
+         epoch_us(ts) >= (epoch_us(h.lo) + epoch_us(h.hi)) / 2 AS post
+  FROM events, h WHERE event_type = 'purchase'
+)
+SELECT
+  round(CAST(sum(CASE WHEN treated AND NOT post THEN v END) AS DOUBLE)
+        / sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END), 6)
+    AS treated_pre,
+  round(CAST(sum(CASE WHEN treated AND post THEN v END) AS DOUBLE)
+        / sum(CASE WHEN treated AND post THEN 1 ELSE 0 END), 6)
+    AS treated_post,
+  round(CAST(sum(CASE WHEN NOT treated AND NOT post THEN v END) AS DOUBLE)
+        / sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END), 6)
+    AS control_pre,
+  round(CAST(sum(CASE WHEN NOT treated AND post THEN v END) AS DOUBLE)
+        / sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END), 6)
+    AS control_post,
+  round((CAST(sum(CASE WHEN treated AND post THEN v END) AS DOUBLE)
+         / sum(CASE WHEN treated AND post THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN treated AND NOT post THEN v END) AS DOUBLE)
+         / sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END))
+        - (CAST(sum(CASE WHEN NOT treated AND post THEN v END) AS DOUBLE)
+           / sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
+           - CAST(sum(CASE WHEN NOT treated AND NOT post THEN v END) AS DOUBLE)
+             / sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)), 6)
+    AS did_estimate
+FROM base
+"""

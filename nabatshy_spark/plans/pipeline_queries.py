@@ -1495,3 +1495,96 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "tier_at_purchase", "dim_version"
     ).orderBy("event_id")
+
+
+@query("heaps_law_fit")
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth V(N) ≈ K·N^β (public
+    empirical law; natural text β ≈ 0.4-0.6 — flat β flags templated
+    corpora, the companion health signal to the Zipf slope): each
+    term's first-occurrence doc marks when it enters the vocabulary,
+    per-doc introductions and token counts cumulate over doc order
+    (windows over the ≤n_docs aggregate, never raw tokens), and
+    regr_slope of ln V on ln N is the exponent. All counts are exact
+    integers, so the OLS inputs are engine-identical."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    intro = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("new_terms")
+    )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"))
+        .join(intro, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_doc.select(
+        F.sum("n_tokens").over(w).alias("N"),
+        F.sum("new_terms").over(w).alias("V"),
+    )
+    xy = curve.select(
+        F.log(F.col("N").cast("double")).alias("x"),
+        F.log(F.col("V").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("heaps_beta"),
+        F.round(F.exp(F.expr("regr_intercept(y, x)")), 6).alias("heaps_k"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )
+
+
+@query("did_purchase_lift")
+def did_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of purchase-value lift: the
+    deterministic md5 user split assigns treatment (same portable
+    predicate family as ab_test_lift), the observation window halves
+    into pre/post periods, and DiD = (T_post − T_pre) − (C_post −
+    C_pre) over cell means — the causal-inference workhorse when
+    randomization is doubtful. One scan into a 4-cell conditional
+    aggregate; means divide exact DECIMAL sums so every cell is
+    engine-identical."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    h = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    base = ev.join(F.broadcast(h)).select(
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            < F.lit("8")
+        ).alias("treated"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            >= (
+                F.unix_micros(F.col("lo").cast("timestamp"))
+                + F.unix_micros(F.col("hi").cast("timestamp"))
+            ) / 2
+        ).alias("post"),
+    )
+
+    def cell(t: bool, p: bool):
+        c = (F.col("treated") == t) & (F.col("post") == p)
+        s = F.sum(F.when(c, F.col("v"))).cast("double")
+        n = F.sum(F.when(c, 1).otherwise(0))
+        return s / n
+
+    t_pre, t_post = cell(True, False), cell(True, True)
+    c_pre, c_post = cell(False, False), cell(False, True)
+    return base.agg(
+        F.round(t_pre, 6).alias("treated_pre"),
+        F.round(t_post, 6).alias("treated_post"),
+        F.round(c_pre, 6).alias("control_pre"),
+        F.round(c_post, 6).alias("control_post"),
+        F.round((t_post - t_pre) - (c_post - c_pre), 6).alias("did_estimate"),
+    )

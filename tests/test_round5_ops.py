@@ -238,6 +238,30 @@ def test_scd2_lookup_matches_containment(spark, sf_dir):
     assert got == brute and got
 
 
+def test_heaps_fit_plausible(spark, sf_dir):
+    from nabatshy_spark.catalog import load
+
+    r = QUERIES["heaps_law_fit"](spark, sf_dir).first()
+    # Vocabulary growth is sublinear: 0 <= beta < 1. The fixture corpus
+    # draws from a tiny fixed vocabulary, so the curve flatlines almost
+    # immediately (beta ~ 0) — exactly the templated-corpus signal the
+    # operator exists to surface; natural text would sit near 0.5.
+    assert 0.0 <= r.heaps_beta < 1.0
+    assert r.heaps_k > 0
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_points == load(spark, sf_dir, "documents").count()
+
+
+def test_did_cells_consistent(spark, sf_dir):
+    r = QUERIES["did_purchase_lift"](spark, sf_dir).first()
+    assert abs(
+        r.did_estimate
+        - ((r.treated_post - r.treated_pre) - (r.control_post - r.control_pre))
+    ) < 5e-6
+    for v in (r.treated_pre, r.treated_post, r.control_pre, r.control_post):
+        assert v is not None and v > 0
+
+
 def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
     plan = (
         QUERIES["sql_promo_part_suppliers"](spark, sf_dir)
