@@ -3817,3 +3817,194 @@ SELECT
     AS did_estimate
 FROM base
 """
+
+ORACLES["ks_source_drift"] = """
+WITH counts AS (
+  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+),
+src_tot AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+len_tot AS (SELECT n_chars, count(*) AS c_all FROM documents GROUP BY 1),
+cum_all AS (
+  SELECT n_chars,
+         sum(c_all) OVER (ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_all
+  FROM len_tot
+),
+grid AS (
+  SELECT s.source, s.n_s, l.n_chars
+  FROM src_tot s CROSS JOIN (SELECT n_chars FROM len_tot) l
+),
+cum_src AS (
+  SELECT g.source, g.n_chars, g.n_s,
+         sum(coalesce(c.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+  FROM grid g
+  LEFT JOIN counts c ON c.source = g.source AND c.n_chars = g.n_chars
+),
+tot AS (SELECT count(*) AS n_all FROM documents)
+SELECT source,
+       max(n_s)::BIGINT AS n_docs,
+       round(max(abs(CAST(cum_s AS DOUBLE) / n_s
+                     - CAST(cum_all - cum_s AS DOUBLE) / (n_all - n_s))), 6)
+         AS ks_stat
+FROM cum_src JOIN cum_all USING (n_chars) CROSS JOIN tot
+WHERE n_all > n_s
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["chi2_lang_source"] = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+row_m AS (SELECT lang, count(*) AS r_tot FROM documents GROUP BY 1),
+col_m AS (SELECT source, count(*) AS c_tot FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS n_all FROM documents),
+cells AS (
+  SELECT o.lang, o.source, t.n_all,
+         (r_tot * c_tot) / n_all AS e,
+         CAST(o AS DOUBLE) AS od
+  FROM obs o
+  JOIN row_m USING (lang)
+  JOIN col_m USING (source)
+  CROSS JOIN tot t
+)
+SELECT max(n_all)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT
+         AS dof,
+       round(sum((od - e) * (od - e) / e), 6) AS chi2,
+       round(sqrt(sum((od - e) * (od - e) / e)
+                  / (max(n_all)
+                     * least(count(DISTINCT lang) - 1,
+                             count(DISTINCT source) - 1))), 6) AS cramers_v
+FROM cells
+"""
+
+ORACLES["hourly_acf"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt FROM events GROUP BY 1
+),
+hx AS (
+  SELECT CAST(epoch_us(h) / 3600000000 AS BIGINT) AS hidx,
+         CAST(cnt AS DOUBLE) AS cnt
+  FROM hourly
+),
+mu AS (SELECT avg(cnt) AS mu FROM hx),
+base AS (SELECT hidx, cnt - mu.mu AS dev FROM hx, mu),
+den AS (SELECT sum(dev * dev) AS den FROM base),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 25)),
+pairs AS (
+  SELECT l.lag, a.dev * b.dev AS prod
+  FROM base a
+  CROSS JOIN lags l
+  JOIN base b ON b.hidx = a.hidx + l.lag
+)
+SELECT lag,
+       round(sum(prod) / any_value(den.den), 6) AS acf,
+       count(*)::BIGINT AS n_pairs
+FROM pairs, den
+GROUP BY lag
+ORDER BY lag
+"""
+
+ORACLES["cusum_changepoints"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+mu AS (SELECT event_type, avg(cnt) AS mu FROM hourly GROUP BY 1),
+s AS (
+  SELECT h.event_type, h.h, m.mu,
+         sum(h.cnt - m.mu) OVER (
+           PARTITION BY h.event_type ORDER BY h.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM hourly h JOIN mu m USING (event_type)
+),
+picked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(s) DESC, h ASC) AS rn
+  FROM s
+)
+SELECT event_type, h AS change_hour,
+       round(s, 6) AS cusum_peak, round(mu, 6) AS mean_rate
+FROM picked WHERE rn = 1
+ORDER BY event_type
+"""
+
+ORACLES["spearman_length_vocab"] = """
+WITH per_doc AS (
+  SELECT doc_id, n_chars AS x,
+         length(list_distinct(str_split(text, ' '))) AS y
+  FROM documents
+),
+rx AS (
+  SELECT x,
+         sum(c) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (c - 1) / 2.0 AS r_x
+  FROM (SELECT x, count(*) AS c FROM per_doc GROUP BY 1)
+),
+ry AS (
+  SELECT y,
+         sum(c) OVER (ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (c - 1) / 2.0 AS r_y
+  FROM (SELECT y, count(*) AS c FROM per_doc GROUP BY 1)
+)
+SELECT count(*)::BIGINT AS n_docs,
+       round(corr(r_x, r_y), 6) AS spearman_rho,
+       round(corr(x, y), 6) AS pearson_r
+FROM per_doc JOIN rx USING (x) JOIN ry USING (y)
+"""
+
+ORACLES["flesch_readability"] = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(str_split(text, ' ')) AS DOUBLE) AS words,
+         CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE) AS sentences,
+         CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS DOUBLE) AS syllables
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         206.835 - 1.015 * words / sentences - 84.6 * syllables / words
+           AS flesch,
+         words, syllables
+  FROM per_doc
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(flesch), 6) AS avg_flesch,
+       round(avg(syllables / words), 6) AS avg_syll_per_word,
+       round(CAST(sum(CASE WHEN flesch >= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS easy_share
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["funnel_bypass_rate"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+buyers AS (
+  SELECT (first_view IS NULL OR first_purchase < first_view) AS direct
+  FROM per_user WHERE first_purchase IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_purchasers,
+       sum(CASE WHEN direct THEN 1 ELSE 0 END)::BIGINT AS n_direct_buyers,
+       round(CAST(sum(CASE WHEN direct THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bypass_rate
+FROM buyers
+"""

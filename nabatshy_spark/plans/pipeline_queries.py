@@ -1588,3 +1588,338 @@ def did_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c_post, 6).alias("control_post"),
         F.round((t_post - t_pre) - (c_post - c_pre), 6).alias("did_estimate"),
     )
+
+
+@query("ks_source_drift")
+def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per source: for
+    each source, D = max |F_source(x) − F_rest(x)| over the doc-length
+    distribution — the distribution-level gate a crawl pipeline alerts
+    on when one feed's shape diverges from the corpus (the mean-based
+    twin is ab_test_lift; KS sees shape changes means miss).  The CDFs
+    are built on the (source × distinct-length) grid: distinct lengths
+    are bounded by the max document length at ANY corpus size, so the
+    grid, the per-source cumulative windows, and the one unpartitioned
+    window over the ≤|lengths| relation never grow with row count —
+    only the first (source, n_chars) count aggregate scans the corpus.
+    All cumulative counts are exact integers; the division to CDFs is
+    the only floating step."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    src_tot = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    len_tot = docs.groupBy("n_chars").agg(F.count("*").alias("c_all"))
+    w_len = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_all = len_tot.select(
+        "n_chars", F.sum("c_all").over(w_len).alias("cum_all")
+    )
+    grid = src_tot.crossJoin(len_tot.select("n_chars"))
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_src = (
+        grid.join(counts, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_chars", "n_s",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .select(
+            "source", "n_chars", "n_s",
+            F.sum("c").over(w_src).alias("cum_s"),
+        )
+    )
+    n_all = docs.agg(F.count("*").alias("n_all"))
+    diffs = (
+        cum_src.join(F.broadcast(cum_all), "n_chars")
+        .crossJoin(F.broadcast(n_all))
+        .filter(F.col("n_all") > F.col("n_s"))
+        .select(
+            "source", "n_s",
+            F.abs(
+                F.col("cum_s") / F.col("n_s")
+                - (F.col("cum_all") - F.col("cum_s"))
+                / (F.col("n_all") - F.col("n_s"))
+            ).alias("d"),
+        )
+    )
+    return (
+        diffs.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.round(F.max("d"), 6).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("chi2_lang_source")
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test of the (lang × source) contingency
+    table plus Cramér's V — "does language mix depend on feed?", the
+    categorical drift screen next to the numeric KS.  One corpus scan
+    builds the observed cells; margins and expected counts live on the
+    tiny contingency relation (languages × sources), so everything
+    after the first aggregate broadcasts.  Expected counts divide exact
+    integer margins; only the final Σ(O−E)²/E is floating."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row_m = docs.groupBy("lang").agg(F.count("*").alias("r_tot"))
+    col_m = docs.groupBy("source").agg(F.count("*").alias("c_tot"))
+    tot = docs.agg(F.count("*").alias("n_all"))
+    cells = (
+        obs.join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(col_m), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_all",
+            (
+                F.col("r_tot") * F.col("c_tot") / F.col("n_all")
+            ).alias("e"),
+            F.col("o").cast("double").alias("od"),
+        )
+    )
+    dev2 = (F.col("od") - F.col("e")) * (F.col("od") - F.col("e"))
+    return cells.agg(
+        F.max("n_all").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (
+            (F.count_distinct("lang") - F.lit(1))
+            * (F.count_distinct("source") - F.lit(1))
+        ).alias("dof"),
+        F.round(F.sum(dev2 / F.col("e")), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(dev2 / F.col("e"))
+                / (
+                    F.max("n_all")
+                    * F.least(
+                        F.count_distinct("lang") - F.lit(1),
+                        F.count_distinct("source") - F.lit(1),
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query("hourly_acf")
+def hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the hourly event-count series
+    at lags 1–24 — the seasonality detector behind every forecast
+    choice (a spike at lag 24 says "daily cycle", feeding
+    hourly_event_forecast's seasonal-naive baseline).  One corpus scan
+    builds the hourly series (bounded by the time range, never by row
+    count); the mean/denominator pass and the 24 lag self-joins all run
+    on that tiny relation with the lag table broadcast.  ACF_k =
+    Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², pairs matched on exact
+    epoch-hour arithmetic so missing hours never misalign lags."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            (F.unix_micros(F.col("h").cast("timestamp"))
+             / F.lit(3600000000)).cast("long").alias("hidx"),
+            F.col("cnt").cast("double").alias("cnt"),
+        )
+    )
+    mu = hourly.agg(F.avg("cnt").alias("mu"))
+    base = hourly.crossJoin(F.broadcast(mu)).select(
+        "hidx", (F.col("cnt") - F.col("mu")).alias("dev")
+    )
+    den = base.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    lags = spark.range(1, 25).select(F.col("id").alias("lag"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.hidx") == F.col("a.hidx") + F.col("lag"),
+        )
+        .select("lag", (F.col("a.dev") * F.col("b.dev")).alias("prod"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(F.sum("prod").alias("num"), F.count("*").alias("n_pairs"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+            "n_pairs",
+        )
+        .orderBy("lag")
+    )
+
+
+@query("cusum_changepoints")
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: S_t = Σ(x_i − μ)
+    over the hourly count series, and the hour where |S_t| peaks is the
+    most likely level-shift point (Page's cumulative-sum statistic —
+    the standard "when did the rate change?" screen for a pipeline
+    feed).  Hourly aggregation is the only corpus-scale pass; the
+    cumulative window partitions by event type over the bounded hourly
+    relation, in deterministic hour order, so the floating cumsum is
+    engine-identical.  Peak ties break on the earlier hour."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    mu = hourly.groupBy("event_type").agg(F.avg("cnt").alias("mu"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = (
+        hourly.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type", "h", "mu",
+            F.sum(F.col("cnt") - F.col("mu")).over(w_cum).alias("s"),
+        )
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("h").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.round("s", 6).alias("cusum_peak"),
+            F.round("mu", 6).alias("mean_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("spearman_length_vocab")
+def spearman_length_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length and vocabulary
+    size (distinct tokens) — rank-based, so one boilerplate whale can't
+    drag the estimate the way it drags Pearson
+    (length_quality_correlation's family).  Ranks are MIDRANKS computed
+    from the distinct-value relations, never a global row window: both
+    variables are integers bounded by the max document length at any
+    corpus size, so the cumulative-count windows run over ≤|distinct
+    values| rows and broadcast back onto the per-doc relation.
+    midrank(v) = cum_count(≤v) − (count(v)−1)/2 reproduces exactly what
+    rank-then-average-ties would give; Pearson over midranks IS
+    Spearman's ρ with the standard tie correction."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("y"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        cnts = per_doc.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return cnts.select(
+            col,
+            (
+                F.sum("c").over(w) - (F.col("c") - F.lit(1)) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    joined = per_doc.join(F.broadcast(midranks("x")), "x").join(
+        F.broadcast(midranks("y")), "y"
+    )
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+        F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+    )
+
+
+@query("flesch_readability")
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (206.835 − 1.015·words/sentences
+    − 84.6·syllables/words, the public readability formula) with a
+    vowel-group syllable proxy — the classic cheap quality signal a
+    curation pipeline bins corpora by before any model-based scorer.
+    Every term is a codegen'd scan expression (split size + two
+    regexp_count calls — `[.!?]+` sentences, `[aeiouy]+` syllable
+    groups, identical RE2/Java semantics); the per-source rollup is one
+    partial-agg shuffle of five numbers."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("double").alias("words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("double").alias("sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("double").alias("syllables"),
+    ).select(
+        "source",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("words") / F.col("sentences")
+            - F.lit(84.6) * F.col("syllables") / F.col("words")
+        ).alias("flesch"),
+        "words", "syllables",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.round(
+                F.avg(F.col("syllables") / F.col("words")), 6
+            ).alias("avg_syll_per_word"),
+            F.round(
+                F.sum(F.when(F.col("flesch") >= 60, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("easy_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("funnel_bypass_rate")
+def funnel_bypass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-bypass audit (the sequenceMatch-negation shape ClickHouse
+    writes as "purchase NOT preceded by view"): of users who purchased,
+    how many made their first purchase with no earlier view event —
+    the direct-buy / broken-instrumentation signal the ordered funnel
+    (event_funnel) can't see because it only counts completions.  One
+    conditional-min aggregate per user on a single user-keyed shuffle —
+    no windows, no self-join; the summary is a broadcast-size rollup."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    buyers = per_user.filter(F.col("first_purchase").isNotNull()).select(
+        (
+            F.col("first_view").isNull()
+            | (F.col("first_purchase") < F.col("first_view"))
+        ).alias("direct")
+    )
+    return buyers.agg(
+        F.count("*").alias("n_purchasers"),
+        F.sum(F.when(F.col("direct"), 1).otherwise(0)).alias(
+            "n_direct_buyers"
+        ),
+        F.round(
+            F.sum(F.when(F.col("direct"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("bypass_rate"),
+    )

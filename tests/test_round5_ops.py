@@ -270,3 +270,62 @@ def test_sql_promo_part_suppliers_semi_join_plan(spark, sf_dir):
         .toString()
     )
     assert "LeftSemi" in plan
+
+
+def test_ks_drift_bounds(spark, sf_dir):
+    rows = QUERIES["ks_source_drift"](spark, sf_dir).collect()
+    n_src = (
+        load(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_src
+    for r in rows:
+        # KS statistic is a CDF gap: always within [0, 1].
+        assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_chi2_dof_and_cramers_bounds(spark, sf_dir):
+    r = QUERIES["chi2_lang_source"](spark, sf_dir).first()
+    assert r.dof == (r.n_langs - 1) * (r.n_sources - 1)
+    assert r.chi2 >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_acf_cauchy_schwarz_bound(spark, sf_dir):
+    rows = QUERIES["hourly_acf"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, 25))
+    for r in rows:
+        # |Σ dev_t·dev_{t+k}| <= Σ dev² by Cauchy-Schwarz.
+        assert abs(r.acf) <= 1.0 + 1e-9
+
+
+def test_cusum_one_peak_per_type(spark, sf_dir):
+    rows = QUERIES["cusum_changepoints"](spark, sf_dir).collect()
+    n_types = (
+        load(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert len(rows) == n_types
+    assert len({r.event_type for r in rows}) == n_types
+
+
+def test_spearman_bounds(spark, sf_dir):
+    r = QUERIES["spearman_length_vocab"](spark, sf_dir).first()
+    assert -1.0 <= r.spearman_rho <= 1.0
+    assert -1.0 <= r.pearson_r <= 1.0
+    # Longer docs have more distinct tokens on this corpus: strongly
+    # positive association under both estimators.
+    assert r.spearman_rho > 0.5 and r.pearson_r > 0.5
+
+
+def test_funnel_bypass_consistent(spark, sf_dir):
+    r = QUERIES["funnel_bypass_rate"](spark, sf_dir).first()
+    assert 0 <= r.n_direct_buyers <= r.n_purchasers
+    assert abs(r.bypass_rate - r.n_direct_buyers / r.n_purchasers) < 1e-6
+
+
+def test_flesch_shares_bounded(spark, sf_dir):
+    rows = QUERIES["flesch_readability"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r.easy_share <= 1.0
+        assert r.avg_syll_per_word > 0
