@@ -20,7 +20,7 @@ oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nabatshy_spark.operators.dedup import connected_components
@@ -32,6 +32,7 @@ def blocked_candidate_pairs(
     name_col: str,
     max_df: int | None = None,
     block_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 name token, with the token-Jaccard
     ingredients (``inter``, ``n_a``, ``n_b``).
@@ -63,14 +64,20 @@ def blocked_candidate_pairs(
     threshold unreachable without brand equality) join the block key
     of both passes, dividing posting lists / name groups by that
     column's cardinality at zero recall cost.
+
+    ``carry_cols`` rides attribute columns through to the output as
+    ``<col>_a`` / ``<col>_b`` so scorers don't need two more id-keyed
+    joins back to the source relation after candidate generation.
     """
     extra = list(block_cols or [])
+    carry = list(carry_cols or [])
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.split(F.lower(F.trim(F.col(name_col))), r"\s+")
         ).alias("ts"),
         *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(extra)],
+        *[F.col(c) for c in carry],
     )
     bks = [f"__bk{i}" for i in range(len(extra))]
 
@@ -82,12 +89,18 @@ def blocked_candidate_pairs(
 
     tok = sets.select("id", F.explode("ts").alias("tok"), *bks)
     if max_df is not None:
-        w = Window.partitionBy("tok", *bks)
-        tok = (
-            tok.withColumn("df", F.count("*").over(w))
-            .filter(F.col("df") <= max_df)
-            .drop("df")
+        # df-cap as aggregate + equi-join instead of a count-over-
+        # partition window: the window sorts the whole exploded token
+        # relation inside one exchange, while the aggregate's partial
+        # combine shrinks it to the (token, block) vocabulary before
+        # the shuffle and AQE broadcasts the surviving keys back on.
+        keep = (
+            tok.groupBy("tok", *bks)
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("tok", *bks)
         )
+        tok = tok.join(keep, ["tok", *bks])
     a = tok.alias("a")
     b = tok.alias("b")
     cand = (
@@ -127,6 +140,8 @@ def blocked_candidate_pairs(
             ),
             F.size(F.col("sa.ts")).alias("n_a"),
             F.size(F.col("sb.ts")).alias("n_b"),
+            *[F.col(f"sa.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"sb.{c}").alias(f"{c}_b") for c in carry],
         )
     )
 
@@ -153,30 +168,24 @@ def score_part_pairs(
     """
     block_cols = ["p_brand"] if threshold > 0.7 else None
     pairs = blocked_candidate_pairs(
-        part, "p_partkey", "p_name", max_df=max_df, block_cols=block_cols
+        part, "p_partkey", "p_name", max_df=max_df, block_cols=block_cols,
+        carry_cols=["p_brand", "p_size"],
     )
-    attrs = part.select(
-        F.col("p_partkey").alias("id"),
-        F.col("p_brand").alias("brand"),
-        F.col("p_size").alias("size"),
-    )
-    a = attrs.alias("pa")
-    b = attrs.alias("pb")
     scored = (
-        pairs.join(a, pairs.id_a == F.col("pa.id"))
-        .join(b, pairs.id_b == F.col("pb.id"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
                 "name_jaccard"
             ),
-            F.when(F.col("pa.brand") == F.col("pb.brand"), 1).otherwise(0).alias(
+            F.when(F.col("p_brand_a") == F.col("p_brand_b"), 1).otherwise(0).alias(
                 "brand_eq"
             ),
             (
                 1.0
-                - F.least(F.abs(F.col("pa.size") - F.col("pb.size")), F.lit(10)) / 10.0
+                - F.least(
+                    F.abs(F.col("p_size_a") - F.col("p_size_b")), F.lit(10)
+                ) / 10.0
             ).alias("size_sim"),
         )
         .withColumn(

@@ -14,10 +14,12 @@ Scale shape, in order of importance at 100 TB:
   pathological baskets (a crawler's cart, a test account) can dominate
   the shuffle. Baskets larger than ``max_basket`` are dropped — the
   standard bound (they contribute noise pairs, not signal support).
-- The pair self-join is an equi-join on the basket key with the
-  ``item_a < item_b`` canonical ordering applied in the join condition
-  itself, so each unordered pair is produced once — no post-hoc dedup
-  shuffle.
+- Pair expansion happens INSIDE a codegen'd array expression over each
+  basket's sorted item array (i<j slices), not as a basket-keyed
+  self-join: one regroup instead of two join-side exchanges, and each
+  unordered pair is produced exactly once — no post-hoc dedup shuffle.
+  The arrays are bounded by ``max_basket``, so per-row expansion state
+  is bounded regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -39,32 +41,48 @@ def frequent_pairs(
     Input rows are (basket, item) — duplicates within a basket are
     collapsed first so support counts baskets, not rows.
     """
-    b = (
+    # One basket-keyed group replaces the old plan's (basket,item)
+    # DISTINCT + separate basket-size aggregate: collect_set dedups
+    # within the basket and the cap filters on the array size, so the
+    # per-basket state is bounded by ``max_basket`` survivors.
+    capped = (
         df.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
-        .distinct()
-        .persist()  # referenced by the cap, the item-support agg, and both join sides
+        .groupBy("basket")
+        .agg(F.collect_set("item").alias("items"))
+        .filter(F.size("items") <= max_basket)
     )
-    sizes = b.groupBy("basket").agg(F.count("*").alias("__m"))
-    b = b.join(
-        sizes.filter(F.col("__m") <= max_basket).select("basket"), "basket"
-    )
+    kv = capped.select("basket", F.explode("items").alias("item"))
     frequent_items = (
-        b.groupBy("item")
+        kv.groupBy("item")
         .agg(F.count("*").alias("__sup"))
         .filter(F.col("__sup") >= min_support)
         .select("item")
     )
-    pruned = b.join(frequent_items, "item").select("basket", "item")
-    a = pruned.alias("a")
-    c = pruned.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.basket") == F.col("c.basket"))
-        & (F.col("a.item") < F.col("c.item")),
-    ).select(F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b"))
-    out = (
+    # The frequent-item relation is bounded by the catalog, orders of
+    # magnitude below the fact table — broadcast it so the A-priori
+    # prune costs no item-keyed shuffle of kv.
+    pruned = kv.join(F.broadcast(frequent_items), "item")
+    # One regroup replaces the basket-keyed SELF-JOIN (two exchanges
+    # in the old plan): sort each basket's surviving items and expand
+    # the i<j pairs inside one codegen'd expression — each unordered
+    # pair is produced exactly once.
+    baskets = (
+        pruned.groupBy("basket")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items) - i - 1), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
@@ -75,11 +93,3 @@ def frequent_pairs(
         )
         .limit(k)
     )
-    # Materialize the ≤k-row result, then drop the cached basket
-    # relation — a long-lived session running many queries must not
-    # accumulate per-query cached relations (same policy as
-    # ann_recall_report / curation_funnel).
-    rows = out.collect()
-    schema = out.schema
-    b.unpersist()
-    return df.sparkSession.createDataFrame(rows, schema)
