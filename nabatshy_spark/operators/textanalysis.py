@@ -454,7 +454,12 @@ QUALITY_MODEL_WEIGHTS = {
 }
 
 
-def quality_model_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_model_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Model-based quality scoring: a linear classifier over five
     engineered features, squashed through a sigmoid — the cheap
     stand-in for a fastText/BERT quality model in curation pipelines
@@ -494,6 +499,7 @@ def quality_model_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .when(score >= 0.5, "medium")
         .otherwise("low")
         .alias("quality_label"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 

@@ -4008,3 +4008,158 @@ SELECT count(*)::BIGINT AS n_purchasers,
              / count(*), 6) AS bypass_rate
 FROM buyers
 """
+
+ORACLES["seasonal_decomposition"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt FROM events GROUP BY 1
+),
+keyed AS (
+  SELECT h, cnt,
+         (epoch_us(h) // 86400000000) % 7 AS dow_idx,
+         (epoch_us(h) // 3600000000) % 24 AS hod
+  FROM hourly
+),
+tr AS (
+  SELECT h, cnt, dow_idx, hod,
+         CAST(sum(cnt) OVER w AS DOUBLE) / count(cnt) OVER w AS trend
+  FROM keyed
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+seas AS (
+  SELECT dow_idx, hod, avg(cnt - trend) AS seasonal FROM tr GROUP BY 1, 2
+)
+SELECT t.h, t.cnt,
+       round(t.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(t.cnt - t.trend - s.seasonal, 6) AS residual
+FROM tr t JOIN seas s USING (dow_idx, hod)
+ORDER BY abs(t.cnt - t.trend - s.seasonal) DESC, t.h ASC
+LIMIT 20
+"""
+
+ORACLES["robust_outlier_days"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM daily GROUP BY 1
+),
+madt AS (
+  SELECT d.event_type, quantile_cont(abs(d.cnt - m.med), 0.5) AS mad,
+         max(m.med) AS med
+  FROM daily d JOIN med m USING (event_type) GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, t.med, t.mad,
+         CASE WHEN t.mad > 0
+              THEN 0.6745 * (d.cnt - t.med) / t.mad END AS z
+  FROM daily d JOIN madt t USING (event_type)
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_days,
+       round(max(med), 6) AS median_cnt,
+       round(max(mad), 6) AS mad,
+       sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(max(abs(z)), 6) AS max_abs_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["poisson_bootstrap_ci"] = """
+WITH expanded AS (
+  SELECT b.range AS b,
+         CAST(e.value AS DECIMAL(18,6)) AS x,
+         ('0x' || substr(md5(e.event_id::VARCHAR || '-' || b.range::VARCHAR),
+                         1, 4))::UBIGINT / 65536.0 AS u
+  FROM events e CROSS JOIN range(0, 64) b
+  WHERE e.event_type = 'purchase'
+),
+weighted AS (
+  SELECT b, x,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238463 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.999916758850712 THEN 6
+              WHEN u < 0.9999897508033253 THEN 7
+              WHEN u < 0.999998874797402 THEN 8
+              ELSE 9 END AS w
+  FROM expanded
+),
+means AS (
+  SELECT CAST(sum(x * w) AS DOUBLE) / sum(w) AS m
+  FROM weighted GROUP BY b
+)
+SELECT count(*)::BIGINT AS n_resamples,
+       round(avg(m), 6) AS boot_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means
+"""
+
+ORACLES["quantile_calibration_by_source"] = """
+WITH scored AS (
+  SELECT source,
+         round(1.0 / (1.0 + exp(-( -1.0
+           + 2.2 * least(len(w) / 100.0, 1.0)
+           + 1.5 * (len(list_filter(w, t -> t IN
+               ('the','a','is','of','and','to','in')))
+               / CAST(len(w) AS DOUBLE))
+           - 0.8 * (length(replace(text, ' ', ''))
+               / CAST(len(w) AS DOUBLE) / 10.0)
+           + 1.1 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+           - 2.0 * ((length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(length(text) AS DOUBLE))
+         ))), 6) AS model_score
+  FROM (SELECT source, text, string_split(text, ' ') AS w FROM documents)
+),
+cnts AS (
+  SELECT source, model_score, count(*) AS c FROM scored GROUP BY 1, 2
+),
+ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM cnts GROUP BY 1),
+cums AS (
+  SELECT source, model_score,
+         sum(c) OVER (PARTITION BY source ORDER BY model_score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM cnts
+),
+gc AS (SELECT model_score, sum(c) AS c FROM cnts GROUP BY 1),
+cumg AS (
+  SELECT model_score,
+         sum(c) OVER (ORDER BY model_score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM gc
+),
+ng AS (SELECT count(*)::BIGINT AS n FROM scored),
+d AS (SELECT CAST(range AS BIGINT) AS decile FROM range(1, 10)),
+sidx AS (
+  SELECT ns.source, d.decile,
+         floor((ns.n_s - 1) * d.decile / 10.0) + 1 AS idx
+  FROM ns CROSS JOIN d
+),
+sval AS (
+  SELECT s.source, s.decile, min(c.model_score) AS src_value
+  FROM sidx s JOIN cums c ON c.source = s.source AND c.cum >= s.idx
+  GROUP BY 1, 2
+),
+gidx AS (
+  SELECT d.decile, floor((ng.n - 1) * d.decile / 10.0) + 1 AS idx
+  FROM ng CROSS JOIN d
+),
+gval AS (
+  SELECT g.decile, min(c.model_score) AS global_value
+  FROM gidx g JOIN cumg c ON c.cum >= g.idx
+  GROUP BY 1
+)
+SELECT s.source, s.decile, s.src_value, g.global_value,
+       round(s.src_value - g.global_value, 6) AS gap
+FROM sval s JOIN gval g USING (decile)
+ORDER BY s.source, s.decile
+"""

@@ -1923,3 +1923,246 @@ def funnel_bypass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bypass_rate"),
     )
+
+
+@query("seasonal_decomposition")
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly event series —
+    trend (centered ±12h moving average) + day-of-week×hour seasonal
+    profile + residual — surfacing the 20 most anomalous hours AFTER
+    seasonality is explained away (the step beyond cusum_changepoints,
+    which sees level shifts but calls every Friday peak an anomaly).
+    The hourly relation is bounded by the time range, so the one
+    unpartitioned trend window and the 168-key seasonal rollup never
+    scale with row count; only the first aggregate scans the corpus.
+    The trend divides an EXACT integer window sum by the window row
+    count, so the only engine-order-sensitive float is the seasonal
+    mean (rounded at 6 dp).  Calendar keys use pure epoch arithmetic
+    (epoch-days mod 7 / epoch-hours mod 24), not engine calendar
+    functions with different week conventions."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "h", "cnt",
+            F.expr("(unix_micros(h) div 86400000000) % 7").alias("dow_idx"),
+            F.expr("(unix_micros(h) div 3600000000) % 24").alias("hod"),
+        )
+    )
+    w_tr = Window.orderBy("h").rowsBetween(-12, 12)
+    with_trend = hourly.select(
+        "h", "cnt", "dow_idx", "hod",
+        (
+            F.sum("cnt").over(w_tr).cast("double")
+            / F.count("cnt").over(w_tr)
+        ).alias("trend"),
+    )
+    seasonal = (
+        with_trend.groupBy("dow_idx", "hod")
+        .agg(F.avg(F.col("cnt") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        with_trend.join(F.broadcast(seasonal), ["dow_idx", "hod"])
+        .select(
+            "h", "cnt",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("cnt") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy(
+            F.abs(F.col("cnt") - F.col("trend") - F.col("seasonal")).desc(),
+            F.col("h").asc(),
+        )
+        .limit(20)
+    )
+
+
+@query("robust_outlier_days")
+def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen over daily event counts per
+    type: z = 0.6745·(cnt − median)/MAD, the estimator a single crazy
+    day cannot drag the way it drags a mean/stddev z-score — the
+    standard feed-health alarm for pipeline volumes.  Day counts are
+    one corpus-scale aggregate; both medians (exact, interpolated) and
+    the z pass run on the bounded daily relation.  MAD=0 (a perfectly
+    constant feed) yields no finite z and counts zero outliers."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(cnt - med), 0.5)").alias("mad"),
+            F.max("med").alias("med"),
+        )
+    )
+    z = (
+        daily.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "med", "mad",
+            F.when(
+                F.col("mad") > 0,
+                F.lit(0.6745) * (F.col("cnt") - F.col("med")) / F.col("mad"),
+            ).alias("z"),
+        )
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.max("med"), 6).alias("median_cnt"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("z")) > 3.5, 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("poisson_bootstrap_ci")
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean purchase
+    value — THE distributed bootstrap (each row's multiplicity in
+    resample b is an independent Poisson(1) draw, so no resample ever
+    needs a global pass): 64 deterministic resamples in ONE scan, each
+    row expanding to 64 (b, weight) pairs via a codegen'd sequence —
+    the weight comes from inverting the Poisson(1) CDF at an
+    md5(event_id, b) uniform, so reruns, retries, and the DuckDB
+    oracle all draw identical resamples.  Per-resample means divide an
+    exact DECIMAL weighted sum (order-independent); the group count is
+    fixed at 64, so partial aggregation reduces every partition to
+    ≤64 rows before the only shuffle."""
+    cdf = [
+        (0, "0.36787944117144233"), (1, "0.7357588823428847"),
+        (2, "0.9196986029286058"), (3, "0.9810118431238463"),
+        (4, "0.9963401531726563"), (5, "0.9994058151824183"),
+        (6, "0.999916758850712"), (7, "0.9999897508033253"),
+        (8, "0.999998874797402"),
+    ]
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    expanded = ev.select(
+        F.col("event_id"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).select(
+        "b", "x",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("-", F.col("event_id"), F.col("b"))
+                    ),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(65536.0)
+        ).alias("u"),
+    )
+    w = F.lit(9)
+    for k, c in reversed(cdf):
+        w = F.when(F.col("u") < F.expr(c), F.lit(k)).otherwise(w)
+    means = (
+        expanded.select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("x") * F.col("w")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            (F.col("swx").cast("double") / F.col("sw")).alias("m")
+        )
+    )
+    return means.agg(
+        F.count("*").alias("n_resamples"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+    )
+
+
+@query("quantile_calibration_by_source")
+def quantile_calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration table across sources: each source's quality-
+    score deciles next to the corpus-wide deciles and the gap — the
+    report that says "feed X's 0.6 means what the corpus calls 0.4"
+    before any cross-source threshold is applied (the quantile-
+    normalization step of heterogeneous curation).  Quantiles are
+    EXACT order statistics but computed WITHOUT any global sort or
+    whole-corpus percentile state: scores land on the 6-dp rounded
+    grid, so the (source × distinct-score) count histogram is bounded
+    at any corpus size, and decile d is "min grid value whose
+    cumulative count reaches floor((n−1)·d/10)+1" — cumulative windows
+    and decile joins all run on that bounded relation.  Only the first
+    (source, score) aggregate scans the corpus."""
+    from nabatshy_spark.operators import textanalysis
+
+    docs = load(spark, sf_dir, "documents")
+    s = textanalysis.quality_model_scores(
+        docs, "doc_id", "text", extra_cols=["source"]
+    ).select("source", "model_score")
+    cnts = s.groupBy("source", "model_score").agg(F.count("*").alias("c"))
+    ns = cnts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("model_score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = cnts.select(
+        "source", "model_score", F.sum("c").over(w_s).alias("cum")
+    )
+    gc = cnts.groupBy("model_score").agg(F.sum("c").alias("c"))
+    w_g = Window.orderBy("model_score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumg = gc.select("model_score", F.sum("c").over(w_g).alias("cum"))
+    ng = s.agg(F.count("*").alias("n"))
+    d = spark.range(1, 10).select(F.col("id").alias("decile"))
+    sidx = ns.crossJoin(F.broadcast(d)).select(
+        "source", "decile",
+        (
+            F.floor((F.col("n_s") - 1) * F.col("decile") / F.lit(10.0))
+            + F.lit(1)
+        ).alias("idx"),
+    )
+    sval = (
+        cums.join(F.broadcast(sidx), "source")
+        .filter(F.col("cum") >= F.col("idx"))
+        .groupBy("source", "decile")
+        .agg(F.min("model_score").alias("src_value"))
+    )
+    gidx = ng.crossJoin(F.broadcast(d)).select(
+        "decile",
+        (
+            F.floor((F.col("n") - 1) * F.col("decile") / F.lit(10.0))
+            + F.lit(1)
+        ).alias("idx"),
+    )
+    gval = (
+        cumg.crossJoin(F.broadcast(gidx))
+        .filter(F.col("cum") >= F.col("idx"))
+        .groupBy("decile")
+        .agg(F.min("model_score").alias("global_value"))
+    )
+    return (
+        sval.join(F.broadcast(gval), "decile")
+        .select(
+            "source", "decile", "src_value", "global_value",
+            F.round(
+                F.col("src_value") - F.col("global_value"), 6
+            ).alias("gap"),
+        )
+        .orderBy("source", "decile")
+    )

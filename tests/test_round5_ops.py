@@ -329,3 +329,52 @@ def test_flesch_shares_bounded(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.easy_share <= 1.0
         assert r.avg_syll_per_word > 0
+
+
+def test_seasonal_components_reconstruct(spark, sf_dir):
+    rows = QUERIES["seasonal_decomposition"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # rounded components must reconstruct the count to rounding slack
+        assert abs((r.trend + r.seasonal + r.residual) - r.cnt) < 1e-4
+
+
+def test_robust_outliers_use_mad_scale(spark, sf_dir):
+    rows = QUERIES["robust_outlier_days"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_outliers <= r.n_days
+        assert r.mad >= 0
+        if r.n_outliers > 0:
+            assert r.max_abs_z > 3.5
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    r = QUERIES["poisson_bootstrap_ci"](spark, sf_dir).first()
+    assert r.n_resamples == 64
+    assert r.ci_lo <= r.boot_mean <= r.ci_hi
+    true_mean = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.avg("value"))
+        .first()[0]
+    )
+    # the bootstrap distribution centers on the sample mean
+    assert r.ci_lo <= true_mean <= r.ci_hi
+
+
+def test_calibration_deciles_monotone(spark, sf_dir):
+    rows = QUERIES["quantile_calibration_by_source"](spark, sf_dir).collect()
+    by_src = {}
+    glob = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.decile, r.src_value))
+        glob[r.decile] = r.global_value
+        assert abs(r.gap - round(r.src_value - r.global_value, 6)) < 1e-9
+    # order statistics are non-decreasing in the decile, per source and
+    # globally, and every source reports all 9 deciles
+    assert all(len(v) == 9 for v in by_src.values())
+    for v in by_src.values():
+        vals = [x for _, x in sorted(v)]
+        assert vals == sorted(vals)
+    gvals = [glob[d] for d in sorted(glob)]
+    assert gvals == sorted(gvals)
