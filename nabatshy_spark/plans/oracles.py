@@ -4163,3 +4163,115 @@ SELECT s.source, s.decile, s.src_value, g.global_value,
 FROM sval s JOIN gval g USING (decile)
 ORDER BY s.source, s.decile
 """
+
+ORACLES["embedding_label_drift"] = """
+WITH dims AS (
+  SELECT e.vec_id, e.label, r.range AS pos,
+         CAST(e.embedding[r.range + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN range(0, 64) r
+),
+lab AS (
+  SELECT label, pos, sum(val) AS s, count(*) AS n
+  FROM dims GROUP BY 1, 2
+),
+gcent AS (SELECT pos, sum(s) / sum(n) AS g FROM lab GROUP BY 1),
+cent AS (SELECT label, pos, s / n AS c FROM lab),
+dist AS (
+  SELECT c.label,
+         sqrt(sum((c.c - g.g) * (c.c - g.g))) AS centroid_dist,
+         sqrt(sum(c.c * c.c)) AS centroid_norm
+  FROM cent c JOIN gcent g USING (pos)
+  GROUP BY 1
+),
+per_vec AS (
+  SELECT d.vec_id, d.label,
+         sum((d.val - c.c) * (d.val - c.c)) AS d2
+  FROM dims d JOIN cent c USING (label, pos)
+  GROUP BY 1, 2
+),
+spread AS (
+  SELECT label, count(*)::BIGINT AS n_vecs,
+         avg(sqrt(d2)) AS avg_within_dist
+  FROM per_vec GROUP BY 1
+)
+SELECT s.label, s.n_vecs,
+       round(d.centroid_dist, 6) AS centroid_dist,
+       round(d.centroid_norm, 6) AS centroid_norm,
+       round(s.avg_within_dist, 6) AS avg_within_dist
+FROM spread s JOIN dist d USING (label)
+ORDER BY s.label
+"""
+
+ORACLES["decontaminate_semantic"] = """
+WITH ev AS (
+  SELECT vec_id AS ev_id, embedding::DOUBLE[] AS ev_emb
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+co AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+  FROM embeddings WHERE vec_id % 50 <> 0
+),
+sims AS (
+  SELECT c.vec_id, c.label, e.ev_id,
+         round(list_cosine_similarity(c.emb, e.ev_emb), 6) AS cosine
+  FROM co c CROSS JOIN ev e
+),
+ranked AS (
+  SELECT vec_id, label, ev_id, cosine,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosine DESC, ev_id
+         ) AS rk
+  FROM sims WHERE cosine >= 0.35
+)
+SELECT vec_id, label, ev_id AS matched_eval, cosine
+FROM ranked WHERE rk = 1
+ORDER BY vec_id
+"""
+
+ORACLES["epoch_shuffle_order"] = """
+WITH keyed AS (
+  SELECT r.range::INT AS epoch, d.doc_id,
+         md5(r.range::VARCHAR || ':' || d.doc_id::VARCHAR) AS h
+  FROM documents d CROSS JOIN range(0, 3) r
+),
+pos AS (
+  SELECT epoch, doc_id, h, substring(h, 1, 1) AS shard,
+         row_number() OVER (
+           PARTITION BY epoch, substring(h, 1, 1) ORDER BY h
+         ) AS pos
+  FROM keyed
+)
+SELECT epoch, shard, count(*)::BIGINT AS n_docs,
+       sum(pos * doc_id)::BIGINT AS order_checksum,
+       arg_min(doc_id, h) AS head_doc
+FROM pos
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLES["padding_efficiency"] = """
+WITH toks AS (
+  SELECT least(len(string_split(text, ' ')), 512) AS t
+  FROM documents
+),
+b AS (
+  SELECT t,
+         CASE WHEN t <= 1 THEN 1
+              ELSE (1 << length(bin(t - 1))) END AS bucket_len
+  FROM toks
+),
+agg AS (
+  SELECT bucket_len, count(*)::BIGINT AS n_docs,
+         sum(t)::BIGINT AS total_tokens,
+         (count(*) * 512 - sum(t))::BIGINT AS naive_pad_tokens,
+         sum(bucket_len - t)::BIGINT AS bucket_pad_tokens
+  FROM b GROUP BY 1
+)
+SELECT bucket_len, n_docs, total_tokens, naive_pad_tokens,
+       bucket_pad_tokens,
+       CASE WHEN naive_pad_tokens = 0 THEN 1.0
+            ELSE round(1.0 - bucket_pad_tokens / naive_pad_tokens::DOUBLE, 6)
+       END AS bucket_vs_naive_savings
+FROM agg
+ORDER BY bucket_len
+"""

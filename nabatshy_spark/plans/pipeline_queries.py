@@ -2166,3 +2166,206 @@ def quantile_calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source", "decile")
     )
+
+
+@query("embedding_label_drift")
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: Euclidean distance between each
+    label's centroid and the corpus centroid, with the label's mean
+    within-cluster distance as the dispersion yardstick — the
+    vector-space sibling of ks_source_drift/chi2_lang_source (text
+    drift screens miss a feed whose TEXT looks fine but whose
+    embeddings moved).  One posexplode pass builds per-(label, dim)
+    sums; every centroid, the global centroid (derived from the label
+    sums, not a second scan), and the 64-dim distance arithmetic live
+    on the labels×dims relation.  The second scan computes each
+    vector's distance to its (broadcast) label centroid for the
+    dispersion column."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("vec_id", "label", "pos", F.col("val").cast("double").alias("val"))
+    lab = dims.groupBy("label", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    glob = lab.groupBy("pos").agg(
+        (F.sum("s") / F.sum("n")).alias("g")
+    )
+    cent = lab.select(
+        "label", "pos", (F.col("s") / F.col("n")).alias("c")
+    )
+    dist = (
+        cent.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+            ).alias("centroid_dist"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"),
+        )
+    )
+    spread = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+            ).alias("d2")
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg(F.sqrt("d2")).alias("avg_within_dist"),
+        )
+    )
+    return (
+        spread.join(F.broadcast(dist), "label")
+        .select(
+            "label", "n_vecs",
+            F.round("centroid_dist", 6).alias("centroid_dist"),
+            F.round("centroid_norm", 6).alias("centroid_norm"),
+            F.round("avg_within_dist", 6).alias("avg_within_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("decontaminate_semantic")
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the vector twin of
+    the n-gram ``decontaminate_corpus``: corpus vectors whose cosine
+    against ANY eval-set vector reaches 0.35 are contamination
+    candidates even when no 8-gram overlaps (paraphrased eval items).
+    The eval side (vec_id % 50 == 0 here; thousands of rows in a real
+    bench suite) is broadcast, so the corpus never shuffles — one
+    scan, a broadcast nested-loop with pure higher-order-function
+    arithmetic (zip_with product + aggregate sum, JVM codegen, no
+    UDF), then a per-vector top-1 window over only the ≥-threshold
+    survivors.  Cosines are rounded to 6 dp BEFORE the threshold and
+    the best-match ordering so float reassociation can't flip a
+    boundary row between engines."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "emb", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    ev = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("ev_id"),
+        F.col("emb").alias("ev_emb"),
+        norm.alias("ev_norm"),
+    )
+    co = emb.filter(F.col("vec_id") % 50 != 0).withColumn("co_norm", norm)
+    dot = F.aggregate(
+        F.zip_with("emb", "ev_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (F.col("co_norm") * F.col("ev_norm")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("ev_id")
+    )
+    return (
+        co.crossJoin(F.broadcast(ev))
+        .select("vec_id", "label", "ev_id", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id", "label",
+            F.col("ev_id").alias("matched_eval"), "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("epoch_shuffle_order")
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training export:
+    every (epoch, doc) gets the sort key md5(epoch ':' doc_id), the
+    first hex nibble is its shard, and the within-shard order is the
+    hash order — a different, reproducible permutation each epoch
+    with no RNG state anywhere (retry-safe: any task can recompute
+    its order from the key alone).  The audit emitted here proves the
+    ORDER, not just membership: order_checksum = Σ position·doc_id is
+    order-sensitive, so two engines agree only if the full permutation
+    agrees.  One narrow scan ×3 epochs, one shuffle on (epoch, shard);
+    positions come from a row_number inside each shard partition —
+    at 100 TB each of the 16·epochs partitions sorts independently
+    (raise the nibble width for more shards)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    h = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id",
+        h.alias("h"), F.substring(h, 1, 1).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias(
+                "order_checksum"
+            ),
+            F.min_by("doc_id", "h").alias("head_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+@query("padding_efficiency")
+def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching audit: how many pad tokens does naive
+    fixed-512 padding burn vs bucketing sequences to the next power of
+    two (the dynamic-padding strategy training loaders use when full
+    packing isn't applicable — e.g. contrastive or preference pairs
+    that can't cross document boundaries).  The pow2 ceiling is exact
+    integer arithmetic (shiftleft by bit-length, the same trick as
+    token_count_histogram's floor bucket) — no float log whose
+    rounding could flip a boundary doc.  One narrow scan, one tiny
+    bucket agg."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.least(F.size(F.split(F.col("text"), " ")), F.lit(512))
+    ceil = F.expr(
+        "CASE WHEN t <= 1 THEN 1 "
+        "ELSE shiftleft(1, length(bin(cast(t - 1 AS bigint)))) END"
+    )
+    return (
+        docs.select(t.alias("t"))
+        .select("t", ceil.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            (F.count("*") * 512 - F.sum("t")).cast("long").alias(
+                "naive_pad_tokens"
+            ),
+            (F.sum(F.col("bucket_len") - F.col("t"))).cast("long").alias(
+                "bucket_pad_tokens"
+            ),
+        )
+        .withColumn(
+            "bucket_vs_naive_savings",
+            # An all-exactly-512-token bucket pads zero either way;
+            # pin the ratio to 1.0 instead of engine-divergent x/0.
+            F.when(F.col("naive_pad_tokens") == 0, F.lit(1.0)).otherwise(
+                F.round(
+                    1.0
+                    - F.col("bucket_pad_tokens")
+                    / F.col("naive_pad_tokens").cast("double"),
+                    6,
+                )
+            ),
+        )
+        .orderBy("bucket_len")
+    )

@@ -378,3 +378,54 @@ def test_calibration_deciles_monotone(spark, sf_dir):
         assert vals == sorted(vals)
     gvals = [glob[d] for d in sorted(glob)]
     assert gvals == sorted(gvals)
+
+
+def test_embedding_drift_geometry(spark, sf_dir):
+    rows = QUERIES["embedding_label_drift"](spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        # centroid can't be farther from the origin than its parts allow,
+        # and the label centroid's offset from the global centroid is
+        # bounded by centroid_norm + global norm (triangle inequality
+        # sanity, loose form)
+        assert r.centroid_dist >= 0
+        assert r.avg_within_dist >= 0
+        assert r.centroid_norm > 0
+
+
+def test_semantic_decontam_threshold_and_top1(spark, sf_dir):
+    rows = QUERIES["decontaminate_semantic"](spark, sf_dir).collect()
+    assert rows, "fixture should flag at least one corpus vector"
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)), "one best-match row per corpus vector"
+    for r in rows:
+        assert r.cosine >= 0.35
+        assert r.matched_eval % 50 == 0, "match must come from the eval set"
+        assert r.vec_id % 50 != 0, "eval vectors are not corpus rows"
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark, sf_dir):
+    rows = QUERIES["epoch_shuffle_order"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    for ep, shards in by_epoch.items():
+        assert sum(s.n_docs for s in shards) == n_docs
+    # different epochs must yield different permutations: the
+    # order-sensitive checksums can't all coincide shard-for-shard
+    sig = {ep: sorted((s.shard, s.order_checksum) for s in shards)
+           for ep, shards in by_epoch.items()}
+    assert sig[0] != sig[1] and sig[1] != sig[2]
+
+
+def test_padding_buckets_are_pow2_and_save(spark, sf_dir):
+    rows = QUERIES["padding_efficiency"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_len & (r.bucket_len - 1) == 0, "pow2 ceiling"
+        assert 0 <= r.bucket_pad_tokens <= r.naive_pad_tokens
+        assert r.bucket_vs_naive_savings >= 0
