@@ -167,6 +167,12 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "heaps_law_fit",
     "did_purchase_lift",
+    "embedding_label_drift",
+    "decontaminate_semantic",
+    "epoch_shuffle_order",
+    "padding_efficiency",
+    "sql_brand_qty_revenue",
+    "parquet_layout_audit",
 ]
 
 

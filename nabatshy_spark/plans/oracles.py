@@ -4275,3 +4275,34 @@ SELECT bucket_len, n_docs, total_tokens, naive_pad_tokens,
 FROM agg
 ORDER BY bucket_len
 """
+
+ORACLES["sql_brand_qty_revenue"] = """
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+# The correctness gate runs at sf0.01; parquet_metadata() needs the
+# file path itself (it reads footers, not the registered view), so the
+# gate-scale path is written out literally.
+ORACLES["parquet_layout_audit"] = """
+SELECT path_in_schema AS "column",
+       count(*)::BIGINT AS n_row_groups,
+       sum(num_values)::BIGINT AS n_values,
+       sum(total_compressed_size)::BIGINT AS compressed_bytes,
+       sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes,
+       round(sum(total_uncompressed_size)
+             / sum(total_compressed_size)::DOUBLE, 6) AS compression_ratio
+FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+GROUP BY 1
+ORDER BY 1
+"""

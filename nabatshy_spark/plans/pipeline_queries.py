@@ -8,6 +8,8 @@ Registered into the same QUERIES dict; oracles in plans/oracles.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2368,4 +2370,22 @@ def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bucket_len")
+    )
+
+
+@query("parquet_layout_audit")
+def parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit of the fact table's parquet footers:
+    per-column row-group count, value count, compressed/uncompressed
+    bytes, and compression ratio — the table a storage-cost review
+    reads before choosing sort keys or re-encoding.  Footer-only I/O:
+    at 100 TB (~1M files) the audit is a distributed footer scan
+    (mapInPandas over the file listing, one ranged read per file);
+    no data page is ever touched.  The oracle is DuckDB's own
+    parquet_metadata() over the same file — two independent footer
+    parsers agreeing on every byte count."""
+    from nabatshy_spark.sources.layout import column_layout_report
+
+    return column_layout_report(
+        spark, os.path.join(sf_dir, "lineitem.parquet")
     )

@@ -625,3 +625,33 @@ def sql_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_suppkey
         """
     )
+
+
+@query("sql_brand_qty_revenue")
+def sql_brand_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue (discounted revenue, disjunctive predicate
+    blocks): three OR'd (brand, size-range, quantity-range) conjuncts.
+    The plan point: Catalyst extracts the predicate parts referencing
+    only one side and pushes their union below the join — the lineitem
+    scan reads only quantity ∈ [1,30] rows and the part scan only the
+    three brands — then re-applies the exact disjunction after the
+    join.  Per-brand breakdown instead of Q19's single scalar so the
+    oracle checks 3 rows of structure, not one number."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 30)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )

@@ -429,3 +429,36 @@ def test_padding_buckets_are_pow2_and_save(spark, sf_dir):
         assert r.bucket_len & (r.bucket_len - 1) == 0, "pow2 ceiling"
         assert 0 <= r.bucket_pad_tokens <= r.naive_pad_tokens
         assert r.bucket_vs_naive_savings >= 0
+
+
+def test_parquet_layout_covers_all_columns(spark, sf_dir):
+    rows = QUERIES["parquet_layout_audit"](spark, sf_dir).collect()
+    cols = {r.column for r in rows}
+    expected = set(load(spark, sf_dir, "lineitem").columns)
+    assert cols == expected
+    for r in rows:
+        assert r.n_row_groups >= 1
+        assert r.compressed_bytes > 0
+        assert r.n_values > 0
+
+
+def test_q19_blocks_are_disjoint_filters(spark, sf_dir):
+    rows = {r.p_brand: r for r in QUERIES["sql_brand_qty_revenue"](
+        spark, sf_dir).collect()}
+    assert set(rows) <= {"Brand#1", "Brand#2", "Brand#3"}
+    # cross-check one block against a direct DataFrame computation
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    n = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter(
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        .count()
+    )
+    if "Brand#1" in rows:
+        assert rows["Brand#1"].n_lines == n
+    else:
+        assert n == 0

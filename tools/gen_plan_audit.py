@@ -113,14 +113,18 @@ def _read_widths(plan: str) -> str:
     return "/".join(widths) if widths else "-"
 
 
-def audit(plan: str) -> dict[str, object]:
+def audit(plan: str, final_plan: str = "") -> dict[str, object]:
     plan = _dedupe_cached(plan)
     return {
         "read_widths": _read_widths(plan),
         "exchanges": len(re.findall(r"\bExchange hashpartitioning", plan)),
         "broadcasts": len(re.findall(r"\bBroadcastExchange", plan)),
         "scans": len(re.findall(r"\bFileScan parquet", plan)),
-        "codegen": "WholeStageCodegen" in plan,
+        # Codegen stages only appear in the FINAL AQE plan (the `*(n)`
+        # markers CollapseCodegenStages adds at execution prep; the
+        # initial `isFinalPlan=false` string has none).  The final plan
+        # is captured after a noop-sink execution below.
+        "codegen": bool(re.search(r"\*\(\d+\)", final_plan or plan)),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "partfil": bool(re.search(r"PartitionFilters: \[[^\]]", plan)),
         "nested_loop": "BroadcastNestedLoopJoin" in plan,
@@ -140,7 +144,15 @@ def main() -> None:
             spark.catalog.clearCache()
             df = QUERIES[name](spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
-            rows.append((name, audit(plan)))
+            # Execute through the noop sink (JVM-side, nothing shipped
+            # to the driver) so AQE finalizes and codegen stages exist.
+            final_plan = ""
+            try:
+                df.write.format("noop").mode("overwrite").save()
+                final_plan = df._jdf.queryExecution().executedPlan().toString()
+            except Exception:  # noqa: BLE001 — cg falls back to initial plan
+                pass
+            rows.append((name, audit(plan, final_plan)))
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             rows.append((name, {"error": str(e)[:80]}))
     with open(OUT, "w") as f:
@@ -149,7 +161,8 @@ def main() -> None:
             f"(sf0.01, auto-generated by tools/gen_plan_audit.py)\n\n"
             "`ex` = hash-exchange (shuffle) count in the initial AQE plan, "
             "`bc` = broadcast exchanges, `scan` = parquet scans, "
-            "`cg` = whole-stage codegen present, `pf` = non-empty "
+            "`cg` = whole-stage codegen present in the final (executed) "
+            "AQE plan, `pf` = non-empty "
             "PushedFilters, `part` = non-empty PartitionFilters, "
             "`it` = driver-coordinated iterative/index construction "
             "(plan shown is the final job's), `readcols` = per-scan "
