@@ -173,6 +173,7 @@ HEADLINE = [
     "padding_efficiency",
     "sql_brand_qty_revenue",
     "parquet_layout_audit",
+    "search_eval_ndcg",
 ]
 
 

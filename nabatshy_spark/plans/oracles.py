@@ -4306,3 +4306,57 @@ FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
 GROUP BY 1
 ORDER BY 1
 """
+
+ORACLES["search_eval_ndcg"] = """
+WITH q(query_id, term) AS (
+  VALUES ('q1','join'),('q1','hash'),('q1','vector'),
+         ('q2','data'),('q2','query'),
+         ('q3','stream'),('q3','window'),('q3','sort')
+),
+postings AS (
+  SELECT term, doc, count(*) AS tf FROM (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term, doc
+),
+doc_lens AS (
+  SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl FROM documents
+),
+consts AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doc_lens),
+n_terms AS (SELECT query_id, count(*) AS q_terms FROM q GROUP BY 1),
+matched AS (
+  SELECT qq.query_id, p.doc, p.tf, l.dl,
+         count(*) OVER (PARTITION BY qq.query_id, p.term) AS df
+  FROM postings p JOIN q qq USING (term)
+  JOIN doc_lens l ON p.doc = l.doc
+),
+per_doc AS (
+  SELECT query_id, doc,
+         sum(ln(1.0 + (c.n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / c.avgdl))) AS score,
+         count(*) AS rel
+  FROM matched, consts c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc, rel,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc) AS pos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rel DESC, doc) AS ipos,
+         pow(2.0, rel) - 1.0 AS gain
+  FROM per_doc
+)
+SELECT r.query_id, count(*)::BIGINT AS n_retrieved,
+       round(sum(CASE WHEN pos <= 10
+                      THEN gain / log2(pos + 1.0) ELSE 0.0 END)
+             / sum(CASE WHEN ipos <= 10
+                        THEN gain / log2(ipos + 1.0) ELSE 0.0 END),
+             6) AS ndcg_at_10,
+       round(max(CASE WHEN rel = t.q_terms
+                      THEN 1.0 / pos ELSE 0.0 END), 6) AS mrr
+FROM ranked r JOIN n_terms t USING (query_id)
+GROUP BY 1
+ORDER BY 1
+"""

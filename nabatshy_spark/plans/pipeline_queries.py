@@ -2389,3 +2389,97 @@ def parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_layout_report(
         spark, os.path.join(sf_dir, "lineitem.parquet")
     )
+
+
+@query("search_eval_ndcg")
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality evaluation over the BM25 surface: nDCG@10 and
+    MRR per eval query, against a deterministic graded ground truth
+    (relevance = how many of the query's terms the document contains;
+    a full match is the MRR relevance bar).  This is the offline
+    eval harness a retrieval stack runs after every index or scoring
+    change — here as ONE plan for all queries: the eval-query term
+    table broadcasts into the postings join (queried posting lists
+    only, partition-pruned under a term-partitioned layout), BM25 and
+    the relevance grade come out of the same matched relation, and
+    the rank windows run per query_id on the ~top-N candidate sets,
+    never the corpus."""
+    from nabatshy_spark.operators import invindex
+
+    docs = load(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    doc_lens = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    qdf = spark.createDataFrame(
+        [
+            ("q1", "join"), ("q1", "hash"), ("q1", "vector"),
+            ("q2", "data"), ("q2", "query"),
+            ("q3", "stream"), ("q3", "window"), ("q3", "sort"),
+        ],
+        "query_id string, term string",
+    )
+    n_terms = qdf.groupBy("query_id").agg(
+        F.count("*").alias("q_terms")
+    )
+    consts = doc_lens.agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    k1, b = 1.2, 0.75
+    matched = (
+        postings.join(F.broadcast(qdf), "term")
+        .withColumn(
+            "__df",
+            F.count("*").over(Window.partitionBy("query_id", "term")),
+        )
+        .join(doc_lens, "doc")
+        .join(F.broadcast(consts))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    per_doc = matched.groupBy("query_id", "doc").agg(
+        F.sum(idf * tf_part).alias("score"),
+        F.count("*").alias("rel"),
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc")
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    ranked = per_doc.select(
+        "query_id", "doc", "rel",
+        F.row_number().over(w_bm).alias("pos"),
+        F.row_number().over(w_ideal).alias("ipos"),
+        gain.alias("gain"),
+    ).join(F.broadcast(n_terms), "query_id")
+    dcg = F.sum(
+        F.when(
+            F.col("pos") <= 10, F.col("gain") / F.log2(F.col("pos") + 1.0)
+        ).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ipos") <= 10, F.col("gain") / F.log2(F.col("ipos") + 1.0)
+        ).otherwise(0.0)
+    )
+    mrr = F.max(
+        F.when(
+            F.col("rel") == F.col("q_terms"), 1.0 / F.col("pos")
+        ).otherwise(0.0)
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_retrieved"),
+            F.round(dcg / idcg, 6).alias("ndcg_at_10"),
+            F.round(mrr, 6).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )

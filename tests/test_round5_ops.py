@@ -462,3 +462,12 @@ def test_q19_blocks_are_disjoint_filters(spark, sf_dir):
         assert rows["Brand#1"].n_lines == n
     else:
         assert n == 0
+
+
+def test_ndcg_bounded_and_mrr_sane(spark, sf_dir):
+    rows = QUERIES["search_eval_ndcg"](spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == {"q1", "q2", "q3"}
+    for r in rows:
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert r.n_retrieved > 0

@@ -144,11 +144,13 @@ def main() -> None:
             spark.catalog.clearCache()
             df = QUERIES[name](spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
-            # Execute through the noop sink (JVM-side, nothing shipped
-            # to the driver) so AQE finalizes and codegen stages exist.
+            # Execute df's OWN query execution (a .write would spawn a
+            # separate one and leave this plan initial) so AQE
+            # finalizes and the `*(n)` codegen stages exist. Results
+            # are sf0.01-sized — hundreds of rows.
             final_plan = ""
             try:
-                df.write.format("noop").mode("overwrite").save()
+                df.collect()
                 final_plan = df._jdf.queryExecution().executedPlan().toString()
             except Exception:  # noqa: BLE001 — cg falls back to initial plan
                 pass
