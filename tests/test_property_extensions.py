@@ -423,3 +423,37 @@ def test_duplicate_span_stats_matches_bruteforce(spark, texts):
         for r in duplicate_span_stats(df, "doc_id", "text", k=k).collect()
     }
     assert got == expected
+
+
+# --- round-5 continuation: padding pow2 ceiling & epoch shuffle -----------
+
+@given(st.lists(st.integers(1, 512), min_size=1, max_size=50))
+@SLOW
+def test_pow2_ceiling_matches_python(spark, ns):
+    """The shiftleft/bin bucket ceiling equals the mathematical next
+    power of two for every token count in range."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(n,) for n in ns], "t int").select(
+        "t",
+        F.expr(
+            "CASE WHEN t <= 1 THEN 1 "
+            "ELSE shiftleft(1, length(bin(cast(t - 1 AS bigint)))) END"
+        ).alias("c"),
+    )
+    for r in df.collect():
+        expect = 1
+        while expect < r.t:
+            expect *= 2
+        assert r.c == expect
+
+
+def test_epoch_shuffle_deterministic_across_runs(spark, sf_dir):
+    """Two independent evaluations produce byte-identical permutations
+    (no RNG state anywhere in the plan)."""
+    import nabatshy_spark.plans.pipeline_queries  # noqa: F401
+    from nabatshy_spark.plans.queries import QUERIES
+
+    a = QUERIES["epoch_shuffle_order"](spark, sf_dir).collect()
+    b = QUERIES["epoch_shuffle_order"](spark, sf_dir).collect()
+    assert a == b
