@@ -409,3 +409,45 @@ def test_er_pairs_uses_brand_blocked_candidates(spark, sf_dir):
     # a post-join filter.
     p = _plan(spark, "er_part_pairs", sf_dir)
     assert "__bk0" in p, "brand block key must reach the join"
+
+
+def test_q19_pushes_single_side_disjuncts(spark, sf_dir):
+    p = _plan(spark, "sql_brand_qty_revenue", sf_dir)
+    assert re.search(r"PushedFilters:.*l_quantity", p), (
+        "quantity-range union must reach the lineitem scan"
+    )
+    assert re.search(r"PushedFilters:.*p_brand", p), (
+        "brand/size union must reach the part scan"
+    )
+
+
+def test_semantic_decontam_broadcasts_eval_side(spark, sf_dir):
+    p = _plan(spark, "decontaminate_semantic", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p, (
+        "eval set must broadcast; the corpus side never shuffles for the join"
+    )
+    # the only hash exchange allowed is the top-1 window over survivors
+    assert _hash_exchanges(p) <= 1
+
+
+def test_epoch_shuffle_single_exchange(spark, sf_dir):
+    p = _plan(spark, "epoch_shuffle_order", sf_dir)
+    assert _hash_exchanges(p) <= 2, (
+        "one (epoch, shard) window shuffle + its agg reuse at most"
+    )
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_layout_audit_reads_no_data_pages(spark, sf_dir):
+    p = _plan(spark, "parquet_layout_audit", sf_dir)
+    assert "FileScan parquet" not in p, (
+        "the audit must be footer-only — no parquet data scan in the plan"
+    )
+
+
+def test_search_eval_single_postings_pass(spark, sf_dir):
+    p = _plan(spark, "search_eval_ndcg", sf_dir)
+    assert p.count("FileScan parquet") <= 3, (
+        "postings + doc_lens + corpus constants: a fixed number of "
+        "narrow scans, not one per eval query"
+    )
