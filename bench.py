@@ -174,6 +174,7 @@ HEADLINE = [
     "sql_brand_qty_revenue",
     "parquet_layout_audit",
     "search_eval_ndcg",
+    "partition_size_advisor",
 ]
 
 

@@ -4360,3 +4360,74 @@ FROM ranked r JOIN n_terms t USING (query_id)
 GROUP BY 1
 ORDER BY 1
 """
+
+ORACLES["partition_size_advisor"] = """
+-- Footer-only advisor; gate-scale (sf0.01) paths written literally,
+-- same rationale as parquet_layout_audit.
+SELECT tbl, n_files, n_rows, compressed_bytes,
+       round(compressed_bytes / n_rows::DOUBLE, 6) AS avg_row_bytes,
+       greatest(1, ceil(compressed_bytes / 134217728.0))::BIGINT
+         AS partitions_at_128mb
+FROM (
+SELECT 'region' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/region.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/region.parquet')) m
+UNION ALL
+SELECT 'nation' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/nation.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/nation.parquet')) m
+UNION ALL
+SELECT 'customer' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/customer.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/customer.parquet')) m
+UNION ALL
+SELECT 'supplier' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/supplier.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/supplier.parquet')) m
+UNION ALL
+SELECT 'part' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/part.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/part.parquet')) m
+UNION ALL
+SELECT 'orders' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/orders.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')) m
+UNION ALL
+SELECT 'lineitem' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/lineitem.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')) m
+UNION ALL
+SELECT 'events' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/events.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')) m
+UNION ALL
+SELECT 'documents' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/documents.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')) m
+UNION ALL
+SELECT 'embeddings' AS tbl, f.n_files, f.n_rows, m.compressed_bytes
+FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
+      FROM parquet_file_metadata('/root/testdata/sf0.01/embeddings.parquet')) f,
+     (SELECT sum(total_compressed_size)::BIGINT AS compressed_bytes
+      FROM parquet_metadata('/root/testdata/sf0.01/embeddings.parquet')) m
+)
+ORDER BY tbl
+"""

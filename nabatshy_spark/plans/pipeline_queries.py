@@ -2483,3 +2483,47 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query("partition_size_advisor")
+def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition/file-size advisor over every catalog table, computed
+    from parquet FOOTERS only: rows, bytes, average row width, and the
+    128 MiB-target partition count a scan of each table should plan
+    for (the number that sizes spark.sql.files.maxPartitionBytes /
+    shuffle partitions before a job ever runs).  Builds on the same
+    distributed footer scan as parquet_layout_audit — per-file
+    row/byte totals union across tables, one tiny agg each; at 100 TB
+    the advisor costs minutes of footer reads, not a data scan.
+    Oracle: DuckDB's parquet_file_metadata + parquet_metadata, an
+    independent footer parser agreeing on every count."""
+    from nabatshy_spark.catalog import TABLES
+    from nabatshy_spark.sources.layout import table_footer_summary
+
+    parts = []
+    for t in TABLES:
+        s = table_footer_summary(
+            spark, os.path.join(sf_dir, f"{t}.parquet")
+        )
+        parts.append(
+            s.groupBy().agg(
+                F.count("*").cast("long").alias("n_files"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("compressed_bytes").cast("long").alias(
+                    "compressed_bytes"
+                ),
+            ).select(F.lit(t).alias("tbl"), "*")
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.select(
+        "tbl", "n_files", "n_rows", "compressed_bytes",
+        F.round(
+            F.col("compressed_bytes") / F.col("n_rows").cast("double"), 6
+        ).alias("avg_row_bytes"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("compressed_bytes") / F.lit(134217728.0)),
+        ).cast("long").alias("partitions_at_128mb"),
+    ).orderBy("tbl")

@@ -471,3 +471,14 @@ def test_ndcg_bounded_and_mrr_sane(spark, sf_dir):
         assert 0.0 <= r.ndcg_at_10 <= 1.0
         assert 0.0 <= r.mrr <= 1.0
         assert r.n_retrieved > 0
+
+
+def test_advisor_counts_match_tables(spark, sf_dir):
+    rows = {r.tbl: r for r in QUERIES["partition_size_advisor"](
+        spark, sf_dir).collect()}
+    from nabatshy_spark.catalog import TABLES
+    assert set(rows) == set(TABLES)
+    assert rows["lineitem"].n_rows == load(spark, sf_dir, "lineitem").count()
+    for r in rows.values():
+        assert r.partitions_at_128mb >= 1
+        assert r.avg_row_bytes > 0
