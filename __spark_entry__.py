@@ -75,8 +75,11 @@ _PRIORITY = [
     "brand_affinity", "supplier_concentration", "revenue_gini",
     "order_priority_sla", "data_quality_report", "fk_integrity_audit",
     # (join_skew_report, video_scene_changes, the remaining ~25
-    # never-checked oracle-backed queries, the 7 rows-only ones, and
-    # this round's 10 new operators rotate in next round. Exactly 50
+    # never-checked oracle-backed queries, the 11 rows-only ones, and
+    # this round's new operators — embedding_label_drift,
+    # decontaminate_semantic, epoch_shuffle_order, padding_efficiency,
+    # sql_brand_qty_revenue, parquet_layout_audit, search_eval_ndcg,
+    # partition_size_advisor — rotate in next round. Exactly 50
     # entries above — the driver checks the FIRST 50 only; entry #51
     # would silently never get a row.)
 ]
