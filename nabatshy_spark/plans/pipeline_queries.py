@@ -707,22 +707,45 @@ def brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts so the oracle is exact."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    ob = (
+    # ONE shuffle builds the basket relation (collect_set dedups, so
+    # no separate distinct pass); counts, pair counts, and the grand
+    # total all derive from it — the former ob-self-join recomputed
+    # the lineitem⋈part join three times (10 scans, 12 exchanges).
+    baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        # materialized ONCE (pagerank precedent): three consumers below
+        # would otherwise each recompute the join+basket shuffle; the
+        # ContextCleaner frees the blocks when the ref drops
+        .localCheckpoint(eager=True)
     )
     # grand total stays in-plan as a 1-row broadcast (bnlj-1row
     # pattern) — no driver count() round-trip
-    n_orders_df = ob.agg(
-        F.count_distinct("o").cast("double").alias("__n_orders")
+    n_orders_df = baskets.agg(
+        F.count("*").cast("double").alias("__n_orders")
     )
-    brand_n = ob.groupBy("b").agg(F.count("*").alias("nb"))
-    a = ob.alias("a")
-    c = ob.alias("c")
+    brand_n = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("nb"))
+    )
+    # in-basket pair expansion: ≤25 brands ⇒ ≤300 pairs per basket,
+    # done as array arithmetic on the already-shuffled relation
     pairs = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
-        .groupBy(F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
+        )
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 20)
     )
@@ -2491,32 +2514,25 @@ def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet FOOTERS only: rows, bytes, average row width, and the
     128 MiB-target partition count a scan of each table should plan
     for (the number that sizes spark.sql.files.maxPartitionBytes /
-    shuffle partitions before a job ever runs).  Builds on the same
-    distributed footer scan as parquet_layout_audit — per-file
-    row/byte totals union across tables, one tiny agg each; at 100 TB
-    the advisor costs minutes of footer reads, not a data scan.
+    shuffle partitions before a job ever runs).  One catalog-wide
+    footer scan (every file tagged with its table) feeds a single
+    groupBy(tbl) — one job and one exchange regardless of table
+    count; at 100 TB the advisor costs minutes of footer reads, not
+    a data scan.
     Oracle: DuckDB's parquet_file_metadata + parquet_metadata, an
     independent footer parser agreeing on every count."""
     from nabatshy_spark.catalog import TABLES
-    from nabatshy_spark.sources.layout import table_footer_summary
+    from nabatshy_spark.sources.layout import catalog_footer_summary
 
-    parts = []
-    for t in TABLES:
-        s = table_footer_summary(
-            spark, os.path.join(sf_dir, f"{t}.parquet")
-        )
-        parts.append(
-            s.groupBy().agg(
-                F.count("*").cast("long").alias("n_files"),
-                F.sum("n_rows").cast("long").alias("n_rows"),
-                F.sum("compressed_bytes").cast("long").alias(
-                    "compressed_bytes"
-                ),
-            ).select(F.lit(t).alias("tbl"), "*")
-        )
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
+    per_file = catalog_footer_summary(
+        spark,
+        {t: os.path.join(sf_dir, f"{t}.parquet") for t in TABLES},
+    )
+    union = per_file.groupBy("tbl").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("compressed_bytes").cast("long").alias("compressed_bytes"),
+    )
     return union.select(
         "tbl", "n_files", "n_rows", "compressed_bytes",
         F.round(
