@@ -175,6 +175,10 @@ HEADLINE = [
     "parquet_layout_audit",
     "search_eval_ndcg",
     "partition_size_advisor",
+    # round-5 closing additions
+    "dsir_selection",
+    "search_hard_negatives",
+    "l_diversity_audit",
 ]
 
 

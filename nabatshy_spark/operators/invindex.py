@@ -123,6 +123,59 @@ def search_bm25(
     )
 
 
+def hard_negatives(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training data: the top-``k``
+    BM25-scored documents that match SOME but not ALL query terms —
+    lexically close to the query yet not full matches, exactly the
+    negatives a dual-encoder / reranker needs (BM25-negative mining is
+    the standard recipe, e.g. DPR, Karpukhin et al. 2020).
+
+    Same scoring arithmetic as :func:`search_bm25`; the only change is
+    the per-doc distinct-term count kept in the aggregate and the
+    ``< len(terms)`` filter (full matches are the positives, mined by
+    :func:`search_and`). Scale shape is unchanged: queried posting
+    lists only, one groupBy(doc), TakeOrdered on the rounded score
+    with the doc id as deterministic tiebreak.
+    """
+    from pyspark.sql import Window
+
+    if len(terms) < 2:
+        raise ValueError("hard negatives need >= 2 query terms")
+    consts = doc_lens.agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    matched = (
+        postings.filter(F.col("term").isin(terms))
+        .withColumn("__df", F.count("*").over(Window.partitionBy("term")))
+        .join(doc_lens, "doc")
+        .join(F.broadcast(consts))
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        matched.select("doc", "term", (idf * tf_part).alias("__s"))
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("term").alias("n_terms_matched"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+        .filter(F.col("n_terms_matched") < len(terms))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+    )
+
+
 def hybrid_search(
     postings: DataFrame,
     doc_lens: DataFrame,

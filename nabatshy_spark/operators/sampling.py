@@ -242,3 +242,82 @@ def mixture_sample(
         .filter(_u01(F.col(id_col)) < F.col("rate"))
         .select(F.col(id_col), F.col(source_col), F.col("rate"))
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: Column,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio between a TARGET unigram LM
+    (built from the rows where ``target_flag`` holds — the in-domain
+    exemplar set) and the RAW-corpus unigram LM, both add-``smoothing``
+    smoothed over the joint vocabulary:
+
+        log_weight(d) = Σ_w c_w(d) · [ ln P_tgt(w) − ln P_raw(w) ]
+
+    Documents with ``log_weight > 0`` look more like the target than
+    like the corpus average — the deterministic variant of DSIR's
+    Gumbel-top-k resampling (same ranking, no sampling noise), which
+    keeps the output oracle-checkable.
+
+    Scale shape (same skeleton as the unigram fluency scorer): the
+    corpus explodes into tokens ONCE; both LMs come from a single
+    vocabulary aggregate (raw count + conditional target count per
+    token — one shuffle keyed by token, partial-agg combined); the
+    two grand totals are a 1-row broadcast; and the per-(doc, token)
+    counts join the vocabulary on the token key. Nothing
+    row-proportional shuffles twice, no UDFs, and at 100 TB the
+    vocabulary relation is the only state that grows slower than the
+    corpus. A hashed-n-gram variant (DSIR's production form) swaps the
+    token expression for ``hash(ngram) % B`` and shrinks the
+    vocabulary to B buckets — the plumbing is identical.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_flag.cast("int").alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+    )
+    doc_tok = toks.groupBy(id_col, "__t").agg(F.count("*").alias("__c"))
+    vocab = toks.groupBy("__t").agg(
+        F.count("*").alias("__rc"), F.sum("__tgt").alias("__tc")
+    )
+    totals = vocab.agg(
+        F.sum("__rc").cast("double").alias("__rn"),
+        F.sum("__tc").cast("double").alias("__tn"),
+        F.count("*").cast("double").alias("__v"),
+    )
+    s = float(smoothing)
+    scored = (
+        doc_tok.join(vocab, "__t")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "__lw",
+            F.col("__c")
+            * (
+                F.log(
+                    (F.col("__tc") + s) / (F.col("__tn") + s * F.col("__v"))
+                )
+                - F.log(
+                    (F.col("__rc") + s) / (F.col("__rn") + s * F.col("__v"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum("__lw").alias("__w"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round("__w", 6).alias("log_weight"),
+            (F.col("__w") > 0).cast("int").alias("selected"),
+        )
+    )

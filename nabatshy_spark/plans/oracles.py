@@ -4431,3 +4431,76 @@ FROM (SELECT count(*)::BIGINT AS n_files, sum(num_rows)::BIGINT AS n_rows
 )
 ORDER BY tbl
 """
+
+ORACLES["dsir_selection"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS tgt,
+         unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+doc_tok AS (
+  SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2
+),
+vocab AS (
+  SELECT t, count(*) AS rc, sum(tgt) AS tc FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT sum(rc)::DOUBLE AS rn, sum(tc)::DOUBLE AS tn,
+         count(*)::DOUBLE AS v
+  FROM vocab
+),
+w AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         sum(c * (ln((tc + 1.0) / (tn + v)) - ln((rc + 1.0) / (rn + v)))) AS lw
+  FROM doc_tok JOIN vocab USING (t) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(lw, 6) AS log_weight,
+       CAST(lw > 0 AS INT) AS selected
+FROM w
+ORDER BY doc_id
+"""
+
+ORACLES["search_hard_negatives"] = """
+WITH postings AS (
+  SELECT term, doc, count(*) AS tf FROM (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY term, doc
+),
+doc_lens AS (
+  SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl FROM documents
+),
+consts AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doc_lens),
+matched AS (
+  SELECT p.doc, p.term, p.tf, l.dl,
+         count(*) OVER (PARTITION BY p.term) AS df
+  FROM postings p JOIN doc_lens l ON p.doc = l.doc
+  WHERE p.term IN ('join', 'hash', 'vector')
+)
+SELECT doc,
+       count(DISTINCT term)::BIGINT AS n_terms_matched,
+       round(sum(
+         ln(1.0 + (c.n - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / c.avgdl))
+       ), 6) AS score
+FROM matched, consts c
+GROUP BY doc
+HAVING count(DISTINCT term) < 3
+ORDER BY score DESC, doc ASC
+LIMIT 20
+"""
+
+ORACLES["l_diversity_audit"] = """
+WITH g AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         count(*) AS k,
+         count(DISTINCT c_mktsegment) AS ldiv
+  FROM customer GROUP BY 1, 2
+)
+SELECT ldiv::BIGINT AS diversity, count(*)::BIGINT AS n_groups,
+       sum(k)::BIGINT AS n_rows, (ldiv < 3) AS at_risk
+FROM g GROUP BY ldiv ORDER BY diversity
+"""

@@ -2543,3 +2543,75 @@ def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("compressed_bytes") / F.lit(134217728.0)),
         ).cast("long").alias("partitions_at_128mb"),
     ).orderBy("tbl")
+
+
+@query("dsir_selection")
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (sampling.dsir_importance_weights): rank
+    every document by the unigram log-likelihood ratio between a
+    target LM (the src0-src2 exemplar feeds) and the raw-corpus LM,
+    add-one smoothed over the joint vocabulary — the published
+    importance-resampling selector with the Gumbel noise removed so
+    the output is exactly reproducible. One corpus explode, one
+    token-keyed shuffle, 1-row totals broadcast."""
+    from nabatshy_spark.operators.sampling import dsir_importance_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "doc_id", "text",
+        target_flag=F.col("source").isin("src0", "src1", "src2"),
+    ).orderBy("doc_id")
+
+
+@query("search_hard_negatives")
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (invindex.hard_negatives) for
+    {join, hash, vector}: top-20 docs matching some but not all query
+    terms — the DPR-style negatives set, disjoint from text_search_and's
+    positives by construction. Queried posting lists only."""
+    from nabatshy_spark.operators import invindex
+
+    docs = load(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    doc_lens = docs.select(
+        F.col("doc_id").alias("doc"), F.size(F.split("text", " ")).alias("dl")
+    )
+    return invindex.hard_negatives(
+        postings, doc_lens, ["join", "hash", "vector"], k=20
+    )
+
+
+@query("l_diversity_audit")
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion
+    check k-anonymity misses: an equivalence class can be large (k-safe)
+    yet expose its members because every row shares ONE sensitive
+    value. Quasi-identifiers = nation × $1000 balance bucket; sensitive
+    attribute = market segment; a class is at risk when it carries
+    fewer than l=3 distinct segments. Output is the diversity
+    histogram. Scale shape mirrors k_anonymity_audit: one exact
+    distinct-count agg over the QI key (a single EXPAND-free shuffle —
+    count_distinct of ONE column plans as two-level partial agg), then
+    a second agg over the tiny class relation."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("k"),
+        F.count_distinct("c_mktsegment").alias("ldiv"),
+    )
+    return (
+        g.groupBy(F.col("ldiv").alias("diversity"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+        )
+        .select(
+            "diversity",
+            "n_groups",
+            "n_rows",
+            (F.col("diversity") < 3).alias("at_risk"),
+        )
+        .orderBy("diversity")
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import nabatshy_spark.plans.ext_queries  # noqa: F401
 import nabatshy_spark.plans.pipeline_queries  # noqa: F401
 import nabatshy_spark.plans.sql_queries  # noqa: F401
 from nabatshy_spark.catalog import load
@@ -482,3 +483,48 @@ def test_advisor_counts_match_tables(spark, sf_dir):
     for r in rows.values():
         assert r.partitions_at_128mb >= 1
         assert r.avg_row_bytes > 0
+
+
+def test_dsir_targets_score_higher(spark, sf_dir):
+    """Target-source docs must average a higher importance weight than
+    the rest (the LM ratio is built FROM them), and every doc appears
+    exactly once with its true token count."""
+    docs = load(spark, sf_dir, "documents")
+    out = QUERIES["dsir_selection"](spark, sf_dir)
+    joined = out.join(docs.select("doc_id", "source"), "doc_id")
+    means = (
+        joined.groupBy(
+            F.col("source").isin("src0", "src1", "src2").alias("is_target")
+        )
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    )
+    by = {r.is_target: r.m for r in means}
+    assert by[True] > by[False]
+    assert out.count() == docs.count()
+    one = out.filter(F.col("doc_id") == 0).collect()[0]
+    n0 = docs.filter(F.col("doc_id") == 0).select(
+        F.size(F.split("text", " "))
+    ).collect()[0][0]
+    assert one.n_tokens == n0
+
+
+def test_hard_negatives_disjoint_from_positives(spark, sf_dir):
+    """Hard negatives must match >=1 but not all query terms — so the
+    set is disjoint from the conjunctive (AND) positives."""
+    negs = QUERIES["search_hard_negatives"](spark, sf_dir)
+    pos = QUERIES["text_search_and"](spark, sf_dir)
+    neg_rows = negs.collect()
+    assert 0 < len(neg_rows) <= 20
+    assert all(1 <= r.n_terms_matched < 3 for r in neg_rows)
+    overlap = {r.doc for r in neg_rows} & {r.doc for r in pos.collect()}
+    assert overlap == set()
+
+
+def test_l_diversity_rows_cover_customers(spark, sf_dir):
+    out = QUERIES["l_diversity_audit"](spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in out) == n_cust
+    for r in out:
+        assert r.at_risk == (r.diversity < 3)
+        assert r.n_rows >= r.n_groups * 1
