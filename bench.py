@@ -179,6 +179,9 @@ HEADLINE = [
     "dsir_selection",
     "search_hard_negatives",
     "l_diversity_audit",
+    "spans_burn_rate_alerts",
+    "spans_retry_storms",
+    "spans_clock_skew_audit",
 ]
 
 

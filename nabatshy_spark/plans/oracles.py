@@ -4504,3 +4504,78 @@ SELECT ldiv::BIGINT AS diversity, count(*)::BIGINT AS n_groups,
        sum(k)::BIGINT AS n_rows, (ldiv < 3) AS at_risk
 FROM g GROUP BY ldiv ORDER BY diversity
 """
+
+ORACLES["spans_burn_rate_alerts"] = f"""
+WITH base AS (
+  SELECT scope_name AS service, start_time_unix_nano AS ts,
+         CASE WHEN len(list_filter(events, e -> e.name = 'exception')) > 0
+              THEN 1 ELSE 0 END AS e
+  FROM {{spans}}
+),
+mx AS (SELECT max(ts) AS m FROM base),
+agg AS (
+  SELECT service,
+         count(*) AS n_long,
+         sum(e) AS errs_long,
+         sum(CASE WHEN ts >= m - 600000000000 THEN 1 ELSE 0 END) AS n_short,
+         sum(CASE WHEN ts >= m - 600000000000 THEN e ELSE 0 END) AS errs_short
+  FROM base, mx
+  WHERE ts >= m - 3600000000000
+  GROUP BY service
+)
+SELECT service,
+       n_long::BIGINT AS n_long,
+       CASE WHEN n_long > 0 THEN round(errs_long * 1.0 / n_long, 6)
+            ELSE 0.0 END AS long_rate,
+       n_short::BIGINT AS n_short,
+       CASE WHEN n_short > 0 THEN round(errs_short * 1.0 / n_short, 6)
+            ELSE 0.0 END AS short_rate,
+       CAST(1000 * errs_short > 144 * n_short
+            AND 1000 * errs_long > 144 * n_long AS INT) AS page,
+       CAST(1000 * errs_short > 60 * n_short
+            AND 1000 * errs_long > 60 * n_long AS INT) AS ticket
+FROM agg ORDER BY service
+""".format(spans=_SPANS)
+
+ORACLES["spans_retry_storms"] = f"""
+WITH sites AS (
+  SELECT trace_id, parent_span_id, scope_name AS service, name AS operation,
+         count(*) AS calls
+  FROM {{spans}}
+  WHERE parent_span_id <> ''
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 2
+)
+SELECT service, operation,
+       count(*)::BIGINT AS n_retry_sites,
+       max(calls)::BIGINT AS max_calls_per_site,
+       (sum(calls) - count(*))::BIGINT AS n_duplicate_spans
+FROM sites GROUP BY service, operation
+ORDER BY n_duplicate_spans DESC, service, operation
+""".format(spans=_SPANS)
+
+ORACLES["spans_clock_skew_audit"] = f"""
+WITH j AS (
+  SELECT c.scope_name AS service,
+         CASE WHEN c.start_time_unix_nano < p.start_time_unix_nano
+              THEN 1 ELSE 0 END AS early,
+         CASE WHEN c.end_time_unix_nano > p.end_time_unix_nano
+              THEN 1 ELSE 0 END AS late,
+         greatest(
+           CASE WHEN c.start_time_unix_nano < p.start_time_unix_nano
+                THEN p.start_time_unix_nano - c.start_time_unix_nano
+                ELSE 0 END,
+           CASE WHEN c.end_time_unix_nano > p.end_time_unix_nano
+                THEN c.end_time_unix_nano - p.end_time_unix_nano
+                ELSE 0 END) AS skew
+  FROM {{spans}} c JOIN {{spans}} p
+    ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+  WHERE c.parent_span_id <> ''
+)
+SELECT service,
+       count(*)::BIGINT AS n_children,
+       sum(early)::BIGINT AS n_start_before_parent,
+       sum(late)::BIGINT AS n_end_after_parent,
+       max(skew)::BIGINT AS max_skew_ns
+FROM j GROUP BY service ORDER BY service
+""".format(spans=_SPANS)

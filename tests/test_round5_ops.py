@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 import nabatshy_spark.plans.ext_queries  # noqa: F401
 import nabatshy_spark.plans.pipeline_queries  # noqa: F401
+import nabatshy_spark.plans.span_queries  # noqa: F401
 import nabatshy_spark.plans.sql_queries  # noqa: F401
 from nabatshy_spark.catalog import load
 from nabatshy_spark.plans.queries import QUERIES
@@ -528,3 +529,43 @@ def test_l_diversity_rows_cover_customers(spark, sf_dir):
     for r in out:
         assert r.at_risk == (r.diversity < 3)
         assert r.n_rows >= r.n_groups * 1
+
+
+def test_burn_rate_windows_nest(spark, sf_dir):
+    """Short-window counts can never exceed long-window counts, rates
+    stay in [0,1], and a page implies a ticket (14.4x > 6x)."""
+    rows = QUERIES["spans_burn_rate_alerts"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_short <= r.n_long
+        assert 0.0 <= r.long_rate <= 1.0 and 0.0 <= r.short_rate <= 1.0
+        if r.page:
+            assert r.ticket
+
+
+def test_retry_storms_counts_consistent(spark, sf_dir):
+    rows = QUERIES["spans_retry_storms"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.max_calls_per_site >= 2
+        # each retry site contributes at least one duplicate
+        assert r.n_duplicate_spans >= r.n_retry_sites
+
+
+def test_clock_skew_children_match_join_count(spark, sf_dir):
+    from nabatshy_spark.plans.span_queries import load_spans
+
+    rows = QUERIES["spans_clock_skew_audit"](spark, sf_dir).collect()
+    df = load_spans(spark)
+    c = df.filter(F.col("parent_span_id") != "").alias("c")
+    p = df.alias("p")
+    n_join = c.join(
+        p,
+        (F.col("c.trace_id") == F.col("p.trace_id"))
+        & (F.col("c.parent_span_id") == F.col("p.span_id")),
+    ).count()
+    assert sum(r.n_children for r in rows) == n_join
+    for r in rows:
+        assert r.n_start_before_parent <= r.n_children
+        assert r.n_end_after_parent <= r.n_children
+        if r.n_start_before_parent + r.n_end_after_parent > 0:
+            assert r.max_skew_ns > 0
