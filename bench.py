@@ -182,6 +182,7 @@ HEADLINE = [
     "spans_burn_rate_alerts",
     "spans_retry_storms",
     "spans_clock_skew_audit",
+    "lpa_trade_communities",
 ]
 
 

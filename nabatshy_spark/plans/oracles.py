@@ -4579,3 +4579,65 @@ SELECT service,
        max(skew)::BIGINT AS max_skew_ns
 FROM j GROUP BY service ORDER BY service
 """.format(spans=_SPANS)
+
+ORACLES["lpa_trade_communities"] = """
+WITH vol AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS v
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+strong AS (SELECT src, dst FROM vol WHERE v > (SELECT avg(v) FROM vol)),
+e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM strong WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM strong WHERE src <> dst)
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+r1 AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM e JOIN l0 l ON e.b = l.node GROUP BY 1, 2
+),
+l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM r1)
+  WHERE rn = 1
+),r2 AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM e JOIN l1 l ON e.b = l.node GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM r2)
+  WHERE rn = 1
+),r3 AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM e JOIN l2 l ON e.b = l.node GROUP BY 1, 2
+),
+l3 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM r3)
+  WHERE rn = 1
+),r4 AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM e JOIN l3 l ON e.b = l.node GROUP BY 1, 2
+),
+l4 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM r4)
+  WHERE rn = 1
+)
+SELECT node::BIGINT AS node, label::BIGINT AS community
+FROM l4 ORDER BY node
+"""

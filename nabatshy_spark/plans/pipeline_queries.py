@@ -2615,3 +2615,49 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diversity")
     )
+
+
+@query("lpa_trade_communities")
+def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the nation trade graph
+    (graph.label_propagation, Raghavan et al. 2007): nations whose
+    strong trade edges cluster together. Edges = directed nation pairs
+    whose lineitem volume exceeds the MEAN pair volume (a scale-free,
+    in-plan threshold — 1-row broadcast, no driver scalar), built with
+    the same broadcast-dims fact scan as pagerank_trade; 4
+    synchronized LPA rounds with smallest-label tie-break make the
+    result exactly reproducible by the unrolled SQL oracle. The
+    question differs from connected components: the dense trade graph
+    is one component, communities are where volume CLUSTERS."""
+    from nabatshy_spark.operators.graph import label_propagation
+
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    supp = F.broadcast(
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("__v"))
+    )
+    mean_v = vol.agg(F.avg("__v").alias("__m"))
+    strong = (
+        vol.join(F.broadcast(mean_v))
+        .filter(F.col("__v") > F.col("__m"))
+        .select("src", "dst")
+    )
+    out = label_propagation(strong, "src", "dst", iterations=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    ).orderBy("node")

@@ -569,3 +569,28 @@ def test_clock_skew_children_match_join_count(spark, sf_dir):
         assert r.n_end_after_parent <= r.n_children
         if r.n_start_before_parent + r.n_end_after_parent > 0:
             assert r.max_skew_ns > 0
+
+
+def test_lpa_labels_every_strong_trade_nation_once(spark, sf_dir):
+    rows = QUERIES["lpa_trade_communities"](spark, sf_dir).collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))
+    comms = {r.community for r in rows}
+    # labels are node ids, and the dense trade graph still splits
+    # into more than one community at this threshold
+    assert comms <= set(nodes)
+    assert len(comms) >= 2
+
+
+def test_lpa_synchronous_tiebreak_tiny_graph(spark):
+    """Hand-checkable graph: a 3-clique {1,2,3} weakly bridged to a
+    3-clique {10,11,12} — LPA must keep the two cliques in distinct
+    min-label communities."""
+    from nabatshy_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(e).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
