@@ -79,9 +79,13 @@ _PRIORITY = [
     # this round's new operators — embedding_label_drift,
     # decontaminate_semantic, epoch_shuffle_order, padding_efficiency,
     # sql_brand_qty_revenue, parquet_layout_audit, search_eval_ndcg,
-    # partition_size_advisor — rotate in next round. Exactly 50
-    # entries above — the driver checks the FIRST 50 only; entry #51
-    # would silently never get a row.)
+    # partition_size_advisor, plus the round-5-closing additions
+    # dsir_selection, search_hard_negatives, l_diversity_audit,
+    # spans_burn_rate_alerts, spans_retry_storms,
+    # spans_clock_skew_audit, lpa_trade_communities,
+    # spans_mad_outliers — rotate in next round. Exactly 50 entries
+    # above — the driver checks the FIRST 50 only; entry #51 would
+    # silently never get a row.)
 ]
 
 

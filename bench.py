@@ -183,6 +183,7 @@ HEADLINE = [
     "spans_retry_storms",
     "spans_clock_skew_audit",
     "lpa_trade_communities",
+    "spans_mad_outliers",
 ]
 
 

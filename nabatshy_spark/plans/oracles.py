@@ -4641,3 +4641,28 @@ l4 AS (
 SELECT node::BIGINT AS node, label::BIGINT AS community
 FROM l4 ORDER BY node
 """
+
+ORACLES["spans_mad_outliers"] = f"""
+WITH base AS (
+  SELECT scope_name AS service, duration_ns::DOUBLE AS d FROM {{spans}}
+),
+med AS (
+  SELECT service, quantile_cont(d, 0.5) AS m FROM base GROUP BY service
+),
+dev AS (
+  SELECT b.service, b.d, abs(b.d - med.m) AS ad, med.m
+  FROM base b JOIN med ON b.service = med.service
+),
+mad AS (
+  SELECT service, quantile_cont(ad, 0.5) AS md FROM dev GROUP BY service
+)
+SELECT dev.service,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN ad > 5 * md THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(max(m) / 1e6, 6) AS median_ms,
+       round(max(md) / 1e6, 6) AS mad_ms,
+       round(sum(CASE WHEN ad > 5 * md THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS outlier_rate
+FROM dev JOIN mad ON dev.service = mad.service
+GROUP BY dev.service ORDER BY dev.service
+""".format(spans=_SPANS)

@@ -594,3 +594,15 @@ def test_lpa_synchronous_tiebreak_tiny_graph(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == got[12]
     assert got[10] != got[1]
+
+
+def test_mad_outliers_are_a_minority_and_counts_bound(spark, sf_dir):
+    rows = QUERIES["spans_mad_outliers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_spans
+        # |d - median| > 5*MAD can hold for at most half the points
+        # (at least half sit within one MAD by definition)
+        assert r.n_outliers * 2 < r.n_spans
+        assert r.median_ms > 0 and r.mad_ms >= 0
+        assert abs(r.outlier_rate - round(r.n_outliers / r.n_spans, 6)) < 1e-9
