@@ -33,6 +33,7 @@ def blocked_candidate_pairs(
     max_df: int | None = None,
     block_cols: list[str] | None = None,
     carry_cols: list[str] | None = None,
+    min_jaccard: float = 0.0,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 name token, with the token-Jaccard
     ingredients (``inter``, ``n_a``, ``n_b``).
@@ -68,6 +69,14 @@ def blocked_candidate_pairs(
     ``carry_cols`` rides attribute columns through to the output as
     ``<col>_a`` / ``<col>_b`` so scorers don't need two more id-keyed
     joins back to the source relation after candidate generation.
+
+    ``min_jaccard`` prunes candidates whose token-Jaccard UPPER BOUND
+    (shared surviving tokens + the smaller capped count, the most the
+    true intersection can reach) falls below it — recall-lossless for
+    any scorer that needs at least that Jaccard, and it shrinks the
+    exact-verify join from every co-token pair to the near-match set.
+    Callers derive it from their score threshold (see
+    :func:`score_part_pairs`); 0.0 disables the prune.
     """
     extra = list(block_cols or [])
     carry = list(carry_cols or [])
@@ -101,8 +110,19 @@ def blocked_candidate_pairs(
             .select("tok", *bks)
         )
         tok = tok.join(keep, ["tok", *bks])
+    # Pin the self-join's parallelism: the posting relation is tiny in
+    # BYTES (AQE would coalesce it to one partition — a single small
+    # source file serializes the whole pair expansion on one core,
+    # measured 5s for ~2M expanded pairs) but the join OUTPUT is
+    # Σ df² rows of compute. An explicit partition count is respected
+    # by AQE; keying by (token, block) keeps the equi-join co-located.
+    fanout = tok.sparkSession.sparkContext.defaultParallelism
+    tok = tok.repartition(fanout, "tok", *bks)
     a = tok.alias("a")
     b = tok.alias("b")
+    # One aggregation replaces the former dropDuplicates at the same
+    # shuffle cost AND yields the shared-surviving-token count the
+    # Jaccard prune below needs.
     cand = (
         a.join(
             b,
@@ -110,10 +130,55 @@ def blocked_candidate_pairs(
             & (F.col("a.id") < F.col("b.id"))
             & _bk_eq("a", "b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("__c"))
     )
+    if min_jaccard > 0.0:
+        # Threshold-derived candidate prune, EXACT: per pair, the true
+        # intersection I satisfies I <= __c + min(dropped_a, dropped_b)
+        # (a shared token is either surviving — counted in __c — or
+        # capped on both sides, bounded by either side's capped count).
+        # J = I/(n_a+n_b-I) is increasing in I, so pairs whose upper
+        # bound falls below min_jaccard can never verify; with no cap
+        # (or nothing actually dropped) the bound IS the true Jaccard
+        # and the verify join below receives only genuine matches.
+        kept = tok.groupBy("id").agg(F.count("*").alias("__k"))
+        per_id = (
+            sets.select("id", F.size("ts").alias("__n"))
+            .join(kept, "id", "left")
+            .select(
+                "id",
+                "__n",
+                (F.col("__n") - F.coalesce("__k", F.lit(0))).alias("__d"),
+            )
+        )
+        pa = per_id.select(
+            F.col("id").alias("id_a"),
+            F.col("__n").alias("__na"),
+            F.col("__d").alias("__da"),
+        )
+        pb = per_id.select(
+            F.col("id").alias("id_b"),
+            F.col("__n").alias("__nb"),
+            F.col("__d").alias("__db"),
+        )
+        ub = F.col("__c") + F.least("__da", "__db")
+        cand = (
+            cand.join(pa, "id_a")
+            .join(pb, "id_b")
+            .filter(
+                ub * (1.0 + min_jaccard)
+                >= min_jaccard * (F.col("__na") + F.col("__nb")) - 1e-9
+            )
+        )
+    cand = cand.select("id_a", "id_b")
     if max_df is not None:
-        canon = sets.select("id", F.sort_array("ts").alias("key"), *bks)
+        # same single-small-file serialization risk as the token pass
+        canon = sets.select(
+            "id", F.sort_array("ts").alias("key"), *bks
+        ).repartition(fanout, "key", *bks)
         ca = canon.alias("ca")
         cb = canon.alias("cb")
         cand = cand.unionByName(
@@ -167,9 +232,13 @@ def score_part_pairs(
     25-brand catalog) with zero recall loss.
     """
     block_cols = ["p_brand"] if threshold > 0.7 else None
+    # name_jaccard is the only unbounded-from-below component: brand_eq
+    # and size_sim cap at 0.3 + 0.2, so score >= threshold REQUIRES
+    # J >= (threshold - 0.5)/0.5 — a recall-lossless candidate prune.
     pairs = blocked_candidate_pairs(
         part, "p_partkey", "p_name", max_df=max_df, block_cols=block_cols,
         carry_cols=["p_brand", "p_size"],
+        min_jaccard=max(0.0, (threshold - 0.5) / 0.5),
     )
     scored = (
         pairs.select(
