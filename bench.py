@@ -184,6 +184,7 @@ HEADLINE = [
     "spans_clock_skew_audit",
     "lpa_trade_communities",
     "spans_mad_outliers",
+    "spans_tail_sampling",
 ]
 
 

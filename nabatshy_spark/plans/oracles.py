@@ -4666,3 +4666,26 @@ SELECT dev.service,
 FROM dev JOIN mad ON dev.service = mad.service
 GROUP BY dev.service ORDER BY dev.service
 """.format(spans=_SPANS)
+
+ORACLES["spans_tail_sampling"] = f"""
+WITH traces AS (
+  SELECT trace_id, count(*) AS n_spans,
+         (max(end_time_unix_nano) - min(start_time_unix_nano))::DOUBLE AS dur,
+         max(CASE WHEN len(list_filter(events, e -> e.name = 'exception')) > 0
+                  THEN 1 ELSE 0 END) AS has_err
+  FROM {{spans}} GROUP BY trace_id
+),
+p AS (SELECT quantile_cont(dur, 0.99) AS p99 FROM traces),
+decided AS (
+  SELECT t.*,
+         CASE WHEN has_err = 1 THEN 'error_keep'
+              WHEN dur > p.p99 THEN 'slow_tail_keep'
+              WHEN substr(md5(trace_id), 1, 4) < '199a' THEN 'random_keep'
+              ELSE 'drop' END AS decision
+  FROM traces t, p
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM decided)
+SELECT decision, count(*)::BIGINT AS n_traces, sum(n_spans)::BIGINT AS n_spans,
+       round(count(*) / (SELECT n FROM tot), 6) AS trace_share
+FROM decided GROUP BY decision ORDER BY decision
+""".format(spans=_SPANS)

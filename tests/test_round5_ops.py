@@ -606,3 +606,24 @@ def test_mad_outliers_are_a_minority_and_counts_bound(spark, sf_dir):
         assert r.n_outliers * 2 < r.n_spans
         assert r.median_ms > 0 and r.mad_ms >= 0
         assert abs(r.outlier_rate - round(r.n_outliers / r.n_spans, 6)) < 1e-9
+
+
+def test_tail_sampling_partitions_all_traces(spark, sf_dir):
+    from nabatshy_spark.plans.span_queries import load_spans
+
+    rows = {r.decision: r for r in QUERIES["spans_tail_sampling"](
+        spark, sf_dir).collect()}
+    df = load_spans(spark)
+    assert sum(r.n_traces for r in rows.values()) == (
+        df.select("trace_id").distinct().count()
+    )
+    assert sum(r.n_spans for r in rows.values()) == df.count()
+    assert abs(sum(r.trace_share for r in rows.values()) - 1.0) < 1e-4
+    # every error trace is kept: count independently
+    n_err = (
+        df.filter(
+            F.exists("events", lambda e: e["name"] == F.lit("exception"))
+        )
+        .select("trace_id").distinct().count()
+    )
+    assert rows["error_keep"].n_traces == n_err
