@@ -185,6 +185,7 @@ HEADLINE = [
     "lpa_trade_communities",
     "spans_mad_outliers",
     "spans_tail_sampling",
+    "association_rules_parts",
 ]
 
 

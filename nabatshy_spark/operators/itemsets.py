@@ -28,19 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def frequent_pairs(
+def _pair_support_relations(
     df: DataFrame,
     basket_col: str,
     item_col: str,
-    min_support: int = 3,
-    max_basket: int = 1000,
-    k: int = 100,
-) -> DataFrame:
-    """Unordered item pairs co-occurring in ≥ ``min_support`` distinct
-    baskets, top ``k`` by support (desc; item ids asc as tiebreak).
-    Input rows are (basket, item) — duplicates within a basket are
-    collapsed first so support counts baskets, not rows.
-    """
+    min_support: int,
+    max_basket: int,
+):
+    """Shared A-priori core: (pair supports, frequent-item supports,
+    capped-basket grand total as a 1-row frame). Pair supports are
+    already filtered to >= min_support."""
     # One basket-keyed group replaces the old plan's (basket,item)
     # DISTINCT + separate basket-size aggregate: collect_set dedups
     # within the basket and the cap filters on the array size, so the
@@ -58,8 +55,9 @@ def frequent_pairs(
         kv.groupBy("item")
         .agg(F.count("*").alias("__sup"))
         .filter(F.col("__sup") >= min_support)
-        .select("item")
     )
+    item_sup = frequent_items.select("item", "__sup")
+    frequent_items = frequent_items.select("item")
     # The frequent-item relation is bounded by the catalog, orders of
     # magnitude below the fact table — broadcast it so the A-priori
     # prune costs no item-keyed shuffle of kv.
@@ -82,10 +80,86 @@ def frequent_pairs(
             )
         ).alias("p")
     ).select("p.item_a", "p.item_b")
-    return (
+    pair_sup = (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
+    )
+    n_baskets = capped.agg(F.count("*").cast("double").alias("__n_baskets"))
+    return pair_sup, item_sup, n_baskets
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    max_basket: int = 1000,
+    k: int = 100,
+) -> DataFrame:
+    """Unordered item pairs co-occurring in >= ``min_support`` distinct
+    baskets, top ``k`` by support (desc; item ids asc as tiebreak).
+    Input rows are (basket, item) — duplicates within a basket are
+    collapsed first so support counts baskets, not rows.
+    """
+    pair_sup, _, _ = _pair_support_relations(
+        df, basket_col, item_col, min_support, max_basket
+    )
+    return pair_sup.orderBy(
+        F.col("support").desc(),
+        F.col("item_a").asc(),
+        F.col("item_b").asc(),
+    ).limit(k)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    max_basket: int = 1000,
+    k: int = 100,
+) -> DataFrame:
+    """A-priori association rules (Agrawal/Srikant, public) over the
+    frequent pairs: per unordered pair, support, directional
+    confidences conf(a→b) = sup(ab)/sup(a) and conf(b→a), and
+    lift = sup(ab)·N / (sup(a)·sup(b)) over the capped-basket
+    universe. Top ``k`` by support with item-id tiebreaks (support is
+    an integer, so the ordering — unlike one on float lift — is
+    engine-exact).
+
+    Scale shape: everything reuses the frequent-pair core (one basket
+    regroup + bounded in-array pair expansion); item supports are a
+    catalog-bounded relation broadcast onto the pair table, and the
+    basket grand total is a 1-row broadcast — nothing new that is
+    fact-proportional.
+    """
+    pair_sup, item_sup, n_baskets = _pair_support_relations(
+        df, basket_col, item_col, min_support, max_basket
+    )
+    sa = item_sup.select(
+        F.col("item").alias("item_a"), F.col("__sup").alias("__sa")
+    )
+    sb = item_sup.select(
+        F.col("item").alias("item_b"), F.col("__sup").alias("__sb")
+    )
+    return (
+        pair_sup.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .join(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(F.col("support") / F.col("__sa"), 6).alias("conf_a_to_b"),
+            F.round(F.col("support") / F.col("__sb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("support")
+                * F.col("__n_baskets")
+                / (F.col("__sa") * F.col("__sb")),
+                6,
+            ).alias("lift"),
+        )
         .orderBy(
             F.col("support").desc(),
             F.col("item_a").asc(),

@@ -2035,3 +2035,21 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # round-4 additions live in their own module; importing it registers them.
 from nabatshy_spark.plans import pipeline_queries as _pipeline_queries  # noqa: E402,F401
+
+
+@query("association_rules_parts")
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over part co-orders (operators/itemsets.py
+    association_rules): support, directional confidences, and lift per
+    frequent pair — the actionable layer above frequent_part_pairs.
+    Item supports broadcast onto the pair relation; basket total is a
+    1-row broadcast."""
+    from nabatshy_spark.operators import itemsets
+
+    return itemsets.association_rules(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=3,
+        k=100,
+    )

@@ -4689,3 +4689,34 @@ SELECT decision, count(*)::BIGINT AS n_traces, sum(n_spans)::BIGINT AS n_spans,
        round(count(*) / (SELECT n FROM tot), 6) AS trace_share
 FROM decided GROUP BY decision ORDER BY decision
 """.format(spans=_SPANS)
+
+ORACLES["association_rules_parts"] = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), capped AS (
+  SELECT basket, item FROM b
+  WHERE basket IN (
+    SELECT basket FROM b GROUP BY basket HAVING count(*) <= 1000
+  )
+), isup AS (
+  SELECT item, count(*) AS s FROM capped GROUP BY item HAVING count(*) >= 3
+), kept AS (
+  SELECT basket, item FROM capped WHERE item IN (SELECT item FROM isup)
+), psup AS (
+  SELECT a.item AS item_a, c.item AS item_b, count(*) AS support
+  FROM kept a JOIN kept c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY a.item, c.item
+  HAVING count(*) >= 3
+), tot AS (
+  SELECT count(DISTINCT basket)::DOUBLE AS n FROM capped
+)
+SELECT p.item_a, p.item_b, p.support::BIGINT AS support,
+       round(p.support * 1.0 / sa.s, 6) AS conf_a_to_b,
+       round(p.support * 1.0 / sb.s, 6) AS conf_b_to_a,
+       round(p.support * (SELECT n FROM tot) / (sa.s * sb.s), 6) AS lift
+FROM psup p
+JOIN isup sa ON p.item_a = sa.item
+JOIN isup sb ON p.item_b = sb.item
+ORDER BY support DESC, item_a ASC, item_b ASC
+LIMIT 100
+"""

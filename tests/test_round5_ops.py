@@ -627,3 +627,20 @@ def test_tail_sampling_partitions_all_traces(spark, sf_dir):
         .select("trace_id").distinct().count()
     )
     assert rows["error_keep"].n_traces == n_err
+
+
+def test_association_rules_consistent_with_pairs(spark, sf_dir):
+    """Rules must carry the same (pair, support) set as frequent pairs
+    and obey the confidence/lift identities."""
+    pairs = {
+        (r.item_a, r.item_b): r.support
+        for r in QUERIES["frequent_part_pairs"](spark, sf_dir).collect()
+    }
+    rules = QUERIES["association_rules_parts"](spark, sf_dir).collect()
+    assert {(r.item_a, r.item_b): r.support for r in rules} == pairs
+    for r in rules:
+        assert 0.0 < r.conf_a_to_b <= 1.0
+        assert 0.0 < r.conf_b_to_a <= 1.0
+        assert r.lift > 0
+        # lift = conf(a->b) / P(b): lift > conf_a_to_b iff P(b) < 1
+        assert r.lift >= r.conf_a_to_b
