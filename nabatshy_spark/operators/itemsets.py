@@ -49,6 +49,11 @@ def _pair_support_relations(
         .groupBy("basket")
         .agg(F.collect_set("item").alias("items"))
         .filter(F.size("items") <= max_basket)
+        # materialized once on first use (non-eager, so no extra job):
+        # item supports, the A-priori prune, and the basket total are
+        # three consumers that would otherwise each re-scan the fact
+        # table and redo the basket shuffle
+        .localCheckpoint(eager=False)
     )
     kv = capped.select("basket", F.explode("items").alias("item"))
     frequent_items = (
