@@ -186,6 +186,7 @@ HEADLINE = [
     "spans_mad_outliers",
     "spans_tail_sampling",
     "association_rules_parts",
+    "spans_attr_facets",
 ]
 
 

@@ -4720,3 +4720,23 @@ JOIN isup sb ON p.item_b = sb.item
 ORDER BY support DESC, item_a ASC, item_b ASC
 LIMIT 100
 """
+
+ORACLES["spans_attr_facets"] = f"""
+WITH kv AS (
+  SELECT unnest(sa_keys) AS attr_key, unnest(sa_values) AS attr_value
+  FROM {{spans}}
+),
+counts AS (
+  SELECT attr_key, attr_value, count(*) AS n_spans
+  FROM kv GROUP BY 1, 2
+),
+ranked AS (
+  SELECT attr_key, attr_value, n_spans,
+         row_number() OVER (
+           PARTITION BY attr_key ORDER BY n_spans DESC, attr_value ASC
+         ) AS rank
+  FROM counts
+)
+SELECT attr_key, rank::BIGINT AS rank, attr_value, n_spans::BIGINT AS n_spans
+FROM ranked WHERE rank <= 5 ORDER BY attr_key, rank
+""".format(spans=_SPANS)

@@ -644,3 +644,20 @@ def test_association_rules_consistent_with_pairs(spark, sf_dir):
         assert r.lift > 0
         # lift = conf(a->b) / P(b): lift > conf_a_to_b iff P(b) < 1
         assert r.lift >= r.conf_a_to_b
+
+
+def test_attr_facets_ranked_and_bounded(spark, sf_dir):
+    from nabatshy_spark.plans.span_queries import load_spans
+
+    rows = QUERIES["spans_attr_facets"](spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.attr_key, []).append(r)
+    df = load_spans(spark)
+    total_kv = df.select(F.explode("sa_keys")).count()
+    assert sum(r.n_spans for r in rows) <= total_kv
+    for key, rs in by_key.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        counts = [r.n_spans for r in rs]
+        assert counts == sorted(counts, reverse=True)
