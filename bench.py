@@ -187,6 +187,8 @@ HEADLINE = [
     "spans_tail_sampling",
     "association_rules_parts",
     "spans_attr_facets",
+    "customer_reorder_intervals",
+    "embedding_pca_variance",
 ]
 
 

@@ -464,3 +464,56 @@ def pq_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pca_variance_report(df: DataFrame, vec_col: str) -> DataFrame:
+    """Explained-variance spectrum of an embedding column — the PCA
+    screen that decides how many dimensions actually carry signal
+    (whitening / dimensionality-reduction precursor, Pearson/Hotelling,
+    public). Eigenvalues come from the CENTERED covariance: the
+    distributed work is the same one-pass d×d second-moment fold as
+    :func:`gram_matrix` plus a d-vector mean — nothing row-proportional
+    shuffles — and the eigendecomposition runs driver-side on the d×d
+    matrix (d² scalars, the same O(1)-to-driver discipline as k-means
+    centroids).
+
+    Returns (component, eigenvalue, explained_var_ratio,
+    cumulative_ratio), components ordered by eigenvalue descending.
+    Approximate at no point — but eigensolvers' float details differ
+    across libraries, so this is a rows-only query (no SQL oracle);
+    the unit test pins trace identity (Σλ = total variance), ordering,
+    and non-negativity."""
+    import numpy as np
+
+    # one pass for n + per-dim sums (d floats); gram fold for the d x d
+    d_probe = len(df.select(vec_col).first()[0])
+    sums = df.select(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"__s{i}")
+            for i in range(d_probe)
+        ],
+    ).collect()[0]
+    n = sums["__n"]
+    mean = np.array([sums[f"__s{i}"] for i in range(d_probe)]) / n
+    g_rows = gram_matrix(df, vec_col).collect()
+    g = np.zeros((d_probe, d_probe))
+    for r in g_rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+    cov = g / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    evals = np.clip(evals, 0.0, None)
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for i, ev in enumerate(evals):
+        ratio = float(ev / total) if total > 0 else 0.0
+        cum += ratio
+        rows.append((i + 1, round(float(ev), 6), round(ratio, 6),
+                     round(cum, 6)))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var_ratio double, "
+        "cumulative_ratio double",
+    )

@@ -4740,3 +4740,22 @@ ranked AS (
 SELECT attr_key, rank::BIGINT AS rank, attr_value, n_spans::BIGINT AS n_spans
 FROM ranked WHERE rank <= 5 ORDER BY attr_key, rank
 """.format(spans=_SPANS)
+
+ORACLES["customer_reorder_intervals"] = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+           o_orderdate)::DOUBLE AS gap
+  FROM orders
+)
+SELECT c.c_mktsegment AS segment,
+       count(*)::BIGINT AS n_gaps,
+       round(quantile_cont(g.gap, 0.25), 6) AS p25_days,
+       round(quantile_cont(g.gap, 0.5), 6) AS median_days,
+       round(quantile_cont(g.gap, 0.75), 6) AS p75_days,
+       round(avg(g.gap), 6) AS mean_days
+FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE g.gap IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""

@@ -2661,3 +2661,58 @@ def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("community").cast("long").alias("community"),
     ).orderBy("node")
+
+
+@query("customer_reorder_intervals")
+def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cadence distribution per market segment: the gap in
+    days between a customer's consecutive orders, rolled up to
+    per-segment count / exact quartiles / mean — the replenishment
+    signal inventory planning reads. One (custkey) window ordered by
+    date computes the lag gap (single shuffle keyed by customer), then
+    a tiny per-segment aggregate; gaps are integer days so the
+    quartiles are engine-exact."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        orders.withColumn("__prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "__prev").cast("double").alias("__gap"),
+        )
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.percentile("__gap", F.lit(0.25)), 6).alias("p25_days"),
+            F.round(F.percentile("__gap", F.lit(0.5)), 6).alias(
+                "median_days"
+            ),
+            F.round(F.percentile("__gap", F.lit(0.75)), 6).alias("p75_days"),
+            F.round(F.avg("__gap"), 6).alias("mean_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query("embedding_pca_variance")
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance spectrum of the embeddings table
+    (similarity.pca_variance_report): distributed one-pass mean +
+    Gram fold, driver-side eigh on the d x d covariance (O(1)
+    scalars). Rows-only driver check — eigensolver float details
+    differ across engines; the unit test pins the trace identity and
+    spectrum shape instead."""
+    from nabatshy_spark.operators.similarity import pca_variance_report
+
+    return pca_variance_report(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )

@@ -661,3 +661,21 @@ def test_attr_facets_ranked_and_bounded(spark, sf_dir):
         assert len(rs) <= 5
         counts = [r.n_spans for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_pca_variance_spectrum_is_sound(spark, sf_dir):
+    """Eigenvalue sum must equal total per-dimension variance (trace
+    identity), ratios must be a descending simplex, cumulative must
+    end at ~1."""
+    import numpy as np
+
+    rows = QUERIES["embedding_pca_variance"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    x = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    total_var = float(x.var(axis=0).sum())  # population variance trace
+    evals = [r.eigenvalue for r in rows]
+    assert abs(sum(evals) - total_var) < 1e-3 * max(1.0, total_var)
+    assert evals == sorted(evals, reverse=True)
+    assert all(e >= 0 for e in evals)
+    assert abs(rows[-1].cumulative_ratio - 1.0) < 1e-4
+    assert [r.component for r in rows] == list(range(1, len(rows) + 1))
