@@ -486,7 +486,14 @@ def pca_variance_report(df: DataFrame, vec_col: str) -> DataFrame:
     import numpy as np
 
     # one pass for n + per-dim sums (d floats); gram fold for the d x d
-    d_probe = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()  # O(1) schema probe
+    if probe is None:  # empty table: no spectrum
+        return df.sparkSession.createDataFrame(
+            [],
+            "component int, eigenvalue double, explained_var_ratio double, "
+            "cumulative_ratio double",
+        )
+    d_probe = len(probe[0])
     sums = df.select(
         F.count("*").alias("__n"),
         *[
