@@ -189,6 +189,9 @@ HEADLINE = [
     "spans_attr_facets",
     "customer_reorder_intervals",
     "embedding_pca_variance",
+    "supplier_scorecard",
+    "discount_elasticity_by_brand",
+    "spans_error_pareto",
 ]
 
 

@@ -4759,3 +4759,54 @@ FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
 WHERE g.gap IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["supplier_scorecard"] = """
+SELECT s.s_suppkey::BIGINT AS suppkey, s.s_name,
+       count(*)::BIGINT AS n_lines,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END), 6)
+         AS return_rate,
+       round(avg(l.l_discount), 6) AS avg_discount,
+       round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 6)
+         AS avg_ship_lag_days
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY revenue DESC, suppkey ASC
+LIMIT 25
+"""
+
+ORACLES["discount_elasticity_by_brand"] = """
+SELECT p.p_brand AS brand,
+       count(*)::BIGINT AS n_lines,
+       round(regr_slope(l.l_quantity, l.l_discount), 6)
+         AS qty_per_discount,
+       round(corr(l.l_quantity, l.l_discount), 6) AS correlation,
+       round(avg(l.l_quantity), 6) AS avg_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["spans_error_pareto"] = f"""
+WITH per AS (
+  SELECT scope_name AS service, name AS endpoint, count(*) AS n_errors
+  FROM {{spans}}
+  WHERE len(list_filter(events, e -> e.name = 'exception')) > 0
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_errors)::DOUBLE AS t FROM per),
+ranked AS (
+  SELECT service, endpoint, n_errors,
+         row_number() OVER (
+           ORDER BY n_errors DESC, service ASC, endpoint ASC) AS rank,
+         sum(n_errors) OVER (
+           ORDER BY n_errors DESC, service ASC, endpoint ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errors
+  FROM per
+)
+SELECT rank::BIGINT AS rank, service, endpoint, n_errors::BIGINT AS n_errors,
+       round(cum_errors / (SELECT t FROM tot), 6) AS cum_error_share
+FROM ranked ORDER BY rank
+""".format(spans=_SPANS)

@@ -2716,3 +2716,87 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_variance_report(
         load(spark, sf_dir, "embeddings"), "embedding"
     )
+
+
+@query("supplier_scorecard")
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier reliability scorecard — the vendor-review rollup:
+    line volume, DECIMAL-exact revenue, return rate, average discount
+    given, and average order-to-ship lag, top 25 suppliers by revenue.
+    One fact pass with every metric as a conditional aggregate; orders
+    pre-shrinks to (orderkey, orderdate) before the join and the
+    supplier dim broadcasts — the fact table shuffles once, keyed by
+    supplier."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = F.broadcast(
+        load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey"
+        )
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.round(
+                F.avg((F.col("l_returnflag") == "R").cast("int")), 6
+            ).alias("return_rate"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(
+                F.avg(F.datediff("l_shipdate", "o_orderdate")), 6
+            ).alias("avg_ship_lag_days"),
+        )
+    )
+    return (
+        per.join(supp, per.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            "n_lines",
+            "revenue",
+            "return_rate",
+            "avg_discount",
+            "avg_ship_lag_days",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("suppkey").asc())
+        .limit(25)
+    )
+
+
+@query("discount_elasticity_by_brand")
+def discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-vs-discount response per brand — the pricing-analytics
+    regression (does a deeper discount move more units?): per-brand
+    regr_slope / corr / count over the lineitem⋈part scan. Built-in
+    regression aggregates (one pass, partial-combined, same family as
+    the Zipf/Heaps fits); the part dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_discount").cast("double").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("qty_per_discount"),
+            F.round(F.expr("corr(y, x)"), 6).alias("correlation"),
+            F.round(F.avg("y"), 6).alias("avg_qty"),
+        )
+        .orderBy("brand")
+    )

@@ -679,3 +679,37 @@ def test_pca_variance_spectrum_is_sound(spark, sf_dir):
     assert all(e >= 0 for e in evals)
     assert abs(rows[-1].cumulative_ratio - 1.0) < 1e-4
     assert [r.component for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_scorecard_rates_bounded_and_ordered(spark, sf_dir):
+    rows = QUERIES["supplier_scorecard"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.return_rate <= 1.0
+        assert 0.0 <= r.avg_discount <= 1.0
+        assert r.n_lines > 0
+
+
+def test_elasticity_covers_every_brand_once(spark, sf_dir):
+    rows = QUERIES["discount_elasticity_by_brand"](spark, sf_dir).collect()
+    brands = [r.brand for r in rows]
+    assert len(brands) == len(set(brands))
+    n_brands = (
+        load(spark, sf_dir, "part").select("p_brand").distinct().count()
+    )
+    assert len(brands) == n_brands
+    for r in rows:
+        assert -1.0 <= r.correlation <= 1.0
+
+
+def test_error_pareto_cumulates_to_one(spark, sf_dir):
+    rows = QUERIES["spans_error_pareto"](spark, sf_dir).collect()
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_error_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-4
+    counts = [r.n_errors for r in rows]
+    assert counts == sorted(counts, reverse=True)
