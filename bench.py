@@ -192,6 +192,9 @@ HEADLINE = [
     "supplier_scorecard",
     "discount_elasticity_by_brand",
     "spans_error_pareto",
+    "spans_trace_shapes",
+    "vocab_oov_rate_by_source",
+    "user_lifecycle_states",
 ]
 
 

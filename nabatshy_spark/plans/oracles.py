@@ -4810,3 +4810,76 @@ SELECT rank::BIGINT AS rank, service, endpoint, n_errors::BIGINT AS n_errors,
        round(cum_errors / (SELECT t FROM tot), 6) AS cum_error_share
 FROM ranked ORDER BY rank
 """.format(spans=_SPANS)
+
+ORACLES["spans_trace_shapes"] = f"""
+WITH traces AS (
+  SELECT trace_id,
+         md5(array_to_string(
+           list_sort(list(scope_name || ':' || name)), ',')) AS shape_id,
+         list_sort(list(scope_name || ':' || name)) AS calls,
+         count(*) AS n_spans,
+         sum(duration_ns) AS dur
+  FROM {{spans}}
+  GROUP BY trace_id
+)
+SELECT shape_id,
+       count(*)::BIGINT AS n_traces,
+       max(len(calls))::BIGINT AS n_spans_per_trace,
+       round(avg(dur) / 1e6, 6) AS avg_trace_ms,
+       min(array_to_string(calls, ',')) AS example_calls
+FROM traces GROUP BY shape_id
+ORDER BY n_traces DESC, shape_id ASC
+LIMIT 20
+""".format(spans=_SPANS)
+
+ORACLES["vocab_oov_rate_by_source"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS c FROM toks GROUP BY t
+    ORDER BY c DESC, t ASC LIMIT 1000
+  )
+)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END)::BIGINT
+         AS n_oov,
+       round(sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS oov_rate
+FROM toks GROUP BY source ORDER BY source
+"""
+
+ORACLES["user_lifecycle_states"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+bounds AS (SELECT max(d) AS maxd FROM days),
+marked AS (
+  SELECT user_id, d,
+         lag(d)  OVER (PARTITION BY user_id ORDER BY d) AS prev,
+         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+  FROM days
+),
+states AS (
+  SELECT d AS day,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN date_diff('day', prev, d) = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM marked
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY AS day, 'churned' AS state
+  FROM marked, bounds
+  WHERE d < maxd AND (nxt IS NULL OR date_diff('day', d, nxt) > 1)
+)
+SELECT day::DATE AS day,
+       sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)::BIGINT
+         AS n_retained,
+       sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+         AS n_resurrected,
+       sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END)::BIGINT
+         AS n_churned
+FROM states GROUP BY 1 ORDER BY 1
+"""

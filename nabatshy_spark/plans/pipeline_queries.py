@@ -2800,3 +2800,98 @@ def discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query("vocab_oov_rate_by_source")
+def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage screen: per source, the share of token
+    occurrences falling OUTSIDE the corpus's top-1000 vocabulary — the
+    out-of-vocabulary rate that predicts how a fixed tokenizer will
+    fragment each feed. One corpus explode; the top-k vocabulary is a
+    TakeOrdered k-row relation broadcast back onto the token stream;
+    per-source rates are one conditional aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("__t")
+    )
+    vocab = (
+        toks.groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(1000)
+        .select("__t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("user_lifecycle_states")
+def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the product-analytics state machine):
+    for every active day, how many users were NEW (first-ever day),
+    RETAINED (also active the previous day), RESURRECTED (returning
+    after a gap), and how many CHURNED out of the previous day (active
+    yesterday, silent today). One (user, day) distinct, one user-keyed
+    lag/lead window — a single shuffle keyed by user — then a tiny
+    per-day conditional aggregate; churn attributes to the day after
+    the last active day and the corpus's final day never charges churn
+    (right-censored, same convention as the KM survival query). All
+    counts are integers over date arithmetic: engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    bounds = ev.agg(F.max("d").alias("__maxd"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = (
+        ev.withColumn("__prev", F.lag("d").over(w))
+        .withColumn("__next", F.lead("d").over(w))
+        .join(F.broadcast(bounds))
+    )
+    states = marked.select(
+        F.col("d").alias("day"),
+        F.when(F.col("__prev").isNull(), F.lit("new"))
+        .when(F.datediff("d", "__prev") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    churn = marked.filter(
+        (F.col("d") < F.col("__maxd"))
+        & (
+            F.col("__next").isNull()
+            | (F.datediff("__next", "d") > 1)
+        )
+    ).select(
+        F.date_add("d", 1).alias("day"), F.lit("churned").alias("state")
+    )
+    return (
+        states.unionByName(churn)
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("state") == "new").cast("int")).alias("n_new"),
+            F.sum((F.col("state") == "retained").cast("int")).alias(
+                "n_retained"
+            ),
+            F.sum((F.col("state") == "resurrected").cast("int")).alias(
+                "n_resurrected"
+            ),
+            F.sum((F.col("state") == "churned").cast("int")).alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("day")
+    )

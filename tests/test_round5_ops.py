@@ -713,3 +713,47 @@ def test_error_pareto_cumulates_to_one(spark, sf_dir):
     assert abs(shares[-1] - 1.0) < 1e-4
     counts = [r.n_errors for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_trace_shapes_cover_and_rank(spark, sf_dir):
+    from nabatshy_spark.plans.span_queries import load_spans
+
+    rows = QUERIES["spans_trace_shapes"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_traces for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_traces = load_spans(spark).select("trace_id").distinct().count()
+    assert sum(counts) <= n_traces
+    for r in rows:
+        assert r.n_spans_per_trace == len(r.example_calls.split(","))
+
+
+def test_oov_rate_identities(spark, sf_dir):
+    rows = QUERIES["vocab_oov_rate_by_source"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    total = docs.select(F.explode(F.split("text", " "))).count()
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - round(r.n_oov / r.n_tokens, 6)) < 1e-9
+
+
+def test_growth_accounting_conservation(spark, sf_dir):
+    """Each user is 'new' exactly once, and every non-first active day
+    is retained or resurrected — state counts conserve the (user, day)
+    relation."""
+    ev = load(spark, sf_dir, "events")
+    rows = QUERIES["user_lifecycle_states"](spark, sf_dir).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_new for r in rows) == n_users
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct().count()
+    assert (
+        sum(r.n_new + r.n_retained + r.n_resurrected for r in rows)
+        == user_days
+    )
+    # resurrections require an earlier churn
+    assert sum(r.n_resurrected for r in rows) <= sum(
+        r.n_churned for r in rows
+    )
