@@ -41,51 +41,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-5 window: 50 oracle-backed queries that have never had
-    # an external CORRECTNESS row (r1+r2+r4 cover 139 of 221; every slot
-    # buys a first-ever check). All r4-window queries passed and their
-    # rows stand.
-    # Reference-parity span analytics still unchecked.
-    "spans_anomalous_traces", "spans_duration_histogram",
-    "spans_error_budget", "spans_latency_trend",
-    "spans_top_endpoints_per_service",
-    # SQL-API TPC-H analogues (Q3/Q6/Q8/Q9/Q10/Q12/Q13/Q15 + backlog).
-    "sql_customer_distribution", "sql_discounted_revenue",
-    "sql_market_share", "sql_order_backlog", "sql_order_ship_lag",
-    "sql_product_profit", "sql_returned_item_report",
-    "sql_top_customers_per_nation", "sql_top_supplier",
-    # Round-2 VERDICT rotate-asks that never made a window.
-    "bucketed_revenue_join", "zorder_pruning_stats",
-    # ADVICE r4 fix (double-rounding) — external proof of the fix.
-    "user_stickiness",
-    # Training-data pipeline: dedup/curation/text stack.
-    "dedup_keep_best", "dedup_cluster_stats", "dup_threshold_curve",
-    "repeated_ngram_docs", "source_overlap_matrix", "source_kl_drift",
-    "split_leakage_audit", "curation_funnel", "token_count_histogram",
-    "tokenizer_fertility_by_lang", "text_repetition",
-    "doc_token_entropy", "langid_confusion",
-    "length_quality_correlation", "bigram_fluency_scores",
-    # Behavioral / event analytics.
-    "cohort_retention", "event_transitions", "top_session_paths",
-    "time_to_convert", "conversion_attribution", "user_burstiness",
-    "user_type_scd2", "events_dow_hour_profile",
-    "hourly_event_forecast", "ab_test_lift", "audience_overlap",
-    "customer_rfm_segments",
-    # Business rollups + data-infra audits.
-    "brand_affinity", "supplier_concentration", "revenue_gini",
-    "order_priority_sla", "data_quality_report", "fk_integrity_audit",
-    # (join_skew_report, video_scene_changes, the remaining ~25
-    # never-checked oracle-backed queries, the 11 rows-only ones, and
-    # this round's new operators — embedding_label_drift,
-    # decontaminate_semantic, epoch_shuffle_order, padding_efficiency,
-    # sql_brand_qty_revenue, parquet_layout_audit, search_eval_ndcg,
-    # partition_size_advisor, plus the round-5-closing additions
-    # dsir_selection, search_hard_negatives, l_diversity_audit,
-    # spans_burn_rate_alerts, spans_retry_storms,
-    # spans_clock_skew_audit, lpa_trade_communities,
-    # spans_mad_outliers — rotate in next round. Exactly 50 entries
-    # above — the driver checks the FIRST 50 only; entry #51 would
-    # silently never get a row.)
+    # ---- Round-6 window: 50 oracle-backed queries that have never had
+    # an external CORRECTNESS row (r1+r2+r4+r5 cover 189 of 273; every
+    # slot buys a first-ever check).  All 50 r5-window queries passed
+    # and their rows stand.
+    # Reference-parity span analytics (SURVEY §2.4-§2.6 forms).
+    "spans_burn_rate_alerts", "spans_retry_storms",
+    "spans_clock_skew_audit", "spans_mad_outliers",
+    "spans_tail_sampling", "spans_attr_facets",
+    "spans_error_pareto", "spans_trace_shapes",
+    # SQL-API TPC-H analogues (Q2/Q14/Q16/Q18 family).
+    "sql_important_parts", "sql_supplier_part_variety",
+    "sql_promo_part_suppliers", "sql_brand_qty_revenue",
+    # Training-data pipeline: curation/selection/eval stack.
+    "gopher_rule_flags", "decontaminate_semantic", "dsir_selection",
+    "search_hard_negatives", "search_eval_ndcg", "epoch_shuffle_order",
+    "padding_efficiency", "embedding_label_drift", "pmi_collocations",
+    "heaps_law_fit", "flesch_readability", "spearman_length_vocab",
+    "chi2_lang_source", "ks_source_drift", "vocab_oov_rate_by_source",
+    "k_anonymity_audit", "l_diversity_audit", "export_shard_plan",
+    # Data-infra audits / CDC / retention.
+    "parquet_layout_audit", "partition_size_advisor",
+    "join_skew_report", "stream_batch_parity_rollup",
+    "retention_purge", "retention_purge_audit",
+    "orders_snapshot_diff", "orders_diff_summary",
+    "scd2_point_in_time_join", "feature_spine_join",
+    # Robust/ordered analytics over the TPC-H tables.
+    "weighted_median_price", "winsorized_values",
+    "order_value_deciles", "lineitem_correlations",
+    "hourly_latency_percentiles", "weekly_revenue_wow",
+    "nation_revenue_share", "local_supplier_volume",
+    "shipping_priority", "supplier_scorecard",
+    # (The remaining 26 never-checked oracle-backed queries —
+    # sliding_window_counts, embedding_gram, series_anomalies,
+    # trade_triangles, cms_user_counts, bloom_purchase_users,
+    # frequent_part_pairs, value_trends, approx_revenue_estimate,
+    # trade_reach_hops, video_scene_changes, km_churn_survival,
+    # benford_price_audit, did_purchase_lift, hourly_acf,
+    # cusum_changepoints, funnel_bypass_rate, seasonal_decomposition,
+    # robust_outlier_days, poisson_bootstrap_ci,
+    # quantile_calibration_by_source, lpa_trade_communities,
+    # customer_reorder_intervals, discount_elasticity_by_brand,
+    # user_lifecycle_states, association_rules_parts — plus the 8
+    # rows-only ones and round-6 additions rotate in next round.
+    # Exactly 50 entries above — the driver checks the FIRST 50 only;
+    # entry #51 would silently never get a row.)
 ]
 
 

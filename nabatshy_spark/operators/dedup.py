@@ -913,6 +913,13 @@ def connected_components(
     if local_threshold is None:
         import os as _os
 
+        # Driver-memory note (ADVICE r5): the local path holds a
+        # union-find dict of up to 2x this many entries on the driver
+        # (~60-100 MB per million edges in CPython). Edges themselves
+        # are STREAMED partition-at-a-time (toLocalIterator below), not
+        # collect()ed as a Row list, so the dict is the only
+        # driver-resident state. Raise NABATSHY_LOCAL_CC_EDGES only
+        # with a matching spark.driver.memory bump.
         local_threshold = int(
             _os.environ.get("NABATSHY_LOCAL_CC_EDGES", "1000000")
         )
@@ -928,7 +935,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        for r in edges.toLocalIterator():
             u, v = r["u"], r["v"]
             if u not in parent:
                 parent[u] = u

@@ -56,6 +56,10 @@ def search_and(
     the AND is the HAVING distinct-term-count == len(terms) — no
     N-way self-join, no ordering sensitivity.
     """
+    # Dedup: a repeated query term would make the distinct-count ==
+    # len(terms) conjunction unsatisfiable (same family as the
+    # hard_negatives leak, ADVICE r5).
+    terms = sorted(set(terms))
     if not terms:
         raise ValueError("need at least one query term")
     matched = postings.filter(F.col("term").isin(terms))
@@ -146,8 +150,12 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
+    # Dedup up front: duplicate query terms would inflate len(terms)
+    # so true full matches (the positives) leak past the < len(terms)
+    # filter into the negatives set (ADVICE r5).
+    terms = sorted(set(terms))
     if len(terms) < 2:
-        raise ValueError("hard negatives need >= 2 query terms")
+        raise ValueError("hard negatives need >= 2 distinct query terms")
     consts = doc_lens.agg(
         F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
     )

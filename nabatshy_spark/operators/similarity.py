@@ -44,6 +44,40 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact cosine RANGE search: every vector with cosine ≥
+    ``threshold`` to the vector of ``query_id`` (itself excluded) —
+    the all-neighbors twin of :func:`cosine_topk` (radius query instead
+    of k-nearest, the shape dedup/contamination sweeps want).
+
+    Scale shape: identical to topk — the 1-row query side is broadcast,
+    the corpus is scanned once, the threshold filter is a codegen'd
+    predicate on the scan output, and NOTHING shuffles (the final sort
+    is over the matched handful, not the corpus). The IVF/LSH variants
+    prune the scan when the radius is tight; this is the exact
+    reference plan they are checked against.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    )
+
+
 # --- random-hyperplane LSH -------------------------------------------------
 
 
@@ -493,14 +527,32 @@ def pca_variance_report(df: DataFrame, vec_col: str) -> DataFrame:
             "component int, eigenvalue double, explained_var_ratio double, "
             "cumulative_ratio double",
         )
+    if probe[0] is None:
+        raise ValueError(
+            f"pca_variance_report: first {vec_col!r} value is NULL — "
+            "filter null vectors out before calling (the column must "
+            "be a non-null fixed-length array)"
+        )
     d_probe = len(probe[0])
     sums = df.select(
         F.count("*").alias("__n"),
+        # coalesce: size(NULL) is NULL in Spark 4 and min/max skip
+        # nulls, so a null vector past row 1 would otherwise slip the
+        # check while F.sum silently drops it from the moment sums.
+        F.min(F.coalesce(F.size(vec_col), F.lit(-1))).alias("__dmin"),
+        F.max(F.coalesce(F.size(vec_col), F.lit(-1))).alias("__dmax"),
         *[
             F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"__s{i}")
             for i in range(d_probe)
         ],
     ).collect()[0]
+    if sums["__dmin"] != d_probe or sums["__dmax"] != d_probe:
+        raise ValueError(
+            f"pca_variance_report: {vec_col!r} lengths vary "
+            f"(min={sums['__dmin']}, max={sums['__dmax']}, "
+            f"expected {d_probe}) — vectors must be non-null and "
+            "fixed-length"
+        )
     n = sums["__n"]
     mean = np.array([sums[f"__s{i}"] for i in range(d_probe)]) / n
     g_rows = gram_matrix(df, vec_col).collect()

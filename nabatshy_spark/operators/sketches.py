@@ -145,3 +145,44 @@ def bloom_probe(
             ),
         )
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pre-aggregated distinct counting with MERGEABLE HLL sketches
+    (Spark's built-in Apache DataSketches HllSketch, Spark 3.5+): one
+    sketch per day, weekly distincts answered by UNIONING the daily
+    sketches — never rescanning the fact table.
+
+    This is the 100 TB distinct-count architecture: the daily sketch
+    build is one partial-aggregated groupBy (a few KB of registers per
+    day regardless of cardinality), and every coarser rollup (week /
+    month / arbitrary day range) is a union of those sketches — HLL
+    union is register-wise max, so estimate(union(daily sketches)) is
+    IDENTICAL to the estimate a single sketch over the raw week would
+    give (same hash, same registers; pinned by unit test). The exact
+    twin (count_distinct) needs a full reshuffle of the fact table per
+    window asked.
+
+    Returns (week_start, est_users, n_days) — estimates as long, like
+    approx_count_distinct.
+    """
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("day"), F.col(key_col))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("week_start")
+    )

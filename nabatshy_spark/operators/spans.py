@@ -205,6 +205,51 @@ def service_dependency_graph(df: DataFrame) -> DataFrame:
     )
 
 
+def dependency_drift(df: DataFrame) -> DataFrame:
+    """Service-dependency drift: the J1 edge counts
+    (:func:`service_dependency_graph`) split into the first vs second
+    half of the observed time window, with the per-edge delta — the
+    "did the call graph change" question an operator asks after a
+    deploy (reference surface: the dependency graph api/service.go:
+    365-398 plus a time predicate, composed).
+
+    One self-join keyed on span_id (same shuffle as the plain graph);
+    the half assignment is a codegen'd conditional sum against the
+    broadcast (min+max)/2 midpoint — integer arithmetic, so Spark and
+    the oracle bucket identically. Edges missing from a half count 0
+    there (a vanished edge shows calls_h2 = 0, a new one calls_h1 = 0).
+    """
+    # Integer midpoint: min + (max-min) div 2. (min+max)/2 would round-
+    # trip through double and lose precision at ns-epoch magnitude
+    # (~3.4e18 ≫ 2^53), diverging from the oracle's integer division.
+    mid = df.agg(
+        F.min("start_time_unix_nano").alias("__mn"),
+        F.max("start_time_unix_nano").alias("__mx"),
+    ).select(F.expr("__mn + (__mx - __mn) div 2").alias("__mid"))
+    s1 = df.select(
+        F.col("span_id").alias("__pid"),
+        F.col("scope_name").alias("parent_service"),
+    )
+    s2 = df.select(
+        F.col("parent_span_id").alias("__pid"),
+        F.col("scope_name").alias("child_service"),
+        F.col("start_time_unix_nano").alias("__ts"),
+    ).filter(F.col("__pid") != "")
+    h2 = F.col("__ts") >= F.col("__mid")
+    return (
+        s1.join(s2, "__pid")
+        .filter(F.col("parent_service") != F.col("child_service"))
+        .join(F.broadcast(mid))
+        .groupBy("parent_service", "child_service")
+        .agg(
+            F.sum(F.when(~h2, 1).otherwise(0)).alias("calls_h1"),
+            F.sum(F.when(h2, 1).otherwise(0)).alias("calls_h2"),
+        )
+        .withColumn("delta", F.col("calls_h2") - F.col("calls_h1"))
+        .orderBy("parent_service", "child_service")
+    )
+
+
 def error_traces(df: DataFrame) -> DataFrame:
     """A4/F10: per-trace exception rollup — traces with ≥1 span
     carrying an 'exception' event (api/service.go:598-611 trace list +

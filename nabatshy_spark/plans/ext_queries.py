@@ -2036,6 +2036,9 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-4 additions live in their own module; importing it registers them.
 from nabatshy_spark.plans import pipeline_queries as _pipeline_queries  # noqa: E402,F401
 
+# round-6 additions, same pattern.
+from nabatshy_spark.plans import round6_queries as _round6_queries  # noqa: E402,F401
+
 
 @query("association_rules_parts")
 def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4883,3 +4883,82 @@ SELECT day::DATE AS day,
          AS n_churned
 FROM states GROUP BY 1 ORDER BY 1
 """
+
+# ---- round 6 --------------------------------------------------------------
+
+ORACLES["mv_incremental_refresh"] = """
+SELECT date_trunc('month', l_shipdate)::DATE AS ship_month,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["ann_threshold_search"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cos FROM (
+  SELECT e.vec_id,
+         round({_COS.format(a="e.embedding", b="q.qv")}, 6) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+)
+WHERE cos >= 0.25
+ORDER BY cos DESC, vec_id ASC
+"""
+
+ORACLES["blocklist_term_hits"] = """
+SELECT source, term,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_hits
+FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+WHERE term IN ('error', 'join', 'filter', 'forbiddenterm')
+GROUP BY source, term
+ORDER BY source, term
+"""
+
+ORACLES["cohort_ltv_curve"] = """
+WITH o AS (SELECT o_custkey, o_totalprice,
+                  date_trunc('quarter', o_orderdate)::DATE AS oq
+           FROM orders),
+f AS (SELECT o_custkey, min(oq) AS cohort_q FROM o GROUP BY 1),
+aged AS (SELECT f.cohort_q, o.o_totalprice,
+                (year(o.oq) - year(f.cohort_q)) * 4
+                + (quarter(o.oq) - quarter(f.cohort_q)) AS age_q
+         FROM o JOIN f USING (o_custkey)),
+agg AS (SELECT cohort_q, age_q, sum(o_totalprice) AS rev
+        FROM aged GROUP BY 1, 2),
+sizes AS (SELECT cohort_q, count(*) AS n_customers FROM f GROUP BY 1)
+SELECT a.cohort_q, a.age_q, s.n_customers,
+       round(a.rev, 2) AS revenue,
+       round(sum(a.rev) OVER (PARTITION BY a.cohort_q ORDER BY a.age_q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cum_revenue
+FROM agg a JOIN sizes s USING (cohort_q)
+ORDER BY cohort_q, age_q
+"""
+
+ORACLES["spans_dependency_drift"] = f"""
+WITH m AS (
+  SELECT min(start_time_unix_nano)
+         + (max(start_time_unix_nano) - min(start_time_unix_nano)) // 2
+           AS mid
+  FROM {_SPANS}
+)
+SELECT s1.scope_name AS parent_service,
+       s2.scope_name AS child_service,
+       sum(CASE WHEN s2.start_time_unix_nano >= m.mid THEN 0 ELSE 1 END)::BIGINT
+         AS calls_h1,
+       sum(CASE WHEN s2.start_time_unix_nano >= m.mid THEN 1 ELSE 0 END)::BIGINT
+         AS calls_h2,
+       (sum(CASE WHEN s2.start_time_unix_nano >= m.mid THEN 1 ELSE 0 END)
+        - sum(CASE WHEN s2.start_time_unix_nano >= m.mid THEN 0 ELSE 1 END))::BIGINT
+         AS delta
+FROM {_SPANS} s1
+JOIN {_SPANS} s2 ON s1.span_id = s2.parent_span_id, m
+WHERE s2.parent_span_id != ''
+  AND s1.scope_name != s2.scope_name
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -61,6 +61,36 @@ def write_bucketed(
     )
 
 
+def _schema_ddl(schema) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+
+
+def _register_external_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema,
+    keys: list[str],
+    num_buckets: int,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Register an already-on-disk bucketed layout as a catalog table.
+    Bucket ids live in the parquet file names, so a CREATE TABLE with
+    the matching CLUSTERED BY spec over the same LOCATION reads them
+    exactly as the writing session's saveAsTable table did."""
+    sort = sort_keys or keys
+    bucket_cols = ", ".join(f"`{k}`" for k in keys)
+    sort_cols = ", ".join(f"`{k}`" for k in sort)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({_schema_ddl(schema)}) "
+        f"USING parquet CLUSTERED BY ({bucket_cols}) "
+        f"SORTED BY ({sort_cols}) INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def ensure_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -73,15 +103,34 @@ def ensure_bucketed(
 
     The name embeds a content fingerprint of the source file, so a
     changed source yields a new layout rather than a stale read. The
-    in-memory catalog is session-scoped; re-registering in a fresh
-    session rewrites at most once per (source content, bucket count).
+    layout is built in a pid-unique STAGING directory and atomically
+    renamed into place (the same lifecycle as operators/ivf.py), so
+    concurrent sessions can never read a half-written or mid-overwrite
+    layout: whoever loses the rename race discards its staging copy and
+    registers the winner's (content-identical) layout.
     """
     src = os.path.join(sf_dir, f"{source}.parquet")
     fp = _source_fingerprint(src)
     table = f"nab_{source}_bkt{num_buckets}_{fp[:12]}"
-    if not spark.catalog.tableExists(table):
-        path = os.path.join(BUCKET_ROOT, table)
-        write_bucketed(spark.read.parquet(src), table, path, keys, num_buckets)
+    if spark.catalog.tableExists(table):
+        return table
+    path = os.path.join(BUCKET_ROOT, table)
+    df = spark.read.parquet(src)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging_table = f"{table}__stg{os.getpid()}"
+        staging_path = f"{path}.staging-{os.getpid()}"
+        write_bucketed(df, staging_table, staging_path, keys, num_buckets)
+        # External table: dropping it leaves the staged files in place.
+        spark.sql(f"DROP TABLE IF EXISTS `{staging_table}`")
+        try:
+            os.rename(staging_path, path)
+        except OSError:
+            # Another session published the same fingerprint first; its
+            # layout is content-identical, so use it and discard ours.
+            import shutil
+
+            shutil.rmtree(staging_path, ignore_errors=True)
+    _register_external_bucketed(spark, table, path, df.schema, keys, num_buckets)
     return table
 
 
