@@ -195,6 +195,16 @@ HEADLINE = [
     "spans_trace_shapes",
     "vocab_oov_rate_by_source",
     "user_lifecycle_states",
+    # round 6 additions
+    "mv_incremental_refresh",
+    "hll_user_rollup",
+    "ann_threshold_search",
+    "blocklist_term_hits",
+    "cohort_ltv_curve",
+    "spans_dependency_drift",
+    "cluster_safe_split",
+    "column_stats_profile",
+    "table_checksum_audit",
 ]
 
 

@@ -117,7 +117,13 @@ def blocked_candidate_pairs(
     # Σ df² rows of compute. An explicit partition count is respected
     # by AQE; keying by (token, block) keeps the equi-join co-located.
     fanout = tok.sparkSession.sparkContext.defaultParallelism
-    tok = tok.repartition(fanout, "tok", *bks)
+    # The capped posting relation feeds BOTH sides of the self-join
+    # plus the per-id survivor counts for the Jaccard prune — three
+    # consumers that would each re-run scan → explode → cap-agg → join.
+    # localCheckpoint materializes it once (tiny: one row per surviving
+    # (id, token)); the checkpoint also cuts the lineage so AQE plans
+    # each consumer from the materialized stats.
+    tok = tok.repartition(fanout, "tok", *bks).localCheckpoint(eager=False)
     a = tok.alias("a")
     b = tok.alias("b")
     # One aggregation replaces the former dropDuplicates at the same

@@ -4962,3 +4962,66 @@ WHERE s2.parent_span_id != ''
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+ORACLES["cluster_safe_split"] = """
+WITH g AS (
+  SELECT md5(text) AS grp, count(*) AS n
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT CASE WHEN u < 62259 THEN 'train'
+              WHEN u < 62259 + 1638 THEN 'val'
+              ELSE 'test' END AS split,
+         n
+  FROM (SELECT ('0x' || substr(md5(grp), 1, 4))::UBIGINT::INT AS u, n
+        FROM g)
+)
+SELECT split,
+       sum(n)::BIGINT AS n_docs,
+       count(*) AS n_groups,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       max(n)::BIGINT AS max_group_size
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+_STATS_COL_SQL = """
+SELECT '{c}' AS col_name,
+       count(DISTINCT {c}) AS ndv,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       min({c})::VARCHAR AS min_value,
+       max({c})::VARCHAR AS max_value
+FROM lineitem
+"""
+
+ORACLES["column_stats_profile"] = (
+    "\nUNION ALL\n".join(
+        _STATS_COL_SQL.format(c=c)
+        for c in [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+        ]
+    )
+    + "\nORDER BY col_name"
+)
+
+_CHECKSUM_SQL = """
+SELECT '{t}' AS table_name,
+       count(*) AS n_rows,
+       sum(('0x' || substr(md5(concat_ws('|', {cols})), 1, 8))::UBIGINT::BIGINT)::BIGINT
+         AS checksum
+FROM {t}
+"""
+
+ORACLES["table_checksum_audit"] = (
+    "\nUNION ALL\n".join(
+        _CHECKSUM_SQL.format(t=t, cols=", ".join(cols))
+        for t, cols in [
+            ("region", ["r_regionkey", "r_name"]),
+            ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]),
+            ("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+            ("part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]),
+        ]
+    )
+    + "\nORDER BY table_name"
+)

@@ -166,3 +166,139 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_q", "age_q")
     )
+
+
+@query("cluster_safe_split")
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split key is the exact-
+    dup GROUP (md5 of the text), not the document id — so identical
+    documents can never land in different splits, by construction
+    (what `split_leakage_audit` measures after the fact, this
+    guarantees up front; FineWeb/Dolma-style splits hash content for
+    exactly this reason). Per-split accounting over the group relation:
+    docs, groups, multi-doc groups, largest group. Same no-shuffle
+    split function as corpus_split (operators/sampling.split_corpus);
+    the only exchange is the (group, split) aggregation."""
+    from nabatshy_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__grp", F.md5(F.col("text"))
+    )
+    split = sampling.split_corpus(docs, "__grp", train_bps=62259, val_bps=1638)
+    groups = split.groupBy("split", "__grp").agg(F.count("*").alias("__n"))
+    return (
+        groups.groupBy("split")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias(
+                "n_dup_groups"
+            ),
+            F.max("__n").alias("max_group_size"),
+        )
+        .orderBy("split")
+    )
+
+
+# Columns profiled by column_stats_profile — the CBO statistics set
+# (ndv / nulls / min / max) for the lineitem fact table.
+_STATS_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+]
+
+
+@query("column_stats_profile")
+def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the lineitem fact table:
+    exact distinct count, null count, min and max per column (as
+    strings, one row per column) — the statistics a cost-based
+    optimizer's join-ordering and selectivity estimates feed on.
+
+    ONE scan computes every column's stats (a single multi-aggregate
+    projection — Catalyst keeps it one stage plus the count-distinct
+    expand); the unpivot to (column, ...) rows happens on the 1-row
+    aggregate, not the fact table. The approx twin at 100 TB swaps
+    count_distinct for approx_count_distinct (see
+    profile_orders_approx) — this is the exact form the audit gate
+    uses."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _STATS_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(structs).alias("s"))
+        .select("s.col_name", "s.ndv", "s.n_nulls", "s.min_value", "s.max_value")
+        .orderBy("col_name")
+    )
+
+
+# (table, integer/string columns folded into the checksum) — float
+# columns are excluded on purpose: shortest-roundtrip float printing
+# is not contractually identical across engines, and a checksum must
+# never be "close".
+_CHECKSUM_TABLES = [
+    ("region", ["r_regionkey", "r_name"]),
+    ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+    ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]),
+    ("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+    ("part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]),
+]
+
+
+@query("table_checksum_audit")
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable table checksums — the replication/migration
+    verification primitive: per table, the row count and an
+    ORDER-INSENSITIVE content checksum (sum over rows of the first 32
+    md5 bits of the '|'-joined key/string columns).  Two copies of a
+    table on different engines (here: Spark vs the DuckDB oracle) agree
+    iff counts and checksums agree — no row-by-row diff, no sort.
+
+    Scale shape: one scan per table, all partial-aggregated (each task
+    contributes one running sum); the checksum never shuffles row data.
+    md5 rather than xxhash64 because the checksum must be identical
+    ACROSS engines, not merely within Spark."""
+    outs = []
+    for tname, cols in _CHECKSUM_TABLES:
+        t = load(spark, sf_dir, tname)
+        row_hash = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        outs.append(
+            t.agg(
+                F.lit(tname).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(row_hash).alias("checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")

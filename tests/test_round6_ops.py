@@ -138,3 +138,86 @@ def test_ltv_cumulative_is_monotone(spark, sf_dir):
             assert abs(r.cum_revenue - cum) < 0.05
         # every row of one cohort reports the same cohort size
         assert len({r.n_customers for r in rs}) == 1
+
+
+def test_cluster_safe_split_has_no_cross_split_groups(spark, sf_dir):
+    """The split is a pure function of the content digest, so no
+    exact-dup group may span two splits — the invariant this operator
+    exists to guarantee."""
+    from nabatshy_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__grp", F.md5(F.col("text"))
+    )
+    split = sampling.split_corpus(docs, "__grp", train_bps=62259, val_bps=1638)
+    spanning = (
+        split.groupBy("__grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spanning == 0
+    out = QUERIES["cluster_safe_split"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    for r in out:
+        assert r.n_groups >= r.n_dup_groups
+        assert r.n_docs >= r.n_groups
+
+
+def test_column_stats_profile_matches_direct_queries(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    stats = {r.col_name: r for r in QUERIES["column_stats_profile"](spark, sf_dir).collect()}
+    assert set(stats) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+    }
+    rf = stats["l_returnflag"]
+    direct = li.agg(
+        F.countDistinct("l_returnflag").alias("ndv"),
+        F.min("l_returnflag").alias("mn"),
+        F.max("l_returnflag").alias("mx"),
+    ).collect()[0]
+    assert rf.ndv == direct.ndv
+    assert rf.min_value == direct.mn and rf.max_value == direct.mx
+    assert rf.n_nulls == 0
+    ok = stats["l_orderkey"]
+    assert ok.ndv == li.select("l_orderkey").distinct().count()
+
+
+def test_table_checksum_detects_tampering(spark, sf_dir):
+    """The checksum must move when any row's content changes, and must
+    NOT move under row reordering — the properties a replication
+    audit needs."""
+    from nabatshy_spark.plans.round6_queries import _CHECKSUM_TABLES
+
+    base = {
+        r.table_name: (r.n_rows, r.checksum)
+        for r in QUERIES["table_checksum_audit"](spark, sf_dir).collect()
+    }
+    assert set(base) == {t for t, _ in _CHECKSUM_TABLES}
+    nation = load(spark, sf_dir, "nation")
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    # reorder: checksum is a sum, so a shuffled copy hashes identically
+    shuffled = nation.orderBy(F.md5(F.col("n_name")))
+    assert (
+        shuffled.agg(F.sum(row_hash)).collect()[0][0]
+        == base["nation"][1]
+    )
+    # tamper: change one name
+    tampered = nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 0, F.lit("TAMPERED")).otherwise(
+            F.col("n_name")
+        ),
+    )
+    assert (
+        tampered.agg(F.sum(row_hash)).collect()[0][0]
+        != base["nation"][1]
+    )
