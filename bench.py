@@ -205,6 +205,11 @@ HEADLINE = [
     "cluster_safe_split",
     "column_stats_profile",
     "table_checksum_audit",
+    "priority_sample_docs",
+    "pareto_suppliers",
+    "fuzzy_name_pairs",
+    "spans_overlap_pairs",
+    "join_size_estimate",
 ]
 
 

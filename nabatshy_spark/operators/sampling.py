@@ -321,3 +321,41 @@ def dsir_importance_weights(
             (F.col("__w") > 0).cast("int").alias("selected"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Fixed-size weighted sampling without replacement via *priority
+    sampling* (Duffield, Lund & Thorup, JACM 2007): each row gets
+    priority q = w / u with u a per-key uniform in (0, 1], and the k
+    highest-priority rows form the sample. Unlike Bernoulli
+    ``weighted_sample`` the output size is exactly k, and the (k+1)-th
+    priority τ makes any subset-sum unbiasedly estimable as
+    Σ max(w, τ) over the sample's members.
+
+    Determinism: u = (m+1)/65537 from the first 4 md5 hex chars of the
+    key — never 0, engine-portable; q is one correctly-rounded IEEE
+    division, so every engine ranks identically (ties broken by key).
+
+    Scale: top-(k+1) by priority is a per-partition partial top-k
+    (TakeOrdered) — no global sort, no shuffle of the losers. The
+    returned relation is k+1 rows: ``__rank`` 1..k are the sample,
+    row k+1 exists only to carry τ (filter it out after deriving τ).
+    """
+    m = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("double")
+    u = (m + F.lit(1.0)) / F.lit(65537.0)
+    q = F.col(weight_col).cast("double") / u
+    top = (
+        df.withColumn("__priority", q)
+        .orderBy(F.col("__priority").desc(), F.col(key_col).asc())
+        .limit(k + 1)
+    )
+    w_all = Window.orderBy(F.col("__priority").desc(), F.col(key_col).asc())
+    return top.withColumn("__rank", F.row_number().over(w_all)).withColumn(
+        "__tau", F.min("__priority").over(w_all.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+    )

@@ -186,3 +186,35 @@ def hll_rollup(
         )
         .orderBy("week_start")
     )
+
+
+def cms_inner_product(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Join-size estimation from two count-min sketches (Cormode &
+    Muthukrishnan 2005 §4.2; the AGMS-style inner-product estimator):
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated per hash row as
+    Σ_col cmsA[row,col]·cmsB[row,col], taking the MIN over rows.
+    Collisions only ever add mass, so the estimate ≥ the true join
+    size always, with the classic ε·N_A·N_B overestimate bound — the
+    primitive a cost-based optimizer uses to order joins without
+    touching either table.
+
+    Scale: each sketch is depth·width integers regardless of input
+    size (one scan + one tiny agg per side); the estimator joins the
+    two d·w-cell relations — O(1) work. Returns one row per hash row
+    (``est`` per row); min over rows is the estimate.
+    """
+    sa = cms_counters(a, key_col, depth, width)
+    sb = cms_counters(b, key_col, depth, width).select(
+        F.col("row"), F.col("col"), F.col("c").alias("c_b")
+    )
+    return (
+        sa.join(sb, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("c_b")).alias("est"))
+    )

@@ -563,3 +563,57 @@ def critical_path_grouped(df: DataFrame, buckets: int = 256) -> DataFrame:
             lambda pdf: dp_bucket(pdf), "trace_id string, critical_ms double"
         )
     )
+
+
+def overlap_pairs(df: DataFrame) -> DataFrame:
+    """Interval-overlap self-join within each trace: pairs of distinct
+    spans whose [start, end) windows intersect, rolled up per trace to
+    pair count and the longest pairwise overlap — the "what actually
+    ran concurrently" view that the sweep-line peak (spans_concurrency)
+    summarizes away (reference surface: the trace-scoped self-join
+    family, api/service.go:365-418, plus an interval predicate).
+
+    This is the range-join shape: an equi-key (trace_id) carries the
+    shuffle and the interval predicate `a.start < b.end AND b.start <
+    a.end` filters inside each co-located group, so the cross product
+    is bounded by the trace's own span count — never the table. At
+    100 TB the same plan rides the trace-bucketed layout (zero extra
+    exchange); for interval joins WITHOUT a bounding equi-key, the
+    standard rewrite is to bin time into fixed buckets, equi-join on
+    the bucket, and dedup pairs straddling a boundary.
+
+    All arithmetic (overlap = least(ends) − greatest(starts)) is int64
+    nanoseconds — engine-exact.
+    """
+    cols = ["trace_id", "span_id", "start_time_unix_nano", "end_time_unix_nano"]
+    a = df.select(*cols)
+    b = df.select(
+        F.col("trace_id"),
+        F.col("span_id").alias("span_id_b"),
+        F.col("start_time_unix_nano").alias("start_b"),
+        F.col("end_time_unix_nano").alias("end_b"),
+    )
+    pairs = (
+        a.join(b, "trace_id")
+        .filter(
+            (F.col("span_id") < F.col("span_id_b"))
+            & (F.col("start_time_unix_nano") < F.col("end_b"))
+            & (F.col("start_b") < F.col("end_time_unix_nano"))
+        )
+        .select(
+            "trace_id",
+            (
+                F.least("end_time_unix_nano", "end_b")
+                - F.greatest("start_time_unix_nano", "start_b")
+            ).alias("__ov_ns"),
+        )
+    )
+    return (
+        pairs.groupBy("trace_id")
+        .agg(
+            F.count("*").alias("n_overlap_pairs"),
+            F.max("__ov_ns").alias("max_overlap_ns"),
+        )
+        .orderBy(F.col("n_overlap_pairs").desc(), F.col("trace_id").asc())
+        .limit(50)
+    )

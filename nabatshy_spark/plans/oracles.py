@@ -5025,3 +5025,124 @@ ORACLES["table_checksum_audit"] = (
     )
     + "\nORDER BY table_name"
 )
+
+ORACLES["spans_overlap_pairs"] = f"""
+WITH p AS (
+  SELECT a.trace_id,
+         least(a.end_time_unix_nano, b.end_time_unix_nano)
+         - greatest(a.start_time_unix_nano, b.start_time_unix_nano) AS ov
+  FROM {_SPANS} a
+  JOIN {_SPANS} b
+    ON a.trace_id = b.trace_id
+   AND a.span_id < b.span_id
+   AND a.start_time_unix_nano < b.end_time_unix_nano
+   AND b.start_time_unix_nano < a.end_time_unix_nano
+)
+SELECT trace_id,
+       count(*)::BIGINT AS n_overlap_pairs,
+       max(ov)::BIGINT AS max_overlap_ns
+FROM p
+GROUP BY 1
+ORDER BY n_overlap_pairs DESC, trace_id ASC
+LIMIT 50
+"""
+
+ORACLES["priority_sample_docs"] = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         n_chars::DOUBLE
+         / ((('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT::DOUBLE
+             + 1.0) / 65537.0) AS q
+  FROM documents
+),
+top AS (SELECT * FROM p ORDER BY q DESC, doc_id ASC LIMIT 201),
+t AS (SELECT min(q) AS tau FROM top),
+s AS (SELECT * FROM top ORDER BY q DESC, doc_id ASC LIMIT 200),
+tot AS (SELECT sum(n_chars)::BIGINT AS true_total_chars FROM documents),
+e AS (
+  SELECT count(*)::BIGINT AS n_sample,
+         round(min(t.tau), 6) AS tau,
+         sum(CAST(greatest(s.n_chars::DOUBLE, t.tau) AS DECIMAL(18,6)))
+           AS est
+  FROM s, t
+)
+SELECT e.n_sample, e.tau,
+       round(e.est::DOUBLE, 2) AS est_total_chars,
+       tot.true_total_chars,
+       round((e.est::DOUBLE - tot.true_total_chars)
+             / tot.true_total_chars * 100, 4) AS rel_err_pct
+FROM e, tot
+"""
+
+ORACLES["fuzzy_name_pairs"] = """
+WITH n AS (
+  SELECT DISTINCT p_name,
+         split_part(p_name, ' ', 2) AS block,
+         length(p_name) AS len
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::INT AS edit_dist
+FROM n a
+JOIN n b ON a.block = b.block
+WHERE a.p_name < b.p_name
+  AND abs(a.len - b.len) <= 3
+  AND levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+"""
+
+ORACLES["pareto_suppliers"] = """
+WITH s AS (
+  SELECT l_suppkey AS suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS rev,
+         round(avg(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 6)
+           AS return_rate
+  FROM lineitem GROUP BY 1
+)
+SELECT a.suppkey::BIGINT AS suppkey, p.s_name,
+       CAST(round(a.rev, 2) AS DOUBLE) AS revenue,
+       a.return_rate
+FROM s a JOIN supplier p ON p.s_suppkey = a.suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.suppkey != a.suppkey
+    AND b.rev >= a.rev AND b.return_rate <= a.return_rate
+    AND (b.rev > a.rev OR b.return_rate < a.return_rate)
+)
+ORDER BY revenue DESC, suppkey ASC
+"""
+
+ORACLES["join_size_estimate"] = """
+WITH d AS (SELECT unnest(range(0, 4)) AS row),
+ka AS (SELECT user_id::VARCHAR AS key FROM events),
+kb AS (SELECT (o_custkey % 150)::VARCHAR AS key FROM orders),
+sa AS (
+  SELECT d.row AS row,
+         ('0x' || substr(md5(d.row || ':' || ka.key), 1, 8))::UBIGINT % 512 AS col,
+         count(*)::BIGINT AS c
+  FROM ka, d GROUP BY 1, 2
+),
+sb AS (
+  SELECT d.row AS row,
+         ('0x' || substr(md5(d.row || ':' || kb.key), 1, 8))::UBIGINT % 512 AS col,
+         count(*)::BIGINT AS c
+  FROM kb, d GROUP BY 1, 2
+),
+e AS (
+  SELECT sa.row, sum(sa.c * sb.c)::BIGINT AS est
+  FROM sa JOIN sb ON sa.row = sb.row AND sa.col = sb.col
+  GROUP BY 1
+),
+est AS (SELECT min(est)::BIGINT AS cms_estimate FROM e),
+fa AS (SELECT key, count(*)::BIGINT AS fa FROM ka GROUP BY 1),
+fb AS (SELECT key, count(*)::BIGINT AS fb FROM kb GROUP BY 1),
+t AS (
+  SELECT sum(fa.fa * fb.fb)::BIGINT AS true_join_size
+  FROM fa JOIN fb USING (key)
+)
+SELECT t.true_join_size, est.cms_estimate,
+       round((est.cms_estimate - t.true_join_size)
+             / t.true_join_size * 100, 4) AS overest_pct
+FROM t, est
+"""

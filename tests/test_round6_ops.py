@@ -221,3 +221,104 @@ def test_table_checksum_detects_tampering(spark, sf_dir):
         tampered.agg(F.sum(row_hash)).collect()[0][0]
         != base["nation"][1]
     )
+
+
+def test_priority_sample_fixed_size_and_estimator(spark, sf_dir):
+    """Priority sampling returns exactly k rows, τ is the (k+1)-th
+    priority (≤ every sampled priority), and the Duffield-Lund-Thorup
+    subset-sum estimator Σ max(w, τ) lands near the true total."""
+    from nabatshy_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    samp = priority_sample(docs, "doc_id", "n_chars", 200).collect()
+    assert len(samp) == 201
+    sample = [r for r in samp if r["__rank"] <= 200]
+    assert len(sample) == 200
+    tau = samp[0]["__tau"]
+    assert all(r["__priority"] >= tau for r in sample)
+    est = sum(max(float(r.n_chars), tau) for r in sample)
+    true = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert abs(est - true) / true < 0.25  # unbiased, not low-variance
+
+
+def test_priority_sample_is_deterministic(spark, sf_dir):
+    from nabatshy_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in priority_sample(docs, "doc_id", "n_chars", 50).collect())
+    b = sorted(r.doc_id for r in priority_sample(docs, "doc_id", "n_chars", 50).collect())
+    assert a == b
+
+
+def test_pareto_suppliers_is_exactly_the_undominated_set(spark, sf_dir):
+    """The window-staircase skyline must equal the brute-force
+    dominance definition on the per-supplier aggregate."""
+    out = {r.suppkey for r in QUERIES["pareto_suppliers"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("rev"),
+        F.round(F.avg((F.col("l_returnflag") == "R").cast("int")), 6).alias("rr"),
+    ).collect()
+    expected = set()
+    for a in sup:
+        dominated = any(
+            b.l_suppkey != a.l_suppkey
+            and b.rev >= a.rev
+            and b.rr <= a.rr
+            and (b.rev > a.rev or b.rr < a.rr)
+            for b in sup
+        )
+        if not dominated:
+            expected.add(a.l_suppkey)
+    assert out == expected
+
+
+def test_fuzzy_name_pairs_invariants(spark, sf_dir):
+    rows = QUERIES["fuzzy_name_pairs"](spark, sf_dir).collect()
+    assert rows, "synthetic part names should yield at least one near pair"
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 1 <= r.edit_dist <= 3
+        # blocked on the head noun: second token must agree
+        assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+
+
+def test_spans_overlap_pairs_brute_force_one_trace(spark):
+    """Recompute one trace's overlap pairs in Python and compare."""
+    out = QUERIES["spans_overlap_pairs"](spark, "").collect()
+    assert out
+    top = out[0]
+    spans = (
+        load_spans(spark)
+        .filter(F.col("trace_id") == top.trace_id)
+        .select("span_id", "start_time_unix_nano", "end_time_unix_nano")
+        .collect()
+    )
+    n_pairs, max_ov = 0, 0
+    for i, a in enumerate(spans):
+        for b in spans[i + 1:]:
+            x, y = (a, b) if a.span_id < b.span_id else (b, a)
+            if (
+                x.start_time_unix_nano < y.end_time_unix_nano
+                and y.start_time_unix_nano < x.end_time_unix_nano
+            ):
+                n_pairs += 1
+                max_ov = max(
+                    max_ov,
+                    min(x.end_time_unix_nano, y.end_time_unix_nano)
+                    - max(x.start_time_unix_nano, y.start_time_unix_nano),
+                )
+    assert (top.n_overlap_pairs, top.max_overlap_ns) == (n_pairs, max_ov)
+
+
+def test_cms_join_size_estimate_never_underestimates(spark, sf_dir):
+    """Count-min inner product: collisions only ever ADD mass, so the
+    estimate must dominate the true join size; the expected overshoot
+    is ~|keys|/width ≈ 30%, so 1.6x is a safe ceiling."""
+    r = QUERIES["join_size_estimate"](spark, sf_dir).collect()[0]
+    assert r.cms_estimate >= r.true_join_size
+    assert r.cms_estimate < 1.6 * r.true_join_size
