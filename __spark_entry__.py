@@ -72,20 +72,26 @@ _PRIORITY = [
     "hourly_latency_percentiles", "weekly_revenue_wow",
     "nation_revenue_share", "local_supplier_volume",
     "shipping_priority", "supplier_scorecard",
-    # (The remaining 26 never-checked oracle-backed queries —
-    # sliding_window_counts, embedding_gram, series_anomalies,
-    # trade_triangles, cms_user_counts, bloom_purchase_users,
-    # frequent_part_pairs, value_trends, approx_revenue_estimate,
-    # trade_reach_hops, video_scene_changes, km_churn_survival,
-    # benford_price_audit, did_purchase_lift, hourly_acf,
-    # cusum_changepoints, funnel_bypass_rate, seasonal_decomposition,
-    # robust_outlier_days, poisson_bootstrap_ci,
+    # (Rotate into the ROUND-7 window: the remaining 26 never-checked
+    # oracle-backed queries — sliding_window_counts, embedding_gram,
+    # series_anomalies, trade_triangles, cms_user_counts,
+    # bloom_purchase_users, frequent_part_pairs, value_trends,
+    # approx_revenue_estimate, trade_reach_hops, video_scene_changes,
+    # km_churn_survival, benford_price_audit, did_purchase_lift,
+    # hourly_acf, cusum_changepoints, funnel_bypass_rate,
+    # seasonal_decomposition, robust_outlier_days, poisson_bootstrap_ci,
     # quantile_calibration_by_source, lpa_trade_communities,
     # customer_reorder_intervals, discount_elasticity_by_brand,
-    # user_lifecycle_states, association_rules_parts — plus the 8
-    # rows-only ones and round-6 additions rotate in next round.
-    # Exactly 50 entries above — the driver checks the FIRST 50 only;
-    # entry #51 would silently never get a row.)
+    # user_lifecycle_states, association_rules_parts — plus the 14
+    # oracle-backed round-6 additions: mv_incremental_refresh,
+    # ann_threshold_search, blocklist_term_hits, cohort_ltv_curve,
+    # spans_dependency_drift, cluster_safe_split, column_stats_profile,
+    # table_checksum_audit, priority_sample_docs, pareto_suppliers,
+    # fuzzy_name_pairs, spans_overlap_pairs, join_size_estimate, and
+    # spans_trace_shapes if unchecked. That's 40: fill the last 10
+    # slots with rows-only queries (hll_user_rollup etc.) for external
+    # rows-only evidence. Exactly 50 entries above — the driver checks
+    # the FIRST 50 only; entry #51 would silently never get a row.)
 ]
 
 

@@ -915,10 +915,13 @@ def connected_components(
 
         # Driver-memory note (ADVICE r5): the local path holds a
         # union-find dict of up to 2x this many entries on the driver
-        # (~60-100 MB per million edges in CPython). Edges themselves
-        # are STREAMED partition-at-a-time (toLocalIterator below), not
-        # collect()ed as a Row list, so the dict is the only
-        # driver-resident state. Raise NABATSHY_LOCAL_CC_EDGES only
+        # (~60-100 MB per million edges in CPython). Edges land as ONE
+        # Arrow table (16 MB per million int64 pairs — columnar, not a
+        # Row list), so the dict is the only heavyweight driver state.
+        # toArrow beats toLocalIterator here: the iterator runs one
+        # job per partition (~32 sequential mini-jobs for a small edge
+        # set — measured ~+1 s on every CC-dependent query), Arrow is
+        # one job and one transfer. Raise NABATSHY_LOCAL_CC_EDGES only
         # with a matching spark.driver.memory bump.
         local_threshold = int(
             _os.environ.get("NABATSHY_LOCAL_CC_EDGES", "1000000")
@@ -935,8 +938,10 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.toLocalIterator():
-            u, v = r["u"], r["v"]
+        tbl = edges.toArrow()
+        for u, v in zip(
+            tbl.column("u").to_pylist(), tbl.column("v").to_pylist()
+        ):
             if u not in parent:
                 parent[u] = u
             if v not in parent:

@@ -215,42 +215,34 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, one row per column) — the statistics a cost-based
     optimizer's join-ordering and selectivity estimates feed on.
 
-    ONE scan computes every column's stats (a single multi-aggregate
-    projection — Catalyst keeps it one stage plus the count-distinct
-    expand); the unpivot to (column, ...) rows happens on the 1-row
-    aggregate, not the fact table. The approx twin at 100 TB swaps
-    count_distinct for approx_count_distinct (see
+    Shape: one single-column aggregate PER column, unioned — NOT one
+    multi-aggregate pass. k exact count-distincts in one agg trigger
+    Catalyst's EXPAND ×(k+1) (every fact row replicated 9× here —
+    measured 17 s vs 2 s at sf0.1; the profile_orders lesson), while
+    per-column branches each scan ONE parquet column (column pruning
+    ⇒ ~1/11 of the bytes) with an ordinary two-phase partial distinct.
+    The approx twin at 100 TB swaps count_distinct for
+    approx_count_distinct in a genuinely single pass (see
     profile_orders_approx) — this is the exact form the audit gate
     uses."""
     li = load(spark, sf_dir, "lineitem")
-    aggs = []
+    outs = []
     for c in _STATS_COLS:
-        aggs += [
-            F.countDistinct(c).alias(f"{c}__ndv"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
-                f"{c}__nulls"
-            ),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
+        outs.append(
+            li.select(c).agg(
                 F.lit(c).alias("col_name"),
-                F.col(f"{c}__ndv").alias("ndv"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
+                F.countDistinct(c).alias("ndv"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    "n_nulls"
+                ),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
             )
-            for c in _STATS_COLS
-        ]
-    )
-    return (
-        one.select(F.explode(structs).alias("s"))
-        .select("s.col_name", "s.ndv", "s.n_nulls", "s.min_value", "s.max_value")
-        .orderBy("col_name")
-    )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_name")
 
 
 # (table, integer/string columns folded into the checksum) — float
