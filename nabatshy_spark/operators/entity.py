@@ -117,13 +117,15 @@ def blocked_candidate_pairs(
     # Σ df² rows of compute. An explicit partition count is respected
     # by AQE; keying by (token, block) keeps the equi-join co-located.
     fanout = tok.sparkSession.sparkContext.defaultParallelism
-    # The capped posting relation feeds BOTH sides of the self-join
-    # plus the per-id survivor counts for the Jaccard prune — three
-    # consumers that would each re-run scan → explode → cap-agg → join.
-    # localCheckpoint materializes it once (tiny: one row per surviving
-    # (id, token)); the checkpoint also cuts the lineage so AQE plans
-    # each consumer from the materialized stats.
-    tok = tok.repartition(fanout, "tok", *bks).localCheckpoint(eager=False)
+    # The capped posting relation feeds both self-join sides plus the
+    # prune's survivor counts. Measured (sf0.1, within-session A/B):
+    # localCheckpoint-ing it here is a net LOSS (er_part_pairs 4.46 s
+    # checkpointed vs 3.84 s recomputed) — the narrow scan → explode →
+    # cap chain recomputes cheaper than the materialization barrier it
+    # introduces (the checkpoint serializes the consumers behind one
+    # materialization and defeats stage pipelining). Checkpoint only
+    # when the upstream is genuinely expensive relative to its size.
+    tok = tok.repartition(fanout, "tok", *bks)
     a = tok.alias("a")
     b = tok.alias("b")
     # One aggregation replaces the former dropDuplicates at the same
