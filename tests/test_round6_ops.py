@@ -322,3 +322,43 @@ def test_cms_join_size_estimate_never_underestimates(spark, sf_dir):
     r = QUERIES["join_size_estimate"](spark, sf_dir).collect()[0]
     assert r.cms_estimate >= r.true_join_size
     assert r.cms_estimate < 1.6 * r.true_join_size
+
+
+def test_priority_sample_weight_monotonicity(spark, sf_dir):
+    """Raising every weight by a constant factor must not change the
+    selected sample: priorities q = w/u all scale together, so the
+    top-k set is scale-invariant — the property that makes the scheme
+    safe to re-run after unit changes (chars vs KB)."""
+    from nabatshy_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    base = {
+        r.doc_id
+        for r in priority_sample(docs, "doc_id", "n_chars", 100).collect()
+        if r["__rank"] <= 100
+    }
+    scaled_docs = docs.withColumn("n_scaled", F.col("n_chars") * 1000)
+    scaled = {
+        r.doc_id
+        for r in priority_sample(scaled_docs, "doc_id", "n_scaled", 100).collect()
+        if r["__rank"] <= 100
+    }
+    assert base == scaled
+
+
+def test_pareto_front_is_antichain(spark, sf_dir):
+    """No skyline member may dominate another skyline member — the
+    output must be an antichain under the (revenue up, return_rate
+    down) preference order."""
+    rows = QUERIES["pareto_suppliers"](spark, sf_dir).collect()
+    assert rows
+    for a in rows:
+        for b in rows:
+            if a.suppkey == b.suppkey:
+                continue
+            dominates = (
+                b.revenue >= a.revenue
+                and b.return_rate <= a.return_rate
+                and (b.revenue > a.revenue or b.return_rate < a.return_rate)
+            )
+            assert not dominates, (a, b)
