@@ -41,57 +41,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-6 window: 50 oracle-backed queries that have never had
-    # an external CORRECTNESS row (r1+r2+r4+r5 cover 189 of 273; every
-    # slot buys a first-ever check).  All 50 r5-window queries passed
-    # and their rows stand.
-    # Reference-parity span analytics (SURVEY §2.4-§2.6 forms).
-    "spans_burn_rate_alerts", "spans_retry_storms",
-    "spans_clock_skew_audit", "spans_mad_outliers",
-    "spans_tail_sampling", "spans_attr_facets",
-    "spans_error_pareto", "spans_trace_shapes",
-    # SQL-API TPC-H analogues (Q2/Q14/Q16/Q18 family).
-    "sql_important_parts", "sql_supplier_part_variety",
-    "sql_promo_part_suppliers", "sql_brand_qty_revenue",
-    # Training-data pipeline: curation/selection/eval stack.
-    "gopher_rule_flags", "decontaminate_semantic", "dsir_selection",
-    "search_hard_negatives", "search_eval_ndcg", "epoch_shuffle_order",
-    "padding_efficiency", "embedding_label_drift", "pmi_collocations",
-    "heaps_law_fit", "flesch_readability", "spearman_length_vocab",
-    "chi2_lang_source", "ks_source_drift", "vocab_oov_rate_by_source",
-    "k_anonymity_audit", "l_diversity_audit", "export_shard_plan",
-    # Data-infra audits / CDC / retention.
-    "parquet_layout_audit", "partition_size_advisor",
-    "join_skew_report", "stream_batch_parity_rollup",
-    "retention_purge", "retention_purge_audit",
-    "orders_snapshot_diff", "orders_diff_summary",
-    "scd2_point_in_time_join", "feature_spine_join",
-    # Robust/ordered analytics over the TPC-H tables.
-    "weighted_median_price", "winsorized_values",
-    "order_value_deciles", "lineitem_correlations",
-    "hourly_latency_percentiles", "weekly_revenue_wow",
-    "nation_revenue_share", "local_supplier_volume",
-    "shipping_priority", "supplier_scorecard",
-    # (Rotate into the ROUND-7 window: the remaining 26 never-checked
-    # oracle-backed queries — sliding_window_counts, embedding_gram,
-    # series_anomalies, trade_triangles, cms_user_counts,
-    # bloom_purchase_users, frequent_part_pairs, value_trends,
-    # approx_revenue_estimate, trade_reach_hops, video_scene_changes,
-    # km_churn_survival, benford_price_audit, did_purchase_lift,
-    # hourly_acf, cusum_changepoints, funnel_bypass_rate,
-    # seasonal_decomposition, robust_outlier_days, poisson_bootstrap_ci,
-    # quantile_calibration_by_source, lpa_trade_communities,
-    # customer_reorder_intervals, discount_elasticity_by_brand,
-    # user_lifecycle_states, association_rules_parts — plus the 14
-    # oracle-backed round-6 additions: mv_incremental_refresh,
-    # ann_threshold_search, blocklist_term_hits, cohort_ltv_curve,
-    # spans_dependency_drift, cluster_safe_split, column_stats_profile,
-    # table_checksum_audit, priority_sample_docs, pareto_suppliers,
-    # fuzzy_name_pairs, spans_overlap_pairs, join_size_estimate, and
-    # spans_trace_shapes if unchecked. That's 40: fill the last 10
-    # slots with rows-only queries (hll_user_rollup etc.) for external
-    # rows-only evidence. Exactly 50 entries above — the driver checks
-    # the FIRST 50 only; entry #51 would silently never get a row.)
+    # ---- Round-7 window (exactly 50 — the driver checks the FIRST 50
+    # registered queries only; entry #51 would silently never get a
+    # row). 39 = every oracle-backed query that has never had an
+    # external CORRECTNESS row (r1+r2+r4+r5+r6 cover all the others,
+    # and every row ever checked is green); + the 8 new round-7
+    # oracle-backed queries; + 3 rows-only queries for external
+    # rows-only evidence. After this round every oracle-backed query
+    # in the registry has had an external green row at least once.
+    # Older stragglers (r3-r5 era).
+    "sliding_window_counts", "embedding_gram", "series_anomalies",
+    "trade_triangles", "cms_user_counts", "bloom_purchase_users",
+    "frequent_part_pairs", "value_trends", "approx_revenue_estimate",
+    "trade_reach_hops", "video_scene_changes", "km_churn_survival",
+    "benford_price_audit", "did_purchase_lift", "hourly_acf",
+    "cusum_changepoints", "funnel_bypass_rate", "seasonal_decomposition",
+    "robust_outlier_days", "poisson_bootstrap_ci",
+    "quantile_calibration_by_source", "lpa_trade_communities",
+    "customer_reorder_intervals", "discount_elasticity_by_brand",
+    "user_lifecycle_states", "association_rules_parts",
+    # Round-6 additions (all 13 oracle-backed, never externally
+    # checked; priority_sample_docs / fuzzy_name_pairs /
+    # column_stats_profile carry this round's fixes).
+    "mv_incremental_refresh", "ann_threshold_search",
+    "blocklist_term_hits", "cohort_ltv_curve", "cluster_safe_split",
+    "column_stats_profile", "table_checksum_audit",
+    "priority_sample_docs", "fuzzy_name_pairs", "pareto_suppliers",
+    "join_size_estimate", "spans_dependency_drift", "spans_overlap_pairs",
+    # Round-7 additions (plans/round7_queries.py).
+    "stratified_kfold_assignment", "class_balance_resample",
+    "knn_label_eval", "embedding_outlier_mahal",
+    "spans_service_busy_time", "dictionary_encoding_advisor",
+    "degree_distribution_trade", "weighted_percentiles_brand",
+    # Rows-only (no oracle by design: approximate sketches / iterative
+    # numerics) — external rows+schema evidence still counts.
+    "hll_user_rollup", "embedding_pca_variance", "ann_recall_report",
+    # (Remaining never-checked rows-only after r7: distinct_users_approx,
+    # profile_orders_approx, ann_pq_topk, ann_ivfpq_topk, bpe_vocab_merges,
+    # bpe_token_stats — rotate into r8's tail slots.)
 ]
 
 

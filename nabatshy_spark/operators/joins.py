@@ -127,3 +127,55 @@ def range_join_buckets(
         for c in right.columns
     ]
     return joined.select(*out_cols)
+
+
+def _parse_byte_size(v: str) -> int:
+    """Parse Spark byte-size conf strings ('10485760', '10m', '1g',
+    '512k', '-1') into bytes; -1 (broadcast disabled) stays -1."""
+    s = str(v).strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def semi_join_ids(
+    big: DataFrame,
+    ids: DataFrame,
+    key: str,
+    n_ids_estimate: int,
+    id_width_bytes: int = 24,
+    force: str | None = None,
+) -> DataFrame:
+    """LEFT SEMI join ``big`` against a (usually small) id relation,
+    picking the physical strategy by estimated id-list size — the
+    scale-safe form of ``big.join(F.broadcast(ids), key, 'left_semi')``.
+
+    A broadcast semi-join is unbeatable while the id list fits the
+    driver/executor broadcast budget, but a curation run at 100 TB can
+    keep billions of ids — broadcasting those OOMs the driver. This
+    helper compares ``n_ids_estimate × id_width_bytes`` against
+    ``spark.sql.autoBroadcastJoinThreshold`` and:
+
+    - under the threshold → explicit ``broadcast()`` hint (one scan of
+      ``big``, zero shuffle);
+    - over it (or broadcast disabled via -1) → ``shuffle_hash`` hint on
+      the id side: both sides hash-partition on the key, each task
+      builds a hash set from its id partition only — bounded memory,
+      no driver collect. (merge-sort semi would also work; hash avoids
+      sorting the big side.)
+
+    ``force`` ('broadcast' | 'shuffle') pins a branch for testing.
+    """
+    if force not in (None, "broadcast", "shuffle"):
+        raise ValueError(f"force must be broadcast|shuffle, got {force!r}")
+    threshold = _parse_byte_size(
+        big.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    est_bytes = int(n_ids_estimate) * int(id_width_bytes)
+    use_broadcast = threshold >= 0 and est_bytes <= threshold
+    if force is not None:
+        use_broadcast = force == "broadcast"
+    if use_broadcast:
+        return big.join(F.broadcast(ids), key, "left_semi")
+    return big.join(ids.hint("shuffle_hash"), key, "left_semi")

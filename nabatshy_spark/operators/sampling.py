@@ -334,19 +334,29 @@ def priority_sample(
     priority τ makes any subset-sum unbiasedly estimable as
     Σ max(w, τ) over the sample's members.
 
-    Determinism: u = (m+1)/65537 from the first 4 md5 hex chars of the
-    key — never 0, engine-portable; q is one correctly-rounded IEEE
-    division, so every engine ranks identically (ties broken by key).
+    Determinism: u = (m+1)/2^52 from the first 13 md5 hex chars of the
+    key — 52 bits, so m, m+1 and u are all exact in an IEEE double and
+    u is never 0; q is one correctly-rounded division, so every engine
+    ranks identically (ties broken by key). 52 bits matter at corpus
+    scale: a 16-bit u gives only 65,536 distinct priorities per weight
+    level, so billions of keys collapse into huge tie groups that
+    coarsen τ and bias the estimator; 52 bits make ties vanishingly
+    rare at any realistic cardinality.
 
     Scale: top-(k+1) by priority is a per-partition partial top-k
     (TakeOrdered) — no global sort, no shuffle of the losers. The
     returned relation is k+1 rows: ``__rank`` 1..k are the sample,
     row k+1 exists only to carry τ (filter it out after deriving τ).
+    When the input has ≤ k rows the sample IS the population and
+    Duffield-Lund-Thorup define τ = 0 (Σ max(w, τ) degenerates to the
+    exact sum); the window guard below implements that so the
+    estimator stays unbiased instead of silently borrowing a sampled
+    row's priority as τ.
     """
     m = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
     ).cast("double")
-    u = (m + F.lit(1.0)) / F.lit(65537.0)
+    u = (m + F.lit(1.0)) / F.lit(4503599627370496.0)  # 2^52
     q = F.col(weight_col).cast("double") / u
     top = (
         df.withColumn("__priority", q)
@@ -354,8 +364,13 @@ def priority_sample(
         .limit(k + 1)
     )
     w_all = Window.orderBy(F.col("__priority").desc(), F.col(key_col).asc())
+    w_full = w_all.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return top.withColumn("__rank", F.row_number().over(w_all)).withColumn(
-        "__tau", F.min("__priority").over(w_all.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        ))
+        "__tau",
+        F.when(
+            F.count("*").over(w_full) >= k + 1,
+            F.min("__priority").over(w_full),
+        ).otherwise(F.lit(0.0)),
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from nabatshy_spark.catalog import load
 from nabatshy_spark.operators import (
     dedup,
+    joins,
     multimodal,
     pii,
     sampling,
@@ -20,6 +21,23 @@ from nabatshy_spark.operators import (
     textanalysis,
 )
 from nabatshy_spark.plans.queries import query
+
+
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — driver-local metadata read,
+    no Spark job; the cheap cardinality bound semi-join sizing needs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 @query("dedup_exact")
@@ -718,12 +736,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate into every consumer's scan re-pays the regex cost per
     # scan (~0.75 s each at sf0.1). Evaluate the rejectors ONCE into a
     # checkpointed id list and semi-join it instead: each downstream
-    # scan is then a pruned parquet read + broadcast hash semi-join
-    # (measured 7.5 s → 5.3 s, identical rows; checkpointing the
-    # exact-dedup survivors too measured WORSE, 6.0 s). At 100 TB the
-    # id list outgrows a broadcast — the production form materializes
-    # the filtered stage to storage (curation runs persist stage
-    # outputs anyway) or semi-joins the verdict by shuffle.
+    # scan is then a pruned parquet read + hash semi-join (measured
+    # 7.5 s → 5.3 s, identical rows; checkpointing the exact-dedup
+    # survivors too measured WORSE, 6.0 s). The semi-join strategy is
+    # size-aware (joins.semi_join_ids): a broadcast while the id list
+    # fits spark.sql.autoBroadcastJoinThreshold, a shuffle-hash semi
+    # past it — at 100 TB billions of kept ids would OOM a broadcast.
+    # The estimate is the corpus row count from the parquet footer
+    # (kept ⊆ corpus), read driver-side with zero Spark jobs.
     kept_ids = (
         docs.filter(
             (textanalysis.quality_score_expr(F.col("text")) >= 0.6)
@@ -732,7 +752,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    kept = docs.join(F.broadcast(kept_ids), "doc_id", "left_semi")
+    kept = joins.semi_join_ids(
+        docs, kept_ids, "doc_id", n_ids_estimate=_parquet_rows(sf_dir, "documents")
+    )
     survivors = dedup.dedup_pipeline(
         kept, "doc_id", "text", n=3, threshold=0.5, max_df=200
     )
@@ -2051,6 +2073,7 @@ from nabatshy_spark.plans import pipeline_queries as _pipeline_queries  # noqa: 
 
 # round-6 additions, same pattern.
 from nabatshy_spark.plans import round6_queries as _round6_queries  # noqa: E402,F401
+from nabatshy_spark.plans import round7_queries as _round7_queries  # noqa: E402,F401
 
 
 @query("association_rules_parts")

@@ -4984,18 +4984,26 @@ SELECT split,
 FROM s GROUP BY 1 ORDER BY 1
 """
 
+# Float columns render min/max through DECIMAL(38,6) — fixed-point is
+# engine-identical, shortest-roundtrip double printing is not (the
+# table_checksum_audit hazard).
 _STATS_COL_SQL = """
 SELECT '{c}' AS col_name,
        count(DISTINCT {c}) AS ndv,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-       min({c})::VARCHAR AS min_value,
-       max({c})::VARCHAR AS max_value
+       min({c}){fmt}::VARCHAR AS min_value,
+       max({c}){fmt}::VARCHAR AS max_value
 FROM lineitem
 """
 
 ORACLES["column_stats_profile"] = (
     "\nUNION ALL\n".join(
-        _STATS_COL_SQL.format(c=c)
+        _STATS_COL_SQL.format(
+            c=c,
+            fmt="::DECIMAL(38,6)"
+            if c in ("l_quantity", "l_extendedprice", "l_discount")
+            else "",
+        )
         for c in [
             "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
@@ -5051,8 +5059,8 @@ ORACLES["priority_sample_docs"] = """
 WITH p AS (
   SELECT doc_id, n_chars,
          n_chars::DOUBLE
-         / ((('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT::DOUBLE
-             + 1.0) / 65537.0) AS q
+         / ((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE
+             + 1.0) / 4503599627370496.0) AS q
   FROM documents
 ),
 top AS (SELECT * FROM p ORDER BY q DESC, doc_id ASC LIMIT 201),
@@ -5145,4 +5153,201 @@ SELECT t.true_join_size, est.cms_estimate,
        round((est.cms_estimate - t.true_join_size)
              / t.true_join_size * 100, 4) AS overest_pct
 FROM t, est
+"""
+
+# ---- Round-7 oracles ----
+
+ORACLES["stratified_kfold_assignment"] = """
+WITH f AS (
+  SELECT lang, n_chars,
+         ((row_number() OVER (
+             PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) - 1) % 5)::INT AS fold
+  FROM documents
+)
+SELECT lang, fold, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["class_balance_resample"] = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_before FROM documents GROUP BY 1),
+m AS (SELECT min(n_before) AS mn FROM c),
+r AS (
+  SELECT lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+),
+k AS (
+  SELECT lang, count(*)::BIGINT AS n_after
+  FROM r, m WHERE rn <= 2 * mn GROUP BY 1
+)
+SELECT c.lang, c.n_before, k.n_after,
+       round(k.n_after / c.n_before, 6) AS kept_ratio
+FROM c JOIN k ON c.lang = k.lang ORDER BY 1
+"""
+
+ORACLES["knn_label_eval"] = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+tr AS (
+  SELECT vec_id AS train_id, embedding AS tv, label AS train_label
+  FROM embeddings WHERE vec_id % 10 != 0
+),
+pairs AS (
+  SELECT ev.eval_id, ev.true_label, tr.train_id, tr.train_label,
+         round({_COS.format(a="tr.tv", b="ev.qv")}, 6) AS cos
+  FROM tr, ev
+),
+top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY eval_id ORDER BY cos DESC, train_id ASC
+  ) AS rk FROM pairs
+),
+votes AS (
+  SELECT eval_id, true_label, train_label, count(*) AS v
+  FROM top WHERE rk <= 5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT eval_id, true_label, train_label AS pred_label,
+         row_number() OVER (
+           PARTITION BY eval_id ORDER BY v DESC, train_label ASC
+         ) AS pr
+  FROM votes
+)
+SELECT true_label, count(*)::BIGINT AS n_eval,
+       sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / count(*), 6) AS accuracy
+FROM pred WHERE pr = 1 GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["embedding_outlier_mahal"] = """
+WITH d AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+s AS (
+  SELECT dim, avg(x) AS mu, avg(x * x) - avg(x) * avg(x) AS var
+  FROM d GROUP BY 1
+),
+dist AS (
+  SELECT vec_id, label, sqrt(sum((x - mu) * (x - mu) / var)) AS dist
+  FROM d JOIN s USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id, label, round(dist, 3) AS mahal_dist
+FROM dist
+ORDER BY mahal_dist DESC, vec_id ASC
+LIMIT 20
+"""
+
+ORACLES["spans_service_busy_time"] = f"""
+WITH sp AS (
+  SELECT ra_values[list_position(ra_keys, 'service.name')] AS service_name,
+         span_id, start_time_unix_nano AS s, end_time_unix_nano AS e
+  FROM {_SPANS}
+  WHERE list_contains(ra_keys, 'service.name')
+),
+f AS (
+  SELECT *,
+         CASE WHEN max(e) OVER (
+                PARTITION BY service_name ORDER BY s, e, span_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR s > max(e) OVER (
+                PARTITION BY service_name ORDER BY s, e, span_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS ni
+  FROM sp
+),
+g AS (
+  SELECT *, sum(ni) OVER (
+    PARTITION BY service_name ORDER BY s, e, span_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS island
+  FROM f
+),
+i AS (
+  SELECT service_name, island, max(e) - min(s) AS busy, count(*) AS n
+  FROM g GROUP BY 1, 2
+)
+SELECT service_name, sum(n)::BIGINT AS n_spans,
+       count(*)::BIGINT AS n_islands, sum(busy)::BIGINT AS busy_ns
+FROM i GROUP BY 1 ORDER BY 1
+"""
+
+_DICT_COL_SQL = """
+SELECT '{t}.{c}' AS column_name, f.n_rows, d.ndv,
+       round(f.plain_bytes::DOUBLE / f.n_rows, 2) AS avg_len,
+       f.plain_bytes,
+       (d.dict_payload
+        + (f.n_rows * ceil(log2(d.ndv))::BIGINT + 7) // 8)::BIGINT
+         AS dict_bytes,
+       CASE WHEN (d.dict_payload
+                  + (f.n_rows * ceil(log2(d.ndv))::BIGINT + 7) // 8)
+                 < f.plain_bytes
+            THEN 'dict' ELSE 'plain' END AS recommend
+FROM (SELECT count(*)::BIGINT AS n_rows,
+             sum(length({c}))::BIGINT AS plain_bytes FROM {t}) f,
+     (SELECT count(*)::BIGINT AS ndv,
+             sum(length(v))::BIGINT AS dict_payload
+      FROM (SELECT DISTINCT {c} AS v FROM {t})) d
+"""
+
+ORACLES["dictionary_encoding_advisor"] = (
+    "\nUNION ALL\n".join(
+        _DICT_COL_SQL.format(t=t, c=c)
+        for t, c in [
+            ("orders", "o_orderstatus"),
+            ("orders", "o_orderpriority"),
+            ("customer", "c_mktsegment"),
+            ("customer", "c_name"),
+            ("part", "p_brand"),
+            ("part", "p_type"),
+            ("part", "p_name"),
+            ("lineitem", "l_returnflag"),
+            ("lineitem", "l_linestatus"),
+        ]
+    )
+    + "\nORDER BY column_name"
+)
+
+ORACLES["degree_distribution_trade"] = """
+WITH d AS (
+  SELECT l_partkey, count(DISTINCT o_custkey)::BIGINT AS deg
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT floor(log2(deg))::INT AS degree_bucket,
+       count(*)::BIGINT AS n_parts,
+       min(deg)::BIGINT AS min_degree,
+       max(deg)::BIGINT AS max_degree
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["weighted_percentiles_brand"] = """
+WITH lv AS (
+  SELECT p_brand, l_extendedprice AS price, sum(l_quantity) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT p_brand, price,
+         sum(w) OVER (PARTITION BY p_brand ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY p_brand) AS tot
+  FROM lv
+)
+SELECT p_brand,
+       round(min(CASE WHEN cum >= 0.25 * tot THEN price END), 2) AS p25,
+       round(min(CASE WHEN cum >= 0.5  * tot THEN price END), 2) AS p50,
+       round(min(CASE WHEN cum >= 0.75 * tot THEN price END), 2) AS p75,
+       round(min(CASE WHEN cum >= 0.9  * tot THEN price END), 2) AS p90
+FROM c GROUP BY 1 ORDER BY 1
 """

@@ -224,10 +224,23 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The approx twin at 100 TB swaps count_distinct for
     approx_count_distinct in a genuinely single pass (see
     profile_orders_approx) — this is the exact form the audit gate
-    uses."""
+    uses.
+
+    Float min/max are rendered through DECIMAL(38,6), not a direct
+    cast-to-string: shortest-roundtrip double printing (Java
+    Double.toString vs DuckDB's float formatter) is not contractually
+    identical across engines, exactly the hazard table_checksum_audit
+    excludes floats for — fixed-point rendering is."""
     li = load(spark, sf_dir, "lineitem")
+    dtypes = dict(li.dtypes)
     outs = []
     for c in _STATS_COLS:
+        if dtypes[c] in ("double", "float"):
+            min_s = F.min(c).cast("decimal(38,6)").cast("string")
+            max_s = F.max(c).cast("decimal(38,6)").cast("string")
+        else:
+            min_s = F.min(c).cast("string")
+            max_s = F.max(c).cast("string")
         outs.append(
             li.select(c).agg(
                 F.lit(c).alias("col_name"),
@@ -235,8 +248,8 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                     "n_nulls"
                 ),
-                F.min(c).cast("string").alias("min_value"),
-                F.max(c).cast("string").alias("max_value"),
+                min_s.alias("min_value"),
+                max_s.alias("max_value"),
             )
         )
     out = outs[0]
@@ -357,27 +370,50 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is exact.
 
     Scale: the self-join runs on the distinct-name relation keyed by
-    block — Σ|block|² over name blocks, never rows²; at 100 TB the
-    blocks relation broadcasts outright."""
+    (block, length-bucket) — the Ed-Join/length-filter composite. The
+    head noun alone has ~92 distinct values on TPC-H names, so a
+    block-only join is Σ|block|² ≈ |names|²/92 — still quadratic in
+    distinct names. Folding the ±3 length band INTO the join key
+    (bucket = floor(len/4); probe side explodes to bucket±1, so any
+    pair within the band shares a key) multiplies the effective block
+    count by the number of occupied length buckets, bounding candidate
+    growth. The block key coalesces to '' for single-token names to
+    match DuckDB split_part semantics (absent token → '', not NULL)."""
     part = load(spark, sf_dir, "part")
     names = (
         part.select("p_name")
         .distinct()
-        .withColumn("__block", F.split("p_name", " ").getItem(1))
+        .withColumn(
+            # F.get (not getItem): out-of-bounds yields NULL under ANSI
+            # instead of throwing; coalesce('') then matches split_part.
+            "__block",
+            F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")),
+        )
         .withColumn("__len", F.length("p_name"))
     )
+    # Probe side: each name probes its own length bucket and both
+    # neighbors — |la-lb| <= 3 with width-4 buckets implies the bucket
+    # indices differ by at most 1, so no band pair is missed.
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.col("__block"),
         F.col("__len").alias("__la"),
+        F.explode(
+            F.array(
+                F.floor(F.col("__len") / 4) - 1,
+                F.floor(F.col("__len") / 4),
+                F.floor(F.col("__len") / 4) + 1,
+            )
+        ).alias("__bkt"),
     )
     b = names.select(
         F.col("p_name").alias("name_b"),
         F.col("__block"),
         F.col("__len").alias("__lb"),
+        F.floor(F.col("__len") / 4).alias("__bkt"),
     )
     return (
-        a.join(b, "__block")
+        a.join(b, ["__block", "__bkt"])
         .filter(
             (F.col("name_a") < F.col("name_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= 3)

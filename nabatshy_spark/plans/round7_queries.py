@@ -1,0 +1,392 @@
+"""Round-7 queries: ML-data-prep splits (stratified k-fold, class
+balancing), embedding evaluation (k-NN label eval, Mahalanobis
+outliers), interval-union span analytics, storage advisors, graph
+degree distributions, and weighted percentiles.  Registered into the
+same QUERIES dict; oracles in plans/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.operators.dedup import cosine
+from nabatshy_spark.plans.queries import query
+from nabatshy_spark.plans.span_queries import load_spans
+
+
+@query("stratified_kfold_assignment")
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold split (k=5) over the corpus:
+    within each lang stratum, docs are ordered by md5(doc_id) and dealt
+    round-robin into folds — every fold gets an EXACTLY balanced share
+    of every stratum (sizes differ by ≤1), unlike plain hash-mod-k
+    whose per-stratum balance is only in expectation. The eval-split
+    primitive for quality-classifier training over curated corpora.
+
+    Scale: one shuffle on the stratum key; the window is a
+    rank-within-stratum (no global sort). Assignment is a pure
+    function of (doc_id, lang) — reproducible across engines, stable
+    under re-runs, and appends only ever shift fold sizes by the
+    appended rows."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("fold", ((F.row_number().over(w) - 1) % 5).cast("int"))
+        .groupBy("lang", "fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+@query("class_balance_resample")
+def class_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-class downsampling to a bounded imbalance ratio: each
+    lang keeps at most 2× the smallest class's count, chosen
+    deterministically by md5 rank — the class-balancing step before
+    training a language-ID or quality model on skewed corpora.
+
+    Scale: the class histogram is a dimension-sized aggregate (|langs|
+    rows, broadcast); the keep decision is a rank-within-class window
+    + filter — one shuffle on the class key, losers never shuffle
+    anywhere else. Deterministic: re-runs and engine swaps keep the
+    identical subset."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    min_n = counts.agg(F.min("n_before").alias("__min"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .filter(F.col("__rn") <= 2 * F.col("__min"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        counts.join(kept, "lang")
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            F.round(F.col("n_after") / F.col("n_before"), 6).alias("kept_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("knn_label_eval")
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-propagation evaluation (k=5): hold out every 10th
+    vector, predict its label by majority vote of its 5 nearest
+    training vectors (exact cosine, ties → smaller label), and report
+    per-label accuracy — the eval harness behind embedding-based
+    quality/topic classifiers bootstrapped from a small labeled set.
+
+    Scale: the eval set is broadcast (it is the SMALL side by
+    construction); the corpus is scanned once, cosine is a codegen'd
+    sequential fold (no UDF), and per-eval top-k is a bounded window
+    over |eval|×|train| candidate rows partitioned by eval id. At
+    100 TB the train side would first pass through the IVF/LSH pruner
+    (operators/ivf.py) — this is the exact-reference twin."""
+    emb = load(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("__tv"),
+        F.col("label").alias("train_label"),
+    )
+    pairs = train.join(F.broadcast(evals)).select(
+        "eval_id",
+        "true_label",
+        "train_id",
+        "train_label",
+        F.round(cosine(F.col("__tv"), F.col("__qv")), 6).alias("__cos"),
+    )
+    w_rank = Window.partitionBy("eval_id").orderBy(
+        F.col("__cos").desc(), F.col("train_id").asc()
+    )
+    votes = (
+        pairs.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= 5)
+        .groupBy("eval_id", "true_label", "train_label")
+        .agg(F.count("*").alias("__v"))
+    )
+    w_vote = Window.partitionBy("eval_id").orderBy(
+        F.col("__v").desc(), F.col("train_label").asc()
+    )
+    pred = (
+        votes.withColumn("__pr", F.row_number().over(w_vote))
+        .filter(F.col("__pr") == 1)
+        .select(
+            "eval_id",
+            "true_label",
+            F.col("train_label").alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("int")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_eval",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_eval"), 6).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
+
+
+@query("embedding_outlier_mahal")
+def embedding_outlier_mahal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit via diagonal Mahalanobis distance:
+    per-dimension mean/variance over the corpus, then each vector's
+    distance sqrt(Σ (x_d-μ_d)²/σ²_d); the 20 most anomalous vectors are
+    flagged — the embedding-quality gate that catches collapsed,
+    corrupt, or out-of-distribution vectors before they poison
+    dedup/ANN stages. Top-k rather than a fixed radius because a χ₆₄
+    distance concentrates hard around √64 — an absolute threshold is
+    either empty or the whole corpus; "most anomalous k" is the form
+    that stays meaningful at every corpus size.
+
+    Scale: the stats relation is d rows (dimension-sized, broadcast);
+    both passes are explode→sum aggregates with map-side partials —
+    no all-pairs term anywhere, O(N·d) total."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("__d", "__x"),
+    ).withColumn("__x", F.col("__x").cast("double"))
+    stats = dims.groupBy("__d").agg(
+        F.avg("__x").alias("__mu"),
+        (F.avg(F.col("__x") * F.col("__x"))).alias("__msq"),
+    ).withColumn("__var", F.col("__msq") - F.col("__mu") * F.col("__mu"))
+    dist = (
+        dims.join(F.broadcast(stats), "__d")
+        .withColumn(
+            "__z2",
+            (F.col("__x") - F.col("__mu"))
+            * (F.col("__x") - F.col("__mu"))
+            / F.col("__var"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum("__z2")).alias("__dist"))
+    )
+    return (
+        dist.select(
+            "vec_id", "label", F.round("__dist", 3).alias("mahal_dist")
+        )
+        .orderBy(F.col("mahal_dist").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@query("spans_service_busy_time")
+def spans_service_busy_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service BUSY time: the union of each service's span
+    intervals (gaps-and-islands merge), so concurrent spans count
+    wall-clock once — the utilization number raw duration sums
+    overstate by the concurrency factor. Complements spans_concurrency
+    (peak parallelism) with total occupied time.
+
+    Scale: one shuffle on service, one running-max window per
+    partition (sorted within service, never globally); island
+    arithmetic is exact int64 ns."""
+    sp = load_spans(spark).select(
+        F.element_at(F.col("resource_attributes"), F.lit("service.name")).alias(
+            "service_name"
+        ),
+        F.col("span_id"),
+        F.col("start_time_unix_nano").alias("__s"),
+        F.col("end_time_unix_nano").alias("__e"),
+    ).filter(F.col("service_name").isNotNull())
+    w = Window.partitionBy("service_name").orderBy("__s", "__e", "span_id")
+    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = sp.withColumn(
+        "__new_island",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy("service_name", "__island").agg(
+        (F.max("__e") - F.min("__s")).alias("__busy"),
+        F.count("*").alias("__n"),
+    )
+    return (
+        islands.groupBy("service_name")
+        .agg(
+            F.sum("__n").alias("n_spans"),
+            F.count("*").alias("n_islands"),
+            F.sum("__busy").alias("busy_ns"),
+        )
+        .orderBy("service_name")
+    )
+
+
+# (table, string column) pairs the dictionary-encoding advisor profiles.
+_DICT_COLS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("customer", "c_name"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("part", "p_name"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+]
+
+
+@query("dictionary_encoding_advisor")
+def dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor for string columns: per column, the
+    cardinality, average length, estimated plain-encoding bytes
+    (Σ len) vs dictionary-encoding bytes (Σ distinct len + n·⌈log₂
+    ndv⌉/8 index bits), and the verdict — the parquet-encoding
+    decision a 100 TB layout job makes per column (complements
+    parquet_layout_audit's file-level view with column-level encoding
+    economics).
+
+    Scale: one pruned single-column scan per column (column pruning
+    makes each branch ~1/|cols| of the table bytes), ordinary
+    two-phase distinct — the EXPAND-free per-column shape
+    column_stats_profile established."""
+    outs = []
+    for tname, c in _DICT_COLS:
+        t = load(spark, sf_dir, tname).select(F.col(c).alias("__v"))
+        full = t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("__v")).alias("plain_bytes"),
+        )
+        # Dictionary payload = Σ length over DISTINCT VALUES (what the
+        # dictionary page stores), not Σ of distinct length integers.
+        dist = t.distinct().agg(
+            F.count("*").alias("ndv"),
+            F.sum(F.length("__v")).alias("__payload"),
+        )
+        bits = F.ceil(F.log2(F.col("ndv")))
+        outs.append(
+            full.crossJoin(dist).select(
+                F.lit(f"{tname}.{c}").alias("column_name"),
+                "n_rows",
+                "ndv",
+                F.round(F.col("plain_bytes") / F.col("n_rows"), 2).alias(
+                    "avg_len"
+                ),
+                "plain_bytes",
+                (
+                    F.col("__payload")
+                    + F.floor((F.col("n_rows") * bits + 7) / 8)
+                ).cast("long").alias("dict_bytes"),
+            ).select(
+                "*",
+                F.when(F.col("dict_bytes") < F.col("plain_bytes"), "dict")
+                .otherwise("plain")
+                .alias("recommend"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("column_name")
+
+
+@query("degree_distribution_trade")
+def degree_distribution_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔customer trade graph (how many
+    distinct customers bought each part), log₂-bucketed — the
+    skew-shape diagnostic that decides salting/broadcast strategy for
+    the graph algorithms (pagerank_trade, lpa_trade_communities) and
+    documents whether a hub-node blowup is lurking.
+
+    Scale: one orderkey join (both sides bucketable), one distinct on
+    (part, customer) — the heavy shuffle — then dimension-sized
+    aggregates; the histogram is |buckets| rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_partkey", "o_custkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("__deg"))
+    )
+    return (
+        deg.withColumn(
+            "degree_bucket", F.floor(F.log2(F.col("__deg"))).cast("int")
+        )
+        .groupBy("degree_bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("__deg").alias("min_degree"),
+            F.max("__deg").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+@query("weighted_percentiles_brand")
+def weighted_percentiles_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles per brand (p25/p50/p75/p90):
+    the smallest extended price whose cumulative quantity share reaches
+    p — the general weighted-quantile operator (weighted_median_price
+    is its single-quantile global special case), the per-unit-weighted
+    distribution view plain percentiles (which weight each ORDER LINE
+    equally) misstate.
+
+    Scale: collapse to distinct (brand, price) levels first — the
+    windows then run over the LEVEL relation, bounded by price
+    cardinality, not fact rows; one shuffle on brand. Cumulative
+    comparisons are double ops on integer-valued quantities — exact
+    and engine-identical."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_extendedprice").alias("__price"),
+        F.col("l_quantity").alias("__w"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lv = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "__price")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("__price")
+    w_full = Window.partitionBy("p_brand")
+    cum = lv.withColumn(
+        "__cum",
+        F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("__tot", F.sum("__w").over(w_full))
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.lit(pq) * F.col("__tot"),
+                    F.col("__price"),
+                )
+            ),
+            2,
+        ).alias(name)
+        for pq, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
+    ]
+    return cum.groupBy("p_brand").agg(*aggs).orderBy("p_brand")

@@ -125,11 +125,30 @@ def ensure_bucketed(
         try:
             os.rename(staging_path, path)
         except OSError:
-            # Another session published the same fingerprint first; its
-            # layout is content-identical, so use it and discard ours.
             import shutil
 
-            shutil.rmtree(staging_path, ignore_errors=True)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # Another session published the same fingerprint first;
+                # its layout is content-identical, so use it and
+                # discard ours.
+                shutil.rmtree(staging_path, ignore_errors=True)
+            else:
+                # `path` exists but carries no _SUCCESS: a stale partial
+                # layout left by a crashed run, NOT a completed publish.
+                # Registering over it would silently serve corrupt data
+                # to every later join — evict it and retry the rename.
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging_path, path)
+                except OSError:
+                    if os.path.exists(os.path.join(path, "_SUCCESS")):
+                        shutil.rmtree(staging_path, ignore_errors=True)
+                    else:
+                        shutil.rmtree(staging_path, ignore_errors=True)
+                        raise RuntimeError(
+                            f"bucketed layout at {path} is incomplete "
+                            "(no _SUCCESS) and could not be replaced"
+                        )
     _register_external_bucketed(spark, table, path, df.schema, keys, num_buckets)
     return table
 

@@ -1,0 +1,277 @@
+"""Round-7 fixes: size-aware semi-join, priority-sample τ guard and
+52-bit uniforms, banded fuzzy blocking, stale-bucketed-layout eviction,
+cross-engine float formatting in column_stats_profile."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.operators.joins import _parse_byte_size, semi_join_ids
+from nabatshy_spark.plans.queries import QUERIES
+
+import nabatshy_spark.plans.ext_queries  # noqa: F401
+import nabatshy_spark.plans.round6_queries  # noqa: F401
+
+
+def test_parse_byte_size_units():
+    assert _parse_byte_size("10485760") == 10485760
+    assert _parse_byte_size("10485760b") == 10485760
+    assert _parse_byte_size("10m") == 10 << 20
+    assert _parse_byte_size("10MB") == 10 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("512k") == 512 << 10
+    assert _parse_byte_size("-1") == -1
+
+
+def test_semi_join_ids_both_branches_identical(spark, sf_dir):
+    """The broadcast and shuffle-hash branches must return identical
+    rows, and the physical plan must actually switch strategy."""
+    docs = load(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("n_chars") > 500).select("doc_id")
+
+    bcast = semi_join_ids(docs, ids, "doc_id", 10, force="broadcast")
+    shuf = semi_join_ids(docs, ids, "doc_id", 10, force="shuffle")
+
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    shuf_plan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in shuf_plan
+    assert "ShuffledHashJoin" in shuf_plan or "SortMergeJoin" in shuf_plan
+
+    a = sorted(r.doc_id for r in bcast.select("doc_id").collect())
+    b = sorted(r.doc_id for r in shuf.select("doc_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_semi_join_ids_threshold_picks_shuffle(spark, sf_dir):
+    """An id-count estimate above autoBroadcastJoinThreshold must select
+    the shuffle branch without any force flag."""
+    docs = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").limit(10)
+    thr = _parse_byte_size(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    big_estimate = (abs(thr) // 24) + 10_000_000
+    plan = (
+        semi_join_ids(docs, ids, "doc_id", big_estimate)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_priority_sample_tau_zero_when_sample_covers_input(spark, sf_dir):
+    """n <= k: the sample IS the population, τ must be 0 and the
+    estimator Σ max(w, τ) must equal the exact sum (DLT degenerate
+    case) instead of borrowing a sampled row's priority as τ."""
+    from nabatshy_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    rows = priority_sample(docs, "doc_id", "n_chars", 200).collect()
+    assert len(rows) == 50
+    assert all(r["__tau"] == 0.0 for r in rows)
+    est = sum(max(float(r.n_chars), r["__tau"]) for r in rows)
+    true = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert est == pytest.approx(float(true))
+
+
+def test_priority_sample_52bit_priorities_are_tie_free(spark, sf_dir):
+    """The 52-bit uniform must produce no priority collisions on the
+    corpus (the 16-bit form collided at ~65k distinct values per
+    weight level)."""
+    from nabatshy_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    rows = priority_sample(docs, "doc_id", "n_chars", 500).collect()
+    pr = [r["__priority"] for r in rows]
+    assert len(set(pr)) == len(pr)
+
+
+def test_fuzzy_name_pairs_banded_blocking_is_complete(spark, sf_dir):
+    """The (block, length-bucket ±1) join key must lose NO pair the
+    unbanded block join found: compare against the brute block-only
+    form on the same inputs."""
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.select("p_name")
+        .distinct()
+        .withColumn(
+            "__block",
+            F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")),
+        )
+        .withColumn("__len", F.length("p_name"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), "__block", F.col("__len").alias("__la")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), "__block", F.col("__len").alias("__lb")
+    )
+    brute = {
+        (r.name_a, r.name_b)
+        for r in a.join(b, "__block")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= 3)
+            & (F.levenshtein("name_a", "name_b") <= 3)
+        )
+        .select("name_a", "name_b")
+        .collect()
+    }
+    banded = {
+        (r.name_a, r.name_b)
+        for r in QUERIES["fuzzy_name_pairs"](spark, sf_dir).collect()
+    }
+    assert banded == brute
+
+
+def test_fuzzy_block_key_matches_duckdb_split_part(spark):
+    """Single-token names must block on '' (DuckDB split_part
+    semantics), not NULL-drop out of the join."""
+    df = spark.createDataFrame(
+        [("alpha",), ("alphq",), ("two tok",)], ["p_name"]
+    )
+    blocks = df.select(
+        F.coalesce(F.get(F.split("p_name", " "), 1), F.lit("")).alias("b")
+    ).collect()
+    assert sorted(r.b for r in blocks) == ["", "", "tok"]
+
+
+def test_ensure_bucketed_evicts_stale_partial_layout(spark, sf_dir, tmp_path, monkeypatch):
+    """A pre-existing layout directory WITHOUT _SUCCESS (crashed run)
+    must be evicted and rebuilt, not registered over."""
+    from nabatshy_spark.sources import bucketed
+
+    monkeypatch.setattr(bucketed, "BUCKET_ROOT", str(tmp_path))
+    src = os.path.join(sf_dir, "nation.parquet")
+    from nabatshy_spark.operators.ivf import _source_fingerprint
+
+    fp = _source_fingerprint(src)
+    table = f"nab_nation_bkt4_{fp[:12]}"
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    stale = tmp_path / table
+    stale.mkdir()
+    (stale / "part-corrupt.parquet").write_bytes(b"not parquet")
+
+    got = bucketed.ensure_bucketed(spark, sf_dir, "nation", ["n_nationkey"], 4)
+    assert got == table
+    assert (stale / "_SUCCESS").exists()
+    assert not (stale / "part-corrupt.parquet").exists()
+    n = spark.table(table).count()
+    assert n == spark.read.parquet(src).count()
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_column_stats_profile_float_minmax_fixed_point(spark, sf_dir):
+    """Float min/max must render as fixed-point DECIMAL(38,6) strings —
+    engine-portable — never shortest-roundtrip doubles."""
+    rows = {
+        r.col_name: r
+        for r in QUERIES["column_stats_profile"](spark, sf_dir).collect()
+    }
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert rows[c].min_value.count(".") == 1
+        assert len(rows[c].min_value.split(".")[1]) == 6
+        assert len(rows[c].max_value.split(".")[1]) == 6
+    # integer columns stay exact integer strings
+    assert "." not in rows["l_orderkey"].min_value
+
+
+# ---- round-7 new-query invariants (oracle parity is in
+# test_oracle_parity.py; these pin the semantic contracts) ----
+
+
+def test_stratified_kfold_balance(spark, sf_dir):
+    """Within every stratum, fold sizes differ by at most 1 — the
+    exact-balance property hash-mod-k lacks."""
+    rows = QUERIES["stratified_kfold_assignment"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_docs)
+    for lang, sizes in by_lang.items():
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert len(sizes) <= 5
+
+
+def test_class_balance_caps_majority(spark, sf_dir):
+    rows = QUERIES["class_balance_resample"](spark, sf_dir).collect()
+    min_before = min(r.n_before for r in rows)
+    for r in rows:
+        assert r.n_after <= 2 * min_before
+        assert r.n_after <= r.n_before
+        assert r.n_after == r.n_before or r.n_after == 2 * min_before
+
+
+def test_knn_label_eval_covers_eval_set(spark, sf_dir):
+    rows = QUERIES["knn_label_eval"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    n_eval = emb.filter(F.col("vec_id") % 10 == 0).count()
+    assert sum(r.n_eval for r in rows) == n_eval
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_eval
+
+
+def test_embedding_outlier_mahal_topk_sorted(spark, sf_dir):
+    rows = QUERIES["embedding_outlier_mahal"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    dists = [r.mahal_dist for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d > 0 for d in dists)
+
+
+def test_spans_busy_time_bounds(spark, sf_dir):
+    """Interval-union busy time is ≤ the raw duration sum (concurrency
+    only ever collapses time) and ≥ the longest single span."""
+    from nabatshy_spark.plans.span_queries import load_spans
+
+    rows = {
+        r.service_name: r
+        for r in QUERIES["spans_service_busy_time"](spark, sf_dir).collect()
+    }
+    sp = load_spans(spark).select(
+        F.element_at("resource_attributes", F.lit("service.name")).alias("svc"),
+        (F.col("end_time_unix_nano") - F.col("start_time_unix_nano")).alias("d"),
+    ).filter(F.col("svc").isNotNull())
+    agg = {
+        r.svc: r
+        for r in sp.groupBy("svc")
+        .agg(F.sum("d").alias("tot"), F.max("d").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(agg)
+    for svc, r in rows.items():
+        assert r.busy_ns <= agg[svc].tot
+        assert r.busy_ns >= agg[svc].mx
+        assert r.n_spans == agg[svc].n
+        assert 1 <= r.n_islands <= r.n_spans
+
+
+def test_degree_distribution_partitions_parts(spark, sf_dir):
+    rows = QUERIES["degree_distribution_trade"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    for r in rows:
+        assert 2 ** r.degree_bucket <= r.min_degree <= r.max_degree
+        assert r.max_degree < 2 ** (r.degree_bucket + 1)
+
+
+def test_weighted_percentiles_monotone(spark, sf_dir):
+    for r in QUERIES["weighted_percentiles_brand"](spark, sf_dir).collect():
+        assert r.p25 <= r.p50 <= r.p75 <= r.p90
+
+
+def test_dictionary_advisor_verdicts(spark, sf_dir):
+    rows = {
+        r.column_name: r
+        for r in QUERIES["dictionary_encoding_advisor"](spark, sf_dir).collect()
+    }
+    assert rows["lineitem.l_returnflag"].recommend == "dict"
+    assert rows["customer.c_name"].recommend == "plain"
+    for r in rows.values():
+        assert (r.dict_bytes < r.plain_bytes) == (r.recommend == "dict")
+        assert r.ndv <= r.n_rows
