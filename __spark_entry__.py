@@ -73,12 +73,18 @@ _PRIORITY = [
     "knn_label_eval", "embedding_outlier_mahal",
     "spans_service_busy_time", "dictionary_encoding_advisor",
     "degree_distribution_trade", "weighted_percentiles_brand",
+    # Stale-row re-check: tools/gen_row_staleness.py found exactly one
+    # query whose function changed after its latest CORRECTNESS row —
+    # curate_corpus (row r2; rejector semi-join reworked r6+r7). A
+    # fresh row re-certifies the current code.
+    "curate_corpus",
     # Rows-only (no oracle by design: approximate sketches / iterative
     # numerics) — external rows+schema evidence still counts.
-    "hll_user_rollup", "embedding_pca_variance", "ann_recall_report",
-    # (Remaining never-checked rows-only after r7: distinct_users_approx,
-    # profile_orders_approx, ann_pq_topk, ann_ivfpq_topk, bpe_vocab_merges,
-    # bpe_token_stats — rotate into r8's tail slots.)
+    "hll_user_rollup", "embedding_pca_variance",
+    # (Remaining never-checked rows-only after r7: ann_recall_report,
+    # distinct_users_approx, profile_orders_approx, ann_pq_topk,
+    # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats — rotate into
+    # r8's tail slots.)
 ]
 
 

@@ -343,3 +343,21 @@ def test_orc_sink_roundtrip_matches_parquet(spark, tmp_path):
         .collect()
     }
     assert orc == pq and len(orc) > 0
+
+
+def test_write_spans_jdbc_raises_without_driver_jar(spark):
+    """The JDBC leg's documented contract: with no clickhouse-jdbc jar
+    on the classpath the write RAISES the underlying driver-load error
+    (no silent fallback) — and the full option map, including
+    overrides, reaches the writer before that happens."""
+    import pytest
+
+    from nabatshy_spark.sources.clickhouse import write_spans_jdbc
+
+    df = spark.createDataFrame([(1, "a")], ["trace_id", "name"])
+    with pytest.raises(Exception) as ei:
+        write_spans_jdbc(
+            df, "jdbc:clickhouse://localhost:1/otel", batchsize="7"
+        )
+    msg = str(ei.value)
+    assert "com.clickhouse.jdbc.ClickHouseDriver" in msg or "ClassNotFound" in msg
