@@ -81,10 +81,11 @@ _PRIORITY = [
     # Rows-only (no oracle by design: approximate sketches / iterative
     # numerics) — external rows+schema evidence still counts.
     "hll_user_rollup", "embedding_pca_variance",
-    # (Remaining never-checked rows-only after r7: ann_recall_report,
-    # distinct_users_approx, profile_orders_approx, ann_pq_topk,
-    # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats — rotate into
-    # r8's tail slots.)
+    # (Rotate into r8: the oracle-backed late round-7 additions that
+    # missed this window — image_dhash_near_dups, kcore_trade_pruning —
+    # plus the remaining never-checked rows-only queries:
+    # ann_recall_report, distinct_users_approx, profile_orders_approx,
+    # ann_pq_topk, ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats.)
 ]
 
 

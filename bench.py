@@ -219,6 +219,8 @@ HEADLINE = [
     "dictionary_encoding_advisor",
     "degree_distribution_trade",
     "weighted_percentiles_brand",
+    "image_dhash_near_dups",
+    "kcore_trade_pruning",
 ]
 
 

@@ -418,3 +418,96 @@ def thumbnail_features(df: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFra
             )
 
     return df.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+def attach_patterned_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Stand-in image ingest with STRUCTURE: one 8×6 PNG per row whose
+    spatial pattern is ``id % 4`` (flat / ramp / step / V) and whose
+    brightness offset is ``(id·7) % 64`` — the same visual structure at
+    different exposures. Exact pixel dedup treats every exposure as a
+    distinct image; a perceptual hash must collapse them back to the 4
+    patterns. Both group structures are analytic functions of the id,
+    so a SQL oracle checks the real encode→decode→hash path end to
+    end (the attach_audio trick, applied to perceptual grouping)."""
+    import numpy as np
+
+    from nabatshy_spark.operators.pngcodec import encode_png
+
+    def _pattern_row(p: int) -> "np.ndarray":
+        x = np.arange(8)
+        if p == 0:
+            v = np.zeros(8)
+        elif p == 1:
+            v = x * 16
+        elif p == 2:
+            v = np.where(x >= 4, 96, 0)
+        else:
+            v = np.abs(2 * x - 7) * 8
+        return v.astype(np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                row = _pattern_row(d % 4) + (d * 7) % 64  # max 112+63 < 256
+                payloads.append(
+                    encode_png(
+                        np.tile(row, (6, 1)).astype(np.uint8)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return _fan_out(df.select(F.col(id_col).alias("doc_id"))).mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+DHASH_SCHEMA = "doc_id long, dhash string, decode_error string"
+
+
+def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) per binary image row: decode,
+    collapse to grayscale, nearest-resize to (hash_w+1)×hash_h, then one
+    bit per adjacent-pixel horizontal comparison — 64 bits at the 8×8
+    default, emitted as a hex string. dHash depends only on local
+    gradient SIGNS, so it is invariant to global brightness/contrast
+    shifts and to re-encoding — the property that catches "same image,
+    different exposure/compression" duplicates that exact pixel or byte
+    hashing (image_dup_groups) cannot.
+
+    Same narrow Arrow-batched mapInPandas shape and poison-row policy
+    as image_features: no shuffle, undecodable payloads become
+    per-row ``decode_error`` values. Grouping by the hash afterwards
+    shuffles 8-byte hashes, never pixels."""
+    import numpy as np
+
+    from nabatshy_spark.operators.pngcodec import resize_nearest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(payload)
+                    gray = img.pixels.mean(axis=2).astype(np.uint8)
+                    from nabatshy_spark.operators.pngcodec import Image
+
+                    g = Image(
+                        width=img.width, height=img.height, channels=1,
+                        pixels=gray[:, :, None],
+                    )
+                    th = resize_nearest(g, hash_w + 1, hash_h)
+                    px = th.pixels[:, :, 0].astype(np.int16)
+                    bits = (px[:, 1:] > px[:, :-1]).flatten()
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    rows.append((doc_id, f"{val:0{hash_w * hash_h // 4}x}", None))
+                except Exception as ex:
+                    rows.append((doc_id, None, str(ex)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "dhash", "decode_error"]
+            )
+
+    return df.mapInPandas(batches, schema=DHASH_SCHEMA)

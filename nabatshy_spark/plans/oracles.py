@@ -5351,3 +5351,40 @@ SELECT p_brand,
        round(min(CASE WHEN cum >= 0.9  * tot THEN price END), 2) AS p90
 FROM c GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["image_dhash_near_dups"] = """
+SELECT min(doc_id)::BIGINT AS canonical_doc, count(*)::BIGINT AS n_images
+FROM documents GROUP BY doc_id % 4 ORDER BY canonical_doc
+"""
+
+ORACLES["kcore_trade_pruning"] = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey p, o_custkey c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e1 AS (
+  SELECT p, c FROM e0
+  WHERE p IN (SELECT p FROM e0 GROUP BY p HAVING count(*) >= 25)
+    AND c IN (SELECT c FROM e0 GROUP BY c HAVING count(*) >= 25)
+),
+e2 AS (
+  SELECT p, c FROM e1
+  WHERE p IN (SELECT p FROM e1 GROUP BY p HAVING count(*) >= 25)
+    AND c IN (SELECT c FROM e1 GROUP BY c HAVING count(*) >= 25)
+),
+e3 AS (
+  SELECT p, c FROM e2
+  WHERE p IN (SELECT p FROM e2 GROUP BY p HAVING count(*) >= 25)
+    AND c IN (SELECT c FROM e2 GROUP BY c HAVING count(*) >= 25)
+)
+SELECT 1 AS round, count(DISTINCT p)::BIGINT AS n_left,
+       count(DISTINCT c)::BIGINT AS n_right, count(*)::BIGINT AS n_edges
+FROM e1
+UNION ALL
+SELECT 2, count(DISTINCT p)::BIGINT, count(DISTINCT c)::BIGINT,
+       count(*)::BIGINT FROM e2
+UNION ALL
+SELECT 3, count(DISTINCT p)::BIGINT, count(DISTINCT c)::BIGINT,
+       count(*)::BIGINT FROM e3
+ORDER BY round
+"""

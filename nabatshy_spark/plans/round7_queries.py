@@ -427,3 +427,63 @@ def weighted_percentiles_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pq, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
     ]
     return cum.groupBy("p_brand").agg(*aggs).orderBy("p_brand")
+
+
+@query("image_dhash_near_dups")
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup groups via dHash
+    (operators/multimodal.image_dhash): decode → grayscale → 9×8
+    nearest-resize → 64 horizontal-gradient-sign bits, then group by
+    hash — collapses "same image at a different exposure" duplicates
+    that exact pixel dedup (image_dup_groups) and byte hashing both
+    miss, because dHash depends only on gradient signs, which a global
+    brightness shift leaves untouched.
+
+    The synthetic ingest (attach_patterned_images) makes the check
+    analytic: pattern = id%4, brightness = (id·7)%64, so the hash
+    groups must be EXACTLY the id%4 classes — the SQL oracle derives
+    the expected groups from id arithmetic while the Spark side earns
+    them through the real PNG encode→decode→resize→hash path (the
+    attach_audio differential-check trick applied to perceptual
+    hashing).
+
+    Scale: hashing is a narrow Arrow-batched stage over the blob scan;
+    the group-by shuffles 8-byte hashes, never pixels."""
+    from nabatshy_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    h = multimodal.image_dhash(
+        multimodal.attach_patterned_images(docs, "doc_id")
+    )
+    return (
+        h.filter(F.col("decode_error").isNull())
+        .groupBy("dhash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_images"),
+        )
+        .select("canonical_doc", "n_images")
+        .orderBy("canonical_doc")
+    )
+
+
+@query("kcore_trade_pruning")
+def kcore_trade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round (25,25)-core peel of the part↔customer trade
+    graph (operators/graph.bipartite_core_prune): three simultaneous
+    degree-prune rounds, one audit row per round with surviving
+    node/edge counts — the dense-core extraction that precedes
+    community detection or co-purchase embedding training (hubs-only
+    subgraph), and the iterative-graph operator class with an EXACTLY
+    unrollable SQL oracle (unlike run-to-fixpoint forms).
+
+    Scale: per round two groupBy-count shuffles + two semi-joins;
+    edges localCheckpoint per round so lineage stays one round deep."""
+    from nabatshy_spark.operators import graph
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
+    )
+    return graph.bipartite_core_prune(edges, "part", "cust", k=25, rounds=3)

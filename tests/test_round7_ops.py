@@ -275,3 +275,44 @@ def test_dictionary_advisor_verdicts(spark, sf_dir):
     for r in rows.values():
         assert (r.dict_bytes < r.plain_bytes) == (r.recommend == "dict")
         assert r.ndv <= r.n_rows
+
+
+def test_dhash_brightness_invariant_and_pattern_sensitive(spark):
+    """dHash must be identical for the same pattern at different
+    brightness (the near-dup case) and different across patterns."""
+    import numpy as np
+
+    from nabatshy_spark.operators.multimodal import decode_image, image_dhash
+    from nabatshy_spark.operators.pngcodec import encode_png
+
+    def mk(pattern, offset):
+        x = np.arange(8)
+        v = {0: np.zeros(8), 1: x * 16,
+             2: np.where(x >= 4, 96, 0), 3: np.abs(2 * x - 7) * 8}[pattern]
+        return encode_png(np.tile(v + offset, (6, 1)).astype(np.uint8))
+
+    rows = [(i, mk(p, o)) for i, (p, o) in enumerate(
+        [(0, 0), (0, 40), (1, 0), (1, 63), (2, 10), (2, 50), (3, 0), (3, 30)]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert out[0] == out[1] and out[2] == out[3]
+    assert out[4] == out[5] and out[6] == out[7]
+    assert len({out[0], out[2], out[4], out[6]}) == 4
+    # sanity: the codec round-trips these payloads
+    assert decode_image(rows[0][1]).width == 8
+
+
+def test_kcore_rounds_contract_monotonically(spark, sf_dir):
+    rows = QUERIES["kcore_trade_pruning"](spark, sf_dir).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_edges <= a.n_edges
+        assert b.n_left <= a.n_left and b.n_right <= a.n_right
+    # every surviving left node in the FINAL graph has degree >= k-ish
+    # only w.r.t. the PREVIOUS round's graph (simultaneous-peel
+    # semantics); the audit row counts must at least be consistent
+    for r in rows:
+        if r.n_edges:
+            assert r.n_left >= 1 and r.n_right >= 1
+            assert r.n_edges >= max(r.n_left, r.n_right)
