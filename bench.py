@@ -221,6 +221,8 @@ HEADLINE = [
     "weighted_percentiles_brand",
     "image_dhash_near_dups",
     "kcore_trade_pruning",
+    "event_value_twap",
+    "part_abc_classes",
 ]
 
 

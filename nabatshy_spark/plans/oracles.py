@@ -5388,3 +5388,47 @@ SELECT 3, count(DISTINCT p)::BIGINT, count(DISTINCT c)::BIGINT,
        count(*)::BIGINT FROM e3
 ORDER BY round
 """
+
+ORACLES["event_value_twap"] = """
+WITH e AS (
+  SELECT user_id, event_type, value, event_id, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS nxt
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_intervals,
+       sum(nxt - us)::BIGINT AS held_us,
+       round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM e WHERE nxt IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["part_abc_classes"] = """
+WITH p AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(rev) OVER () AS tot
+  FROM p
+),
+k AS (
+  SELECT rev, tot,
+         CASE WHEN cum / tot <= 0.80 THEN 'A'
+              WHEN cum / tot <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM c
+)
+SELECT abc_class, count(*)::BIGINT AS n_parts,
+       round((sum(rev) / max(tot))::DOUBLE * 100, 4) AS revenue_share_pct
+FROM k GROUP BY 1 ORDER BY 1
+"""

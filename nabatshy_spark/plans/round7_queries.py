@@ -487,3 +487,95 @@ def kcore_trade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
     )
     return graph.bipartite_core_prune(edges, "part", "cust", k=25, rounds=3)
+
+
+@query("event_value_twap")
+def event_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each event's
+    value holds until the user's next event, so the average weighs
+    values by HOW LONG they were in force, not how often they were
+    sampled — the metric plain avg() misstates whenever emission rate
+    correlates with value (bursty sessions). The plain average rides
+    along to make the bias visible.
+
+    Scale: one shuffle on user_id, a lead() window per user (sorted
+    within user only), then an ordinary per-type aggregate. Durations
+    are exact int64 microseconds; only the final ratio rounds."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    held = (
+        ev.withColumn("__nxt", F.lead("__us").over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .withColumn("__dur", F.col("__nxt") - F.col("__us"))
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("__dur").alias("held_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("__dur")) / F.sum("__dur"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("part_abc_classes")
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-class) analysis of parts by revenue: sort parts by
+    revenue descending, classify by cumulative share — A up to 80%,
+    B up to 95%, C the tail — the inventory-policy classification
+    behind "which 20% of parts earn 80% of revenue". Complements
+    pareto_suppliers (a 2-D skyline) with the 1-D cumulative-share
+    classing warehouses actually run.
+
+    Scale: the fact table collapses to one row per part FIRST (the
+    only full shuffle); the classing windows run over the part-level
+    relation — a global-order window, but over a DIMENSION-sized
+    input (|parts|, never fact rows). For a part dimension too big
+    for one sort partition, the two-phase form applies: per-partition
+    partial revenue sums, broadcast prefix offsets, then local
+    cumulative shares. Revenue sums are exact DECIMAL; shares round
+    after the cumulative division."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("__rev")
+    )
+    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
+    w_full = Window.partitionBy()
+    classed = (
+        per_part.withColumn(
+            "__cum",
+            F.sum("__rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__tot", F.sum("__rev").over(w_full))
+        .withColumn("__share", F.col("__cum") / F.col("__tot"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("__share") <= 0.80, "A")
+            .when(F.col("__share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                (F.sum("__rev") / F.max("__tot")).cast("double") * 100, 4
+            ).alias("revenue_share_pct"),
+        )
+        .orderBy("abc_class")
+    )

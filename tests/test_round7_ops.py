@@ -316,3 +316,30 @@ def test_kcore_rounds_contract_monotonically(spark, sf_dir):
         if r.n_edges:
             assert r.n_left >= 1 and r.n_right >= 1
             assert r.n_edges >= max(r.n_left, r.n_right)
+
+
+def test_twap_differs_from_plain_avg_and_bounds(spark, sf_dir):
+    rows = QUERIES["event_value_twap"](spark, sf_dir).collect()
+    assert rows, "no event types"
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    for r in rows:
+        assert lo <= r.twap <= hi
+        assert lo <= r.plain_avg <= hi
+        assert r.held_us > 0 and r.n_intervals > 0
+
+
+def test_abc_classes_partition_and_share(spark, sf_dir):
+    rows = {r.abc_class: r for r in QUERIES["part_abc_classes"](spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    li = load(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    total_share = sum(r.revenue_share_pct for r in rows.values())
+    assert abs(total_share - 100.0) < 0.01
+    # Class shares honor the 80/95 boundaries (the synthetic revenue
+    # is near-uniform, so A holds many parts — the BOUNDARIES, not a
+    # real-world Pareto head, are the invariant).
+    assert rows["A"].revenue_share_pct <= 80.0 + 0.01
+    assert rows["A"].revenue_share_pct + rows["B"].revenue_share_pct <= 95.0 + 0.01
+    assert rows["A"].revenue_share_pct > rows["B"].revenue_share_pct > rows["C"].revenue_share_pct
