@@ -343,3 +343,40 @@ def test_abc_classes_partition_and_share(spark, sf_dir):
     assert rows["A"].revenue_share_pct <= 80.0 + 0.01
     assert rows["A"].revenue_share_pct + rows["B"].revenue_share_pct <= 95.0 + 0.01
     assert rows["A"].revenue_share_pct > rows["B"].revenue_share_pct > rows["C"].revenue_share_pct
+
+
+def test_prefix_filter_jaccard_matches_posting_join(spark, sf_dir):
+    """The PPJoin-style prefix-filtered operator must return EXACTLY
+    the posting-join operator's pairs — two independent plans for the
+    same contract, used as a differential check of both."""
+    from nabatshy_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    old = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, 200
+        ).collect()
+    )
+    new = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", 3, 0.5, 200
+        ).collect()
+    )
+    assert old == new and len(old) > 0
+
+
+def test_prefix_filter_jaccard_no_cap_matches(spark, sf_dir):
+    from nabatshy_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents").limit(150)
+    old = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect()
+    )
+    new = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.3).collect()
+    )
+    assert old == new
