@@ -47,3 +47,73 @@ def dedup_span_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataF
     return dedup_stream(with_ts, ["trace_id", "span_id"], "__ts", watermark).drop(
         "__ts"
     )
+
+
+def perceptual_dedup_stream(
+    stream: DataFrame,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Perceptual image dedup AT INGEST: hash each arriving image
+    payload with dHash (operators/multimodal.image_dhash — a stateless
+    Arrow-batched stage, streaming-safe) and keep the FIRST image per
+    perceptual hash within the watermark horizon. Catches the ingest
+    pattern exact keys cannot: the same creative re-exported at a
+    different exposure/quality arrives minutes apart and byte/pixel
+    identity sees two distinct rows, while the gradient-sign hash sees
+    one. State is one entry per distinct dhash, expired by the
+    watermark — bounded by the dedup window, not stream lifetime.
+
+    Input schema: (doc_id long, payload binary, ``ts_col`` timestamp).
+    Output: the surviving rows with their ``dhash`` attached;
+    undecodable payloads are keyed by an error sentinel unique per
+    doc, so poison rows pass through without deduping each other."""
+
+    def batches(it):
+        # Closure, not a module-level def: cloudpickle ships it by
+        # VALUE so the external driver's executors don't need
+        # /root/repo on sys.path (see sources/layout.py incident).
+        import numpy as np
+        import pandas as pd
+
+        from nabatshy_spark.operators.multimodal import decode_image
+        from nabatshy_spark.operators.pngcodec import Image, resize_nearest
+
+        for pdf in it:
+            hashes = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(payload)
+                    gray = img.pixels.mean(axis=2).astype(np.uint8)
+                    g = Image(
+                        width=img.width, height=img.height, channels=1,
+                        pixels=gray[:, :, None],
+                    )
+                    th = resize_nearest(g, 9, 8)
+                    px = th.pixels[:, :, 0].astype(np.int16)
+                    bits = (px[:, 1:] > px[:, :-1]).flatten()
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    hashes.append(f"{val:016x}")
+                except Exception:
+                    hashes.append(f"__err_{doc_id}")
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "__event_ts": pdf["__event_ts"],
+                    "dhash": hashes,
+                }
+            )
+            yield out
+
+    hashed = stream.select(
+        "doc_id", "payload", F.col(ts_col).alias("__event_ts")
+    ).mapInPandas(
+        batches,
+        schema="doc_id long, payload binary, __event_ts timestamp, dhash string",
+    )
+    return dedup_stream(hashed, ["dhash"], "__event_ts", watermark).withColumnRenamed(
+        "__event_ts", ts_col
+    )
