@@ -223,6 +223,7 @@ HEADLINE = [
     "kcore_trade_pruning",
     "event_value_twap",
     "part_abc_classes",
+    "psi_order_value_drift",
 ]
 
 

@@ -5432,3 +5432,37 @@ SELECT abc_class, count(*)::BIGINT AS n_parts,
        round((sum(rev) / max(tot))::DOUBLE * 100, 4) AS revenue_share_pct
 FROM k GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["psi_order_value_drift"] = """
+WITH o AS (
+  SELECT year(o_orderdate) AS yr,
+         CASE WHEN o_totalprice < 50000 THEN 0
+              WHEN o_totalprice < 100000 THEN 1
+              WHEN o_totalprice < 150000 THEN 2
+              WHEN o_totalprice < 200000 THEN 3
+              WHEN o_totalprice < 300000 THEN 4
+              ELSE 5 END AS b
+  FROM orders
+),
+c AS (SELECT yr, b, count(*)::BIGINT AS n FROM o GROUP BY 1, 2),
+grid AS (
+  SELECT y.yr, t.b FROM (SELECT DISTINCT yr FROM c) y,
+       (SELECT unnest(range(0, 6)) AS b) t
+),
+full_c AS (
+  SELECT grid.yr, grid.b, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c ON grid.yr = c.yr AND grid.b = c.b
+),
+p AS (
+  SELECT yr, b, n,
+         (n + 0.5) / (sum(n) OVER (PARTITION BY yr) + 0.5 * 6) AS prop
+  FROM full_c
+),
+base AS (
+  SELECT b, prop AS q FROM p WHERE yr = (SELECT min(yr) FROM p)
+)
+SELECT p.yr, sum(p.n)::BIGINT AS n_orders,
+       round(sum((p.prop - base.q) * ln(p.prop / base.q)), 6) AS psi
+FROM p JOIN base ON p.b = base.b
+GROUP BY 1 ORDER BY 1
+"""

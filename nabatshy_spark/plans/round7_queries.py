@@ -579,3 +579,68 @@ def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# Static price bands for the PSI drift bins — fixed edges (not
+# quantiles) so bin membership is engine-identical and stable across
+# scale factors, the way a production drift monitor pins its bins at
+# model-training time.
+_PSI_EDGES = [50_000, 100_000, 150_000, 200_000, 300_000]
+
+
+@query("psi_order_value_drift")
+def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution per
+    year against the first year — THE production-ML drift gate for
+    numeric features (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    retrain). Complements the text-side drift family (ks_source_drift,
+    source_kl_drift) with the binned-numeric form monitors actually
+    run: fixed price bands, Laplace-smoothed proportions, Σ (p−q)·ln(p/q).
+
+    Scale: one scan → (year, band) counts (a dimension-sized
+    aggregate); the PSI algebra runs on |years|×|bands| rows. Bands are
+    static so the monitor never recomputes quantiles on 100 TB."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), F.col("o_totalprice").alias("__p")
+    )
+    bucket = F.lit(len(_PSI_EDGES))
+    for i, e in enumerate(reversed(_PSI_EDGES)):
+        bucket = F.when(
+            F.col("__p") < e, len(_PSI_EDGES) - 1 - i
+        ).otherwise(bucket)
+    counts = o.withColumn("__b", bucket).groupBy("yr", "__b").agg(
+        F.count("*").alias("__n")
+    )
+    years = counts.select("yr").distinct()
+    bins = spark.range(len(_PSI_EDGES) + 1).select(F.col("id").alias("__b"))
+    full = (
+        years.crossJoin(F.broadcast(bins))
+        .join(counts, ["yr", "__b"], "left")
+        .withColumn("__n", F.coalesce("__n", F.lit(0)))
+    )
+    n_bins = len(_PSI_EDGES) + 1
+    tot = Window.partitionBy("yr")
+    props = full.withColumn(
+        "__prop",
+        (F.col("__n") + 0.5) / (F.sum("__n").over(tot) + 0.5 * n_bins),
+    )
+    base_yr = props.agg(F.min("yr").alias("__by"))
+    base = (
+        props.join(F.broadcast(base_yr), props.yr == F.col("__by"))
+        .select(F.col("__b"), F.col("__prop").alias("__q"))
+    )
+    return (
+        props.join(base, "__b")
+        .groupBy("yr")
+        .agg(
+            F.sum("__n").alias("n_orders"),
+            F.round(
+                F.sum(
+                    (F.col("__prop") - F.col("__q"))
+                    * F.log(F.col("__prop") / F.col("__q"))
+                ),
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("yr")
+    )

@@ -380,3 +380,11 @@ def test_prefix_filter_jaccard_no_cap_matches(spark, sf_dir):
         for r in dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, 0.3).collect()
     )
     assert old == new
+
+
+def test_psi_baseline_year_is_zero_and_nonnegative(spark, sf_dir):
+    rows = QUERIES["psi_order_value_drift"](spark, sf_dir).collect()
+    assert rows[0].psi == 0.0  # baseline vs itself
+    o = load(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    assert all(r.psi >= 0 for r in rows)  # PSI is a sum of KL-type terms
