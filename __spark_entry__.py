@@ -86,7 +86,8 @@ _PRIORITY = [
     # event_value_twap, part_abc_classes, psi_order_value_drift — plus
     # the remaining never-checked rows-only queries: ann_recall_report,
     # distinct_users_approx, profile_orders_approx, ann_pq_topk,
-    # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats.)
+    # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats, and the new
+    # rows-only compression_quality_flags.)
 ]
 
 

@@ -224,6 +224,7 @@ HEADLINE = [
     "event_value_twap",
     "part_abc_classes",
     "psi_order_value_drift",
+    "compression_quality_flags",
 ]
 
 

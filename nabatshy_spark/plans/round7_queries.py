@@ -644,3 +644,37 @@ def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@query("compression_quality_flags")
+def compression_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility profile + flag counts: documents
+    whose zlib ratio drops under 0.3 are repetition/boilerplate
+    suspects (operators/textanalysis.compression_ratio) — the
+    compression-based quality signal that catches templated text the
+    token-level heuristics (gopher_rule_flags, text_repetition) can
+    miss when the repetition unit is longer than their n-grams.
+
+    Rows-only by design: no SQL zlib, so there is no cross-engine
+    oracle; the signal's semantics are pinned by crafted-text units
+    (repetitive text → low ratio, prose → higher) and the output here
+    is a deterministic per-source aggregate of a deterministic
+    per-doc ratio.
+
+    Scale: narrow Arrow-batched stage over (id, text), one
+    dimension-sized group-by; nothing shuffles text."""
+    from nabatshy_spark.operators import textanalysis
+
+    docs = load(spark, sf_dir, "documents")
+    rat = textanalysis.compression_ratio(docs, "doc_id", "text")
+    joined = rat.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.sum((F.col("ratio") < 0.3).cast("int")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -388,3 +388,30 @@ def test_psi_baseline_year_is_zero_and_nonnegative(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     assert sum(r.n_orders for r in rows) == o.count()
     assert all(r.psi >= 0 for r in rows)  # PSI is a sum of KL-type terms
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    """Crafted texts pin the signal: heavy repetition compresses far
+    below varied prose; ratios are deterministic across calls."""
+    from nabatshy_spark.operators.textanalysis import compression_ratio
+
+    rows = [
+        (0, "the same line again " * 50),
+        (1, "Quick zephyrs blow, vexing daft Jim; sphinx of black "
+            "quartz judge my vow. Pack my box with five dozen jugs."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert out[0].ratio < 0.1 < out[1].ratio
+    assert out[0].raw_bytes == len(rows[0][1].encode())
+    again = {r.doc_id: r.ratio for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert again == {k: v.ratio for k, v in out.items()}
+
+
+def test_compression_quality_flags_aggregates(spark, sf_dir):
+    rows = QUERIES["compression_quality_flags"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r.min_ratio <= r.avg_ratio
+        assert 0 <= r.n_flagged <= r.n_docs
