@@ -83,7 +83,8 @@ _PRIORITY = [
     "hll_user_rollup", "embedding_pca_variance",
     # (Rotate into r8: the oracle-backed late round-7 additions that
     # missed this window — image_dhash_near_dups, kcore_trade_pruning,
-    # event_value_twap, part_abc_classes, psi_order_value_drift — plus
+    # event_value_twap, part_abc_classes, psi_order_value_drift,
+    # supplier_single_source_risk, embedding_label_separation — plus
     # the remaining never-checked rows-only queries: ann_recall_report,
     # distinct_users_approx, profile_orders_approx, ann_pq_topk,
     # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats, and the new

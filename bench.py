@@ -225,6 +225,8 @@ HEADLINE = [
     "part_abc_classes",
     "psi_order_value_drift",
     "compression_quality_flags",
+    "supplier_single_source_risk",
+    "embedding_label_separation",
 ]
 
 

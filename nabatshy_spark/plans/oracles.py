@@ -5466,3 +5466,59 @@ SELECT p.yr, sum(p.n)::BIGINT AS n_orders,
 FROM p JOIN base ON p.b = base.b
 GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["supplier_single_source_risk"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+pp AS (
+  SELECT l_partkey, max(q) AS top, sum(q) AS tot,
+         count(*)::BIGINT AS n_suppliers
+  FROM ps GROUP BY 1
+),
+b AS (
+  SELECT top / tot AS share, n_suppliers,
+         CASE WHEN top / tot >= 0.9 THEN 'sole_sourced'
+              WHEN top / tot >= 0.6 THEN 'concentrated'
+              ELSE 'diversified' END AS risk_band
+  FROM pp
+)
+SELECT risk_band, count(*)::BIGINT AS n_parts,
+       round(avg(share), 6) AS avg_top_share,
+       round(avg(n_suppliers), 4) AS avg_suppliers
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["embedding_label_separation"] = """
+WITH d AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label, list(m ORDER BY dim) AS cv
+  FROM (SELECT label, dim, avg(x) AS m FROM d GROUP BY 1, 2)
+  GROUP BY 1
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         list_dot_product(e.embedding::DOUBLE[], c.cv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM embeddings e, cent c
+),
+own AS (
+  SELECT vec_id, label, cos AS own_cos FROM scored WHERE label = c_label
+),
+frn AS (
+  SELECT vec_id, max(cos) AS best_foreign
+  FROM scored WHERE label != c_label GROUP BY 1
+)
+SELECT o.label, count(*)::BIGINT AS n_vecs,
+       round(avg(o.own_cos), 6) AS avg_intra_cos,
+       round(avg(f.best_foreign), 6) AS avg_best_foreign_cos,
+       round(avg(o.own_cos - f.best_foreign), 6) AS separation_margin
+FROM own o JOIN frn f USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""

@@ -678,3 +678,122 @@ def compression_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("supplier_single_source_risk")
+def supplier_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: for each part, the share of its
+    shipped quantity coming from its TOP supplier, banded into risk
+    classes (≥90% sole-sourced / 60-90% concentrated / <60%
+    diversified) — the procurement-risk audit a supply-chain team runs
+    before a capacity shock; complements supplier_concentration
+    (market-level HHI) with the per-part sourcing view.
+
+    Scale: one (part, supplier) rollup — the only fact shuffle — then
+    a per-part max/sum over the rollup (bounded by |parts|·|suppliers
+    per part|); the band histogram is 3 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.max("__q").alias("__top"),
+        F.sum("__q").alias("__tot"),
+        F.count("*").alias("n_suppliers"),
+    )
+    banded = per_part.withColumn(
+        "__share", F.col("__top") / F.col("__tot")
+    ).withColumn(
+        "risk_band",
+        F.when(F.col("__share") >= 0.9, "sole_sourced")
+        .when(F.col("__share") >= 0.6, "concentrated")
+        .otherwise("diversified"),
+    )
+    return (
+        banded.groupBy("risk_band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("__share"), 6).alias("avg_top_share"),
+            F.round(F.avg("n_suppliers"), 4).alias("avg_suppliers"),
+        )
+        .orderBy("risk_band")
+    )
+
+
+@query("embedding_label_separation")
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separation audit: per label, the average
+    cosine of members to their OWN label centroid vs to their nearest
+    FOREIGN centroid, and the margin between the two — the
+    Davies-Bouldin-flavored health check that tells you whether labels
+    are even separable in this embedding space before training a
+    classifier on it (complements embedding_label_drift, which tracks
+    movement, not separability).
+
+    Scale: centroids are a |labels|×d aggregate (dimension-sized,
+    broadcast); each vector computes d-length folds against ≤|labels|
+    centroid arrays — O(N·L·d) scan work, no pairwise term."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("__d", "__x")
+    ).withColumn("__x", F.col("__x").cast("double"))
+    cent = (
+        dims.groupBy("label", "__d")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__d"), F.col("__m")))
+                ),
+                lambda s: s["__m"],
+            ).alias("__cv")
+        )
+        .select(F.col("label").alias("c_label"), "__cv")
+    )
+
+    def _norm(col):  # sqrt of the self-dot fold — engine-portable
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    # Hoist each side's norm out of the vector×centroid expansion (the
+    # knn_label_eval lesson: HOF folds are interpreted, so the per-pair
+    # expression should be the dot alone — norms are O(N+L), not O(N·L)).
+    cent = cent.withColumn("__cn", _norm(F.col("__cv")))
+    vecs = emb.withColumn("__vn", _norm(F.col("embedding")))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("__cv"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(cent)).withColumn(
+        "__cos", dot / (F.col("__vn") * F.col("__cn"))
+    )
+    own = scored.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("__cos").alias("__own")
+    )
+    foreign = (
+        scored.filter(F.col("label") != F.col("c_label"))
+        .groupBy("vec_id")
+        .agg(F.max("__cos").alias("__best_foreign"))
+    )
+    return (
+        own.join(foreign, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("__own"), 6).alias("avg_intra_cos"),
+            F.round(F.avg("__best_foreign"), 6).alias("avg_best_foreign_cos"),
+            F.round(F.avg(F.col("__own") - F.col("__best_foreign")), 6).alias(
+                "separation_margin"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -415,3 +415,28 @@ def test_compression_quality_flags_aggregates(spark, sf_dir):
     for r in rows:
         assert 0 < r.min_ratio <= r.avg_ratio
         assert 0 <= r.n_flagged <= r.n_docs
+
+
+def test_supplier_risk_bands_partition_parts(spark, sf_dir):
+    rows = {r.risk_band: r for r in QUERIES["supplier_single_source_risk"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    for r in rows.values():
+        assert 0 < r.avg_top_share <= 1.0
+        assert r.avg_suppliers >= 1.0
+    if "sole_sourced" in rows and "diversified" in rows:
+        assert rows["sole_sourced"].avg_top_share > rows["diversified"].avg_top_share
+        assert rows["sole_sourced"].avg_suppliers < rows["diversified"].avg_suppliers
+
+
+def test_label_separation_covers_all_vectors(spark, sf_dir):
+    rows = QUERIES["embedding_label_separation"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 <= r.avg_intra_cos <= 1.0
+        assert -1.0 <= r.avg_best_foreign_cos <= 1.0
+        assert abs(
+            r.separation_margin - (r.avg_intra_cos - r.avg_best_foreign_cos)
+        ) < 1e-4
