@@ -88,7 +88,7 @@ _PRIORITY = [
     # the remaining never-checked rows-only queries: ann_recall_report,
     # distinct_users_approx, profile_orders_approx, ann_pq_topk,
     # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats, and the new
-    # rows-only compression_quality_flags.)
+    # rows-only compression_quality_flags and percentile_accuracy_audit.)
 ]
 
 

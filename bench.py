@@ -227,6 +227,7 @@ HEADLINE = [
     "compression_quality_flags",
     "supplier_single_source_risk",
     "embedding_label_separation",
+    "percentile_accuracy_audit",
 ]
 
 

@@ -797,3 +797,46 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("percentile_accuracy_audit")
+def percentile_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-grading calibration of the approx-percentile switch: per
+    event type, exact p50/p95/p99 of value next to
+    ``approx_percentile`` at the default accuracy, with the worst
+    relative error — the number that justifies (or vetoes) swapping
+    F.percentile for the sketch at 100 TB (SURVEY §2.4 A3 documents
+    the switch; this query measures what it costs). Rows-only by
+    design: the sketch's estimates are engine-specific, so there is no
+    cross-engine oracle — the exact percentiles ARE the in-row ground
+    truth, which is stronger than an external oracle could be.
+
+    Scale: the exact side is the expensive one (full sort per group) —
+    at 100 TB only the approx side runs and this audit runs on a
+    sample; both sides here are one grouped aggregate."""
+    ev = load(spark, sf_dir, "events")
+    pcts = [0.5, 0.95, 0.99]
+    exact = [
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(
+            f"exact_p{int(p * 100)}"
+        )
+        for p in pcts
+    ]
+    approx = [
+        F.round(F.expr(f"approx_percentile(value, {p})"), 6).alias(
+            f"approx_p{int(p * 100)}"
+        )
+        for p in pcts
+    ]
+    out = ev.groupBy("event_type").agg(*exact, *approx)
+    rel_errs = [
+        F.abs(
+            F.col(f"approx_p{int(p * 100)}") - F.col(f"exact_p{int(p * 100)}")
+        )
+        / F.abs(F.col(f"exact_p{int(p * 100)}"))
+        for p in pcts
+    ]
+    return (
+        out.withColumn("max_rel_err", F.round(F.greatest(*rel_errs), 6))
+        .orderBy("event_type")
+    )

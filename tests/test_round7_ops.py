@@ -440,3 +440,15 @@ def test_label_separation_covers_all_vectors(spark, sf_dir):
         assert abs(
             r.separation_margin - (r.avg_intra_cos - r.avg_best_foreign_cos)
         ) < 1e-4
+
+
+def test_percentile_accuracy_audit_bounds(spark, sf_dir):
+    """approx_percentile at default accuracy must stay within 5%
+    relative error of the exact percentiles on every event type, and
+    the monotonicity p50 <= p95 <= p99 must hold on both sides."""
+    rows = QUERIES["percentile_accuracy_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_p50 <= r.exact_p95 <= r.exact_p99
+        assert r.approx_p50 <= r.approx_p95 <= r.approx_p99
+        assert r.max_rel_err < 0.05, (r.event_type, r.max_rel_err)
