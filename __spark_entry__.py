@@ -41,54 +41,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-7 window (exactly 50 — the driver checks the FIRST 50
+    # ---- Round-8 window (exactly 50 — the driver checks the FIRST 50
     # registered queries only; entry #51 would silently never get a
-    # row). 39 = every oracle-backed query that has never had an
-    # external CORRECTNESS row (r1+r2+r4+r5+r6 cover all the others,
-    # and every row ever checked is green); + the 8 new round-7
-    # oracle-backed queries; + 3 rows-only queries for external
-    # rows-only evidence. After this round every oracle-backed query
-    # in the registry has had an external green row at least once.
-    # Older stragglers (r3-r5 era).
-    "sliding_window_counts", "embedding_gram", "series_anomalies",
-    "trade_triangles", "cms_user_counts", "bloom_purchase_users",
-    "frequent_part_pairs", "value_trends", "approx_revenue_estimate",
-    "trade_reach_hops", "video_scene_changes", "km_churn_survival",
-    "benford_price_audit", "did_purchase_lift", "hourly_acf",
-    "cusum_changepoints", "funnel_bypass_rate", "seasonal_decomposition",
-    "robust_outlier_days", "poisson_bootstrap_ci",
-    "quantile_calibration_by_source", "lpa_trade_communities",
-    "customer_reorder_intervals", "discount_elasticity_by_brand",
-    "user_lifecycle_states", "association_rules_parts",
-    # Round-6 additions (all 13 oracle-backed, never externally
-    # checked; priority_sample_docs / fuzzy_name_pairs /
-    # column_stats_profile carry this round's fixes).
-    "mv_incremental_refresh", "ann_threshold_search",
-    "blocklist_term_hits", "cohort_ltv_curve", "cluster_safe_split",
-    "column_stats_profile", "table_checksum_audit",
-    "priority_sample_docs", "fuzzy_name_pairs", "pareto_suppliers",
-    "join_size_estimate", "spans_dependency_drift", "spans_overlap_pairs",
-    # Round-7 additions (plans/round7_queries.py).
-    "stratified_kfold_assignment", "class_balance_resample",
-    "knn_label_eval", "embedding_outlier_mahal",
-    "spans_service_busy_time", "dictionary_encoding_advisor",
-    "degree_distribution_trade", "weighted_percentiles_brand",
-    # Stale-row re-check: tools/gen_row_staleness.py found exactly one
-    # query whose function changed after its latest CORRECTNESS row —
-    # curate_corpus (row r2; rejector semi-join reworked r6+r7). A
-    # fresh row re-certifies the current code.
-    "curate_corpus",
-    # Rows-only (no oracle by design: approximate sketches / iterative
-    # numerics) — external rows+schema evidence still counts.
-    "hll_user_rollup", "embedding_pca_variance",
-    # (Rotate into r8: the oracle-backed late round-7 additions that
-    # missed this window — image_dhash_near_dups, kcore_trade_pruning,
-    # event_value_twap, part_abc_classes, psi_order_value_drift,
-    # supplier_single_source_risk, embedding_label_separation — plus
-    # the remaining never-checked rows-only queries: ann_recall_report,
-    # distinct_users_approx, profile_orders_approx, ann_pq_topk,
-    # ann_ivfpq_topk, bpe_vocab_merges, bpe_token_stats, and the new
-    # rows-only compression_quality_flags and percentile_accuracy_audit.)
+    # row). Leads with the 16 queries that have never had an external
+    # CORRECTNESS row (the staged r8 rotation from the r7 window
+    # comment): 7 oracle-backed late round-7 additions + 9 rows-only
+    # queries. After this round EVERY query in the registry has had an
+    # external row at least once.
+    # Oracle-backed, never externally checked (all 7 pass the judge's
+    # own driver-style DuckDB differential per VERDICT r7).
+    "image_dhash_near_dups", "kcore_trade_pruning", "event_value_twap",
+    "part_abc_classes", "psi_order_value_drift",
+    "supplier_single_source_risk", "embedding_label_separation",
+    # Rows-only (no oracle by design: approximate ANN / sketches /
+    # iterative BPE) — external rows+schema evidence still counts.
+    "ann_recall_report", "distinct_users_approx", "profile_orders_approx",
+    "ann_pq_topk", "ann_ivfpq_topk", "bpe_vocab_merges",
+    "bpe_token_stats", "compression_quality_flags",
+    "percentile_accuracy_audit",
+    # Fresh rows for code touched this round (gen_row_staleness.py-driven):
+    # curation_funnel / data_quality_report (single-pass multi-count
+    # rework, VERDICT r7 tasks #2/#5); part_abc_classes above carries
+    # the real two-phase cumulative-share rewrite (task #3).
+    "curation_funnel", "data_quality_report",
+    # New round-8 queries (registered in plans/round8_queries.py).
+    "events_sessionization", "events_orders_asof", "minhash_dedup_eval",
+    "docs_repetition_profile", "range_join_price_bands",
+    "orders_lineitem_colocated", "supplier_balance_ntiles",
+    "doc_simhash_hamming_pairs",
+    # Re-certification fills: high-traffic queries whose shared
+    # infrastructure (joins.semi_join_ids, dedup stack, sampling,
+    # window helpers) this round's perf work may touch.
+    "curate_corpus", "dedup_pipeline", "dedup_exact", "sample_hash",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dup_ngram_coverage",
+    "boilerplate_scrub", "gopher_rule_flags", "pareto_suppliers",
+    "revenue_gini", "heaps_law_fit", "km_churn_survival",
+    "priority_sample_docs", "endpoint_stats", "spans_self_time",
+    "er_part_clusters", "knn_label_eval", "embedding_outlier_mahal",
+    "spans_service_busy_time", "spans_overlap_pairs",
+    "stratified_kfold_assignment", "table_checksum_audit",
+    "fuzzy_name_pairs",
 ]
 
 
