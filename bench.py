@@ -250,7 +250,7 @@ def _prev_bench(here: str) -> tuple[int | None, dict[str, float]]:
     import glob
     import re
 
-    best: tuple[int, dict[str, float]] | None = None
+    best: tuple[int, dict[str, float], float | None] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
@@ -265,24 +265,34 @@ def _prev_bench(here: str) -> tuple[int | None, dict[str, float]]:
                 or (data.get("parsed") or {}).get("queries")
                 or {}
             )
+            tot = data.get("value") or (data.get("parsed") or {}).get("value")
         except (OSError, json.JSONDecodeError):
             continue
         if not q:
             continue
         n = int(m.group(1))
         if best is None or n > best[0]:
-            best = (n, {k: float(v) for k, v in q.items()})
+            best = (n, {k: float(v) for k, v in q.items()}, tot)
     if best is None:
         return (None, {})
     # The recorded JSON line folds the fast tail to fit the driver's
     # 2000-byte stdout buffer, so it carries only the slowest ~50
     # queries. The committed BENCH_DETAIL.json holds the FULL per-query
-    # map of the latest run — merge it in (same sf only) so the >25%
-    # regression re-measure sees every query, not just the slow head.
+    # map — but it is overwritten by EVERY bench run (including local
+    # sf0.01 iterations and post-record re-runs), so it may not come
+    # from the run that produced the latest BENCH_r{N} line. Merge it
+    # only when its stamped headline total matches that line's value
+    # (ADVICE r7): a mixed-run baseline makes the >25% regression
+    # detector re-measure the wrong queries or miss real regressions.
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
             detail = json.load(fh)
-        if detail.get("sf") == 0.1 and detail.get("queries"):
+        same_run = (
+            detail.get("total") is not None
+            and best[2] is not None
+            and abs(float(detail["total"]) - float(best[2])) < 1e-6
+        )
+        if detail.get("sf") == 0.1 and detail.get("queries") and same_run:
             merged = {k: float(v) for k, v in detail["queries"].items()}
             merged.update(best[1])  # the recorded line stays canonical
             return (best[0], merged)
@@ -388,6 +398,10 @@ def main() -> None:
         json.dump(
             {
                 "queries": timings,
+                # Run stamp: _prev_bench merges this file into the
+                # latest BENCH_r{N} baseline only when this total
+                # equals that line's recorded value (same-run proof).
+                "total": total,
                 "prev_round": prev_round,
                 "delta_vs_prev": delta,
                 # Which queries got the min-of-4 outlier re-measure (all

@@ -1417,12 +1417,21 @@ def ngram_jaccard_pairs_prefix(
     computes exact Jaccard from the full shingle arrays of the
     surviving candidates only.
 
-    ``max_df`` drops shingles with df > cap from the prefix index
-    (same spirit as the posting cap in ngram_jaccard_pairs); the miss
-    condition becomes "every shared shingle inside the required prefix
-    is hot" — hot shingles are by definition the COMMONEST, i.e. the
-    ones rarity ordering pushes out of prefixes anyway, so the cap
-    binds even more rarely than in the unfiltered operator.
+    ``max_df`` drops shingles with df > cap from the prefix index.
+    CAUTION — the capped miss condition here is STRICTLY WEAKER in
+    recall than :func:`ngram_jaccard_pairs` with the same cap: this
+    operator misses a pair whenever every shingle it shares INSIDE the
+    required prefixes is hot, while the posting-join operator verifies
+    hot-slack candidates against full shingle arrays and so misses a
+    pair only when EVERY shared shingle (anywhere) is hot. Rarity
+    ordering pushes hot shingles to the back of each document, so
+    prefixes are mostly rare shingles and the gap is small in
+    practice, but it is real: the capped prefix variant can drop pairs
+    the capped posting join keeps. (Dropping hot shingles before vs.
+    after the per-doc rank is equivalent under the df-asc order — hot
+    shingles sort last either way — so the only full fix would be a
+    posting-style hot-slack verify, which would forfeit the prefix
+    filter's candidate bound. Use max_df=None for exact parity.)
 
     Scale shape: attach df (one shuffle on shingle, linear), per-doc
     rank window (one shuffle on id, linear), prefix self-join

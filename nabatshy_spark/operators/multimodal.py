@@ -466,6 +466,35 @@ def attach_patterned_images(df: DataFrame, id_col: str) -> DataFrame:
 DHASH_SCHEMA = "doc_id long, dhash string, decode_error string"
 
 
+def dhash_hex(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> str:
+    """THE per-payload dHash definition — decode, grayscale,
+    nearest-resize to (hash_w+1)×hash_h, one bit per horizontal
+    adjacent-pixel comparison, hex-encoded. Both the batch operator
+    (:func:`image_dhash`) and the streaming twin
+    (streaming/dedup.perceptual_dedup_stream) MUST hash through this
+    single function: stream↔batch dedup equivalence rests on bit-exact
+    hash parity, so any resize/grayscale/width change happens here
+    once, never in a divergent copy. Raises on undecodable payloads —
+    callers own their poison-row policy."""
+    import numpy as np
+
+    from nabatshy_spark.operators.pngcodec import Image, resize_nearest
+
+    img = decode_image(payload)
+    gray = img.pixels.mean(axis=2).astype(np.uint8)
+    g = Image(
+        width=img.width, height=img.height, channels=1,
+        pixels=gray[:, :, None],
+    )
+    th = resize_nearest(g, hash_w + 1, hash_h)
+    px = th.pixels[:, :, 0].astype(np.int16)
+    bits = (px[:, 1:] > px[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:0{hash_w * hash_h // 4}x}"
+
+
 def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     """Perceptual difference hash (dHash) per binary image row: decode,
     collapse to grayscale, nearest-resize to (hash_w+1)×hash_h, then one
@@ -480,30 +509,15 @@ def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     as image_features: no shuffle, undecodable payloads become
     per-row ``decode_error`` values. Grouping by the hash afterwards
     shuffles 8-byte hashes, never pixels."""
-    import numpy as np
-
-    from nabatshy_spark.operators.pngcodec import resize_nearest
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nabatshy_spark.operators.multimodal import dhash_hex
+
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    img = decode_image(payload)
-                    gray = img.pixels.mean(axis=2).astype(np.uint8)
-                    from nabatshy_spark.operators.pngcodec import Image
-
-                    g = Image(
-                        width=img.width, height=img.height, channels=1,
-                        pixels=gray[:, :, None],
-                    )
-                    th = resize_nearest(g, hash_w + 1, hash_h)
-                    px = th.pixels[:, :, 0].astype(np.int16)
-                    bits = (px[:, 1:] > px[:, :-1]).flatten()
-                    val = 0
-                    for b in bits:
-                        val = (val << 1) | int(b)
-                    rows.append((doc_id, f"{val:0{hash_w * hash_h // 4}x}", None))
+                    rows.append((doc_id, dhash_hex(payload, hash_w, hash_h), None))
                 except Exception as ex:
                     rows.append((doc_id, None, str(ex)))
             yield pd.DataFrame(

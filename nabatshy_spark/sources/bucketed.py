@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -133,22 +134,48 @@ def ensure_bucketed(
                 # discard ours.
                 shutil.rmtree(staging_path, ignore_errors=True)
             else:
-                # `path` exists but carries no _SUCCESS: a stale partial
-                # layout left by a crashed run, NOT a completed publish.
-                # Registering over it would silently serve corrupt data
-                # to every later join — evict it and retry the rename.
-                shutil.rmtree(path, ignore_errors=True)
+                # `path` exists but carried no _SUCCESS at check time: a
+                # stale partial layout left by a crashed run, NOT a
+                # completed publish. Registering over it would silently
+                # serve corrupt data to every later join — but a racer
+                # can complete an atomic rename-publish between that
+                # check and the eviction, so never rmtree `path` in
+                # place (readers of the already-registered external
+                # table would transiently see a half-deleted VALID
+                # layout). Quarantine-rename first: atomic, so whatever
+                # sits at `path` moves aside whole, then decide.
+                quarantine = f"{path}.quarantine-{os.getpid()}-{uuid.uuid4().hex[:8]}"
                 try:
-                    os.rename(staging_path, path)
+                    os.rename(path, quarantine)
                 except OSError:
-                    if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    quarantine = None  # a racer evicted it first
+                if quarantine is not None and os.path.exists(
+                    os.path.join(quarantine, "_SUCCESS")
+                ):
+                    # We quarantined a publish a racer completed in the
+                    # window. It is content-identical to our staging
+                    # copy: restore it atomically and discard ours. If
+                    # the restore loses to yet another publish, theirs
+                    # is equally valid — just drop the quarantined copy.
+                    try:
+                        os.rename(quarantine, path)
+                    except OSError:
+                        shutil.rmtree(quarantine, ignore_errors=True)
+                    shutil.rmtree(staging_path, ignore_errors=True)
+                else:
+                    if quarantine is not None:
+                        shutil.rmtree(quarantine, ignore_errors=True)
+                    try:
+                        os.rename(staging_path, path)
+                    except OSError:
                         shutil.rmtree(staging_path, ignore_errors=True)
-                    else:
-                        shutil.rmtree(staging_path, ignore_errors=True)
-                        raise RuntimeError(
-                            f"bucketed layout at {path} is incomplete "
-                            "(no _SUCCESS) and could not be replaced"
-                        )
+                        if not os.path.exists(
+                            os.path.join(path, "_SUCCESS")
+                        ):
+                            raise RuntimeError(
+                                f"bucketed layout at {path} is incomplete "
+                                "(no _SUCCESS) and could not be replaced"
+                            )
     _register_external_bucketed(spark, table, path, df.schema, keys, num_buckets)
     return table
 

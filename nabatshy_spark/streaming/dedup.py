@@ -73,29 +73,19 @@ def perceptual_dedup_stream(
         # Closure, not a module-level def: cloudpickle ships it by
         # VALUE so the external driver's executors don't need
         # /root/repo on sys.path (see sources/layout.py incident).
-        import numpy as np
         import pandas as pd
 
-        from nabatshy_spark.operators.multimodal import decode_image
-        from nabatshy_spark.operators.pngcodec import Image, resize_nearest
+        # ONE hash definition shared with the batch operator
+        # (multimodal.image_dhash) — stream↔batch dedup equivalence
+        # requires bit-exact parity, so the pipeline is never
+        # duplicated here (ADVICE r7).
+        from nabatshy_spark.operators.multimodal import dhash_hex
 
         for pdf in it:
             hashes = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    img = decode_image(payload)
-                    gray = img.pixels.mean(axis=2).astype(np.uint8)
-                    g = Image(
-                        width=img.width, height=img.height, channels=1,
-                        pixels=gray[:, :, None],
-                    )
-                    th = resize_nearest(g, 9, 8)
-                    px = th.pixels[:, :, 0].astype(np.int16)
-                    bits = (px[:, 1:] > px[:, :-1]).flatten()
-                    val = 0
-                    for b in bits:
-                        val = (val << 1) | int(b)
-                    hashes.append(f"{val:016x}")
+                    hashes.append(dhash_hex(payload))
                 except Exception:
                     hashes.append(f"__err_{doc_id}")
             out = pd.DataFrame(
