@@ -14,7 +14,7 @@ codegen'd, no exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -32,10 +32,18 @@ def hash_sample(df: DataFrame, key_col: str, bps: int) -> DataFrame:
         raise ValueError("bps must be in [0, 65536]")
     if bps == 65536:  # keep-all: '10000' is 5 chars and would compare wrong
         return df
-    thresh = format(bps, "04x")
-    return df.filter(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < F.lit(thresh)
-    )
+    return df.filter(hash_sample_pred(key_col, bps))
+
+
+def hash_sample_pred(key_col: str, bps: int) -> Column:
+    """The bare inclusion predicate behind :func:`hash_sample`, for
+    callers that need it as a conditional-aggregate argument instead of
+    a filter (e.g. curation_funnel counts survivors without
+    materializing the sample). One definition — a filter-vs-count_if
+    divergence would silently break the funnel's accounting."""
+    return F.substring(
+        F.md5(F.col(key_col).cast("string")), 1, 4
+    ) < F.lit(format(bps, "04x"))
 
 
 def stratified_topfrac(

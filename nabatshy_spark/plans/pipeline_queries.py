@@ -189,44 +189,67 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — the audit artifact a curation run ships alongside
     its output (how many docs each stage rejected, so a threshold
     change's blast radius is visible before committing the full pass).
-    Six one-row count aggregates unioned; every stage reuses the same
-    operators as the real pipeline, so the funnel IS the pipeline's
-    accounting, not a reimplementation. The filtered relation and the
-    near-dedup survivor set are each consumed by several downstream
-    stage branches — they are cached for the run (the batch analogue
-    of checkpointing between pipeline stages at 100 TB), the 6-row
-    report is materialized, and the caches released."""
+
+    TWO aggregate jobs, not six (the r7→r8 rework after the funnel's
+    unexplained 2.3× bench regression — measured A/B in SCALE.md):
+    stages 0-3 are four conditional aggregates of ONE document scan
+    (count, count_if quality, count_if quality∧lang, distinct content
+    fingerprints among the kept — exactly `exact_dedup`'s group count),
+    so the heavy quality/langid expressions run once per row instead
+    of once per stage branch; stages 4-5 are one aggregate over the
+    near-dedup survivor relation (count + count_if of
+    `hash_sample_pred`, the same predicate `hash_sample` filters by).
+    Every predicate/fingerprint is the pipeline operators' own
+    expression, so the funnel remains the pipeline's accounting, not a
+    reimplementation. Only `kept` is cached (dedup_pipeline consumes
+    it three times); the two 1-row results are bounded driver
+    transfers."""
     from nabatshy_spark.operators import sampling, textanalysis
 
     docs = load(spark, sf_dir, "documents")
-    q = docs.filter(textanalysis.quality_score_expr(F.col("text")) >= 0.6)
-    kept = q.filter(
-        textanalysis.pred_lang_expr(F.col("text")) == "en"
+    qpred = textanalysis.quality_score_expr(F.col("text")) >= 0.6
+    lpred = textanalysis.pred_lang_expr(F.col("text")) == "en"
+    # Evaluate the expensive text expressions EXACTLY ONCE: checkpoint
+    # a narrow per-row flag relation (id + two bools + 32-byte hash,
+    # never text) — the same evaluate-rejectors-once pattern as
+    # curate_corpus. Both the head aggregate and the kept semi-join
+    # read the flags, so no pass re-runs the quality/langid regexes.
+    flags = docs.select(
+        "doc_id",
+        qpred.alias("__q"),
+        (qpred & lpred).alias("__k"),
+        F.when(qpred & lpred, dedup.fingerprint(F.col("text"))).alias(
+            "__fp"
+        ),
+    ).localCheckpoint()
+    head = flags.agg(
+        F.count("*").alias("s0"),
+        F.count_if("__q").alias("s1"),
+        F.count_if("__k").alias("s2"),
+        F.count_distinct("__fp").alias("s3"),
+    ).collect()[0]
+    kept = docs.join(
+        flags.filter("__k").select("doc_id"), "doc_id", "left_semi"
     ).cache()
-    exact = dedup.exact_dedup(kept, "doc_id", "text")
-    near = dedup.dedup_pipeline(kept, "doc_id", "text", n=3, threshold=0.5,
-                                max_df=200).cache()
-    sampled = sampling.hash_sample(near, "doc_id", bps=6554)
-    stages = [
-        (0, "input", docs),
-        (1, "quality_gte_0.6", q),
-        (2, "lang_en", kept),
-        (3, "exact_dedup", exact),
-        (4, "near_dedup", near),
-        (5, "sample_10pct", sampled),
-    ]
-    out = None
-    for no, label, df in stages:
-        row = df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_docs"
-        )
-        out = row if out is None else out.unionByName(row)
-    out = out.orderBy("stage_no")
-    rows = out.collect()
-    schema = out.schema
+    near = dedup.dedup_pipeline(
+        kept, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+    tail = near.agg(
+        F.count("*").alias("s4"),
+        F.count_if(sampling.hash_sample_pred("doc_id", 6554)).alias("s5"),
+    ).collect()[0]
     kept.unpersist()
-    near.unpersist()
-    return spark.createDataFrame(rows, schema)
+    rows = [
+        (0, "input", head.s0),
+        (1, "quality_gte_0.6", head.s1),
+        (2, "lang_en", head.s2),
+        (3, "exact_dedup", head.s3),
+        (4, "near_dedup", tail.s4),
+        (5, "sample_10pct", tail.s5),
+    ]
+    return spark.createDataFrame(
+        rows, "stage_no int, stage string, n_docs long"
+    )
 
 
 @query("tokenizer_fertility_by_lang")
