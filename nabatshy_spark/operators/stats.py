@@ -194,3 +194,219 @@ def ewma_last(
         )
         .orderBy(key_col)
     )
+
+
+def cumulative_sum_ordered(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    n_rows_estimate: int = 0,
+    single_sort_max: int = 1 << 16,
+    force: str | None = None,
+    extra_value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` over a GLOBAL total order, plus the
+    grand total — appended as ``__cum`` / ``__tot`` — without ever
+    sorting the whole relation on one task.
+
+    The naive form (``Window.orderBy(...)`` with no partition) moves
+    every row to a single partition: fine for a config-bounded input,
+    a scale-killer for a data-sized one (a 20B-row part dimension at
+    100 TB). The two-phase form is the classic partitioned prefix sum:
+
+    1. ``repartitionByRange`` on the order — partitions are globally
+       ordered ranges, rows sort locally within each;
+    2. per-partition running sums (window PARTITIONED by
+       ``spark_partition_id`` — never a global sort);
+    3. per-partition totals (one tiny aggregate, ≤ shuffle-partitions
+       rows) turned into exclusive prefix offsets by a window over
+       that CONFIG-bounded relation (partitioned by a constant so no
+       single-partition WindowExec warning fires), broadcast-joined
+       back: ``__cum = local_cum + offset``.
+
+    Both branches are exact for DECIMAL values (decimal addition is
+    associative, so regrouping by partition cannot change the sum) and
+    identical whenever ``order_cols`` define a TOTAL order — include a
+    unique tiebreaker; a tie straddling a range boundary would
+    otherwise split its running sum nondeterministically.
+
+    ``force`` ('window' | 'twophase') pins a branch (the same testing
+    shape as joins.semi_join_ids); otherwise ``n_rows_estimate`` vs
+    ``single_sort_max`` picks: estimates that fit one task's sort use
+    the plain window (fewer shuffles), anything larger goes two-phase.
+
+    Alongside ``__cum`` / ``__tot`` the operator emits ``__rank`` (the
+    1-based position in the global order — a running COUNT through the
+    same two phases) and ``__n`` (total rows), so rank-arithmetic
+    consumers (revenue_gini's Lorenz index) scale the same way.
+    ``extra_value_cols`` adds further running sums over the SAME order
+    as ``__cum_<name>`` columns in the same pass (heaps_law_fit
+    cumulates tokens and new-term introductions together).
+    """
+    if force not in (None, "window", "twophase"):
+        raise ValueError(f"force must be window|twophase, got {force!r}")
+    extra = list(extra_value_cols or [])
+    use_window = int(n_rows_estimate) <= int(single_sort_max)
+    if force is not None:
+        use_window = force == "window"
+    if use_window:
+        w = Window.orderBy(*order_cols)
+        wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        out = (
+            df.withColumn("__cum", F.sum(value_col).over(wc))
+            .withColumn("__rank", F.row_number().over(w))
+            .withColumn(
+                "__tot", F.sum(value_col).over(Window.partitionBy())
+            )
+            .withColumn("__n", F.count("*").over(Window.partitionBy()))
+        )
+        for c in extra:
+            out = out.withColumn(f"__cum_{c}", F.sum(c).over(wc))
+        return out
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc_sort = Window.partitionBy("__pid").orderBy(*order_cols)
+    wloc = wloc_sort.rowsBetween(Window.unboundedPreceding, 0)
+    local = ranged.withColumn(
+        "__lcum", F.sum(value_col).over(wloc)
+    ).withColumn("__lrn", F.row_number().over(wloc_sort))
+    for c in extra:
+        local = local.withColumn(f"__lcum_{c}", F.sum(c).over(wloc))
+    psums = ranged.groupBy("__pid").agg(
+        F.sum(value_col).alias("__s"),
+        F.count("*").alias("__c"),
+        *[F.sum(c).alias(f"__s_{c}") for c in extra],
+    )
+    # Partition the offsets window by a NON-FOLDABLE constant: a bare
+    # lit(0) is constant-folded out of the partition spec, which turns
+    # this back into the global-order WindowExec (and its
+    # single-partition warning) the operator exists to avoid. pmod of
+    # a non-negative column by 1 is always 0 but involves a column, so
+    # it survives folding; the window input is the per-partition sum
+    # relation — bounded by spark.sql.shuffle.partitions (config), not
+    # by data.
+    woff = Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1))).orderBy(
+        "__pid"
+    )
+    offs = psums.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__s").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.coalesce(
+            F.sum("__c").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__coff"),
+        F.sum("__s")
+        .over(
+            woff.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__tot"),
+        F.sum("__c")
+        .over(
+            woff.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n"),
+        *[
+            F.coalesce(
+                F.sum(f"__s_{c}").over(
+                    woff.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias(f"__off_{c}")
+            for c in extra
+        ],
+    )
+    out = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__cum", F.col("__lcum") + F.col("__off"))
+        .withColumn(
+            "__rank", (F.col("__lrn") + F.col("__coff")).cast("int")
+        )
+    )
+    for c in extra:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__lcum_{c}") + F.col(f"__off_{c}")
+        )
+    return out.drop(
+        "__pid",
+        "__lcum",
+        "__lrn",
+        "__off",
+        "__coff",
+        *[f"__lcum_{c}" for c in extra],
+        *[f"__off_{c}" for c in extra],
+    )
+
+
+def running_min_prev_ordered(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    n_rows_estimate: int = 0,
+    single_sort_max: int = 1 << 16,
+    force: str | None = None,
+) -> DataFrame:
+    """EXCLUSIVE-prefix running minimum over a global total order,
+    appended as ``__prevmin`` (NULL for the globally first row) — the
+    staircase primitive behind 2-D skylines (pareto_suppliers), in the
+    same two-branch shape as :func:`cumulative_sum_ordered`.
+
+    Two-phase form: range-partition on the order; within each
+    partition take the local exclusive-prefix min; per-partition FULL
+    mins (a config-bounded aggregate) give each partition the min over
+    all earlier partitions; ``least`` of the two (Spark's least skips
+    NULLs) is the global exclusive-prefix min. Min is associative and
+    idempotent, so regrouping cannot change it, and the exclusive
+    frame splits cleanly: rows before row r are exactly the rows
+    before it in its own partition plus every row of earlier
+    partitions.
+    """
+    if force not in (None, "window", "twophase"):
+        raise ValueError(f"force must be window|twophase, got {force!r}")
+    use_window = int(n_rows_estimate) <= int(single_sort_max)
+    if force is not None:
+        use_window = force == "window"
+    if use_window:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            "__prevmin",
+            F.min(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__lprev", F.min(value_col).over(wloc))
+    pmins = ranged.groupBy("__pid").agg(F.min(value_col).alias("__m"))
+    # Non-foldable constant partition — see cumulative_sum_ordered.
+    woff = Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1))).orderBy(
+        "__pid"
+    )
+    offs = pmins.select(
+        "__pid",
+        F.min("__m")
+        .over(woff.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prevpart"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__prevmin", F.least("__lprev", "__prevpart"))
+        .drop("__pid", "__lprev", "__prevpart")
+    )

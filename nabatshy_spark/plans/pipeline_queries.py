@@ -879,10 +879,14 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue inequality across customers: Gini coefficient from the
     Lorenz curve (G = (n+1 − 2·Σ cumshare / total) / n over revenue-
     ascending customers) plus the top-decile revenue share. Per-
-    customer revenue through DECIMAL(28,6); the Lorenz accumulation is
-    ONE window pass over the (small) per-customer relation, and the
-    rank cut uses ntile-free integer arithmetic so both engines agree
-    on every boundary row."""
+    customer revenue through DECIMAL(28,6); the global rank comes from
+    stats.cumulative_sum_ordered's TWO-PHASE form — the customer
+    dimension grows with the data (billions at 100 TB), so a plain
+    row_number window would sort it on one task. The rank cut uses
+    ntile-free integer arithmetic so both engines agree on every
+    boundary row."""
+    from nabatshy_spark.operators.stats import cumulative_sum_ordered
+
     orders = load(spark, sf_dir, "orders")
     rev = (
         orders.select(
@@ -892,13 +896,18 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("r").alias("rev"))
     )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    ranked = rev.withColumn("i", F.row_number().over(w))
-    n_tot = ranked.agg(F.count("*").alias("n"))
+    ranked = cumulative_sum_ordered(
+        rev,
+        [F.col("rev").asc(), F.col("o_custkey").asc()],
+        "rev",
+        force="twophase",
+    ).select(
+        "rev", F.col("__rank").alias("i"), F.col("__n").alias("n")
+    )
     # the rank-weighted sum stays DECIMAL (int × decimal is exact), so
     # gini is bit-identical across engines before the final division
     return (
-        ranked.crossJoin(F.broadcast(n_tot))
+        ranked
         .agg(
             F.max("n").alias("n_customers"),
             F.round(
@@ -1552,9 +1561,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora, the companion health signal to the Zipf slope): each
     term's first-occurrence doc marks when it enters the vocabulary,
     per-doc introductions and token counts cumulate over doc order
-    (windows over the ≤n_docs aggregate, never raw tokens), and
-    regr_slope of ln V on ln N is the exponent. All counts are exact
-    integers, so the OLS inputs are engine-identical."""
+    through stats.cumulative_sum_ordered's TWO-PHASE prefix sum (the
+    per-doc relation is |docs|-sized — data, not dimension, so a
+    global-order window would sort the corpus's doc list on one task),
+    and regr_slope of ln V on ln N is the exponent. All counts are
+    exact integers, so the OLS inputs are engine-identical."""
+    from nabatshy_spark.operators.stats import cumulative_sum_ordered
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -1573,10 +1585,15 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
         )
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = per_doc.select(
-        F.sum("n_tokens").over(w).alias("N"),
-        F.sum("new_terms").over(w).alias("V"),
+    curve = cumulative_sum_ordered(
+        per_doc,
+        [F.col("doc_id").asc()],
+        "n_tokens",
+        force="twophase",
+        extra_value_cols=["new_terms"],
+    ).select(
+        F.col("__cum").alias("N"),
+        F.col("__cum_new_terms").alias("V"),
     )
     xy = curve.select(
         F.log(F.col("N").cast("double")).alias("x"),

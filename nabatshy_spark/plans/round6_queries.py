@@ -438,11 +438,14 @@ def pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels with each level's min return rate, running-min over levels
     sorted by revenue desc gives the best rate among strictly-richer
     suppliers; dominated iff that min ≤ own rate, or a same-revenue
-    supplier has a strictly lower rate. Windows run over the LEVEL
-    relation (≤ |suppliers| rows, dimension-sized) — the fact table is
-    touched once by the supplier rollup. Revenue compares as the exact
-    DECIMAL sum; rates compare after the same round-6 both engines
-    apply."""
+    supplier has a strictly lower rate. The running-min goes through
+    stats.running_min_prev_ordered's TWO-PHASE form — the level
+    relation is ≤|suppliers|, a dimension that grows with the data,
+    so the staircase never sorts on one task. Revenue compares as the
+    exact DECIMAL sum; rates compare after the same round-6 both
+    engines apply."""
+    from nabatshy_spark.operators.stats import running_min_prev_ordered
+
     li = load(spark, sf_dir, "lineitem")
     sup = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum(
@@ -454,17 +457,12 @@ def pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("l_returnflag") == "R").cast("int")), 6
         ).alias("return_rate"),
     )
-    w = Window.orderBy(F.col("__rev").desc())
-    lvl = (
-        sup.groupBy("__rev")
-        .agg(F.min("return_rate").alias("__lvl_min"))
-        .withColumn(
-            "__runmin_prev",
-            F.min("__lvl_min").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-        )
-    )
+    lvl = running_min_prev_ordered(
+        sup.groupBy("__rev").agg(F.min("return_rate").alias("__lvl_min")),
+        [F.col("__rev").desc()],
+        "__lvl_min",
+        force="twophase",
+    ).withColumnRenamed("__prevmin", "__runmin_prev")
     supplier = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"), "s_name"
     )

@@ -538,13 +538,17 @@ def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     classing warehouses actually run.
 
     Scale: the fact table collapses to one row per part FIRST (the
-    only full shuffle); the classing windows run over the part-level
-    relation — a global-order window, but over a DIMENSION-sized
-    input (|parts|, never fact rows). For a part dimension too big
-    for one sort partition, the two-phase form applies: per-partition
-    partial revenue sums, broadcast prefix offsets, then local
-    cumulative shares. Revenue sums are exact DECIMAL; shares round
-    after the cumulative division."""
+    only full shuffle); the cumulative share then runs through
+    stats.cumulative_sum_ordered's TWO-PHASE partitioned prefix sum —
+    range-partition on (revenue desc, partkey), per-partition running
+    sums, broadcast prefix offsets — never a global-order window,
+    because the part dimension at production scale (~20B parts at
+    100×) cannot sort on one task. The (rev, partkey) order is total,
+    so the two-phase result is bit-identical to the single-sort form
+    (differential unit in test_round8_ops). Revenue sums are exact
+    DECIMAL; shares round after the cumulative division."""
+    from nabatshy_spark.operators.stats import cumulative_sum_ordered
+
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
@@ -553,14 +557,13 @@ def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("__rev")
     )
-    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
-    w_full = Window.partitionBy()
     classed = (
-        per_part.withColumn(
-            "__cum",
-            F.sum("__rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        cumulative_sum_ordered(
+            per_part,
+            [F.col("__rev").desc(), F.col("l_partkey").asc()],
+            "__rev",
+            force="twophase",
         )
-        .withColumn("__tot", F.sum("__rev").over(w_full))
         .withColumn("__share", F.col("__cum") / F.col("__tot"))
         .withColumn(
             "abc_class",

@@ -1,0 +1,148 @@
+"""Round-8 additions: two-phase partitioned prefix sum (the real code
+behind part_abc_classes' cumulative share), funnel single-pass
+accounting, ANN recall floor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.operators.stats import cumulative_sum_ordered
+from nabatshy_spark.plans.queries import QUERIES
+
+import nabatshy_spark.plans.ext_queries  # noqa: F401
+import nabatshy_spark.plans.round7_queries  # noqa: F401
+
+
+def _cum_rows(df):
+    return sorted(
+        (
+            r.l_partkey,
+            str(r["__rev"]),
+            str(r["__cum"]),
+            r["__rank"],
+            str(r["__tot"]),
+            r["__n"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_cumulative_sum_two_phase_matches_global_window(spark, sf_dir):
+    """The two-phase partitioned prefix sum must be bit-identical to
+    the single-sort global window over a total order — the
+    differential that lets part_abc_classes ship the scale form."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("__rev")
+    )
+    order = [F.col("__rev").desc(), F.col("l_partkey").asc()]
+    win = cumulative_sum_ordered(per_part, order, "__rev", force="window")
+    two = cumulative_sum_ordered(per_part, order, "__rev", force="twophase")
+    a, b = _cum_rows(win), _cum_rows(two)
+    assert len(a) > 100
+    assert a == b
+
+
+def test_cumulative_sum_auto_switch():
+    """n_rows_estimate vs single_sort_max picks the branch; force
+    overrides. The two-phase plan must contain the range exchange and
+    no empty-partition-spec window."""
+    from nabatshy_spark.session import get_spark
+
+    spark = get_spark("nabatshy_tests", cpus=8)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("long").alias("v")
+    )
+    order = [F.col("v").desc(), F.col("k").asc()]
+    small = cumulative_sum_ordered(df, order, "v", n_rows_estimate=10)
+    big = cumulative_sum_ordered(
+        df, order, "v", n_rows_estimate=10, single_sort_max=5
+    )
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in small_plan.lower()
+    assert "rangepartitioning" in big_plan.lower()
+    rows_small = sorted((r.k, r["__cum"], r["__tot"]) for r in small.collect())
+    rows_big = sorted((r.k, r["__cum"], r["__tot"]) for r in big.collect())
+    assert rows_small == rows_big
+
+
+def test_cumulative_sum_two_phase_no_single_partition_window():
+    """The offsets window must survive constant folding with a
+    non-empty partition spec — an empty spec is exactly the
+    single-partition WindowExec the operator exists to avoid."""
+    from nabatshy_spark.session import get_spark
+
+    spark = get_spark("nabatshy_tests", cpus=8)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("long").alias("v")
+    )
+    two = cumulative_sum_ordered(
+        df, [F.col("v").asc(), F.col("k").asc()], "v", force="twophase"
+    )
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    # Every Window node in the physical plan must carry a partition
+    # spec: "windowspecdefinition(" directly followed by the order
+    # spec (no partition expressions) would mark the global form.
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # partition exprs come before the ORDER BY marker "ASC"/"DESC";
+        # a spec like "windowspecdefinition(v ASC..." has none.
+        first = args.split(",")[0].strip()
+        assert not first.endswith("ASC NULLS FIRST"), plan
+
+
+def test_running_min_prev_two_phase_matches_window(spark, sf_dir):
+    """Exclusive-prefix running min: two-phase must equal the global
+    window, including the NULL for the globally first row."""
+    from nabatshy_spark.operators.stats import running_min_prev_ordered
+
+    li = load(spark, sf_dir, "lineitem")
+    lvl = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.round(F.avg((F.col("l_returnflag") == "R").cast("int")), 6).alias(
+            "v"
+        )
+    )
+    order = [F.col("v").desc(), F.col("k").asc()]
+    a = sorted(
+        (r.k, r.v, r["__prevmin"])
+        for r in running_min_prev_ordered(lvl, order, "v", force="window").collect()
+    )
+    b = sorted(
+        (r.k, r.v, r["__prevmin"])
+        for r in running_min_prev_ordered(lvl, order, "v", force="twophase").collect()
+    )
+    assert len(a) > 50 and a == b
+    assert sum(1 for _, _, p in a if p is None) == 1  # exactly the first row
+
+
+def test_cumulative_sum_extra_value_cols(spark, sf_dir):
+    """extra_value_cols running sums must match per-column single-sort
+    windows in both branches."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("a"),
+        F.length("text").alias("b"),
+    )
+    order = [F.col("doc_id").asc()]
+    win = cumulative_sum_ordered(
+        docs, order, "a", force="window", extra_value_cols=["b"]
+    )
+    two = cumulative_sum_ordered(
+        docs, order, "a", force="twophase", extra_value_cols=["b"]
+    )
+    rows_w = sorted(
+        (r.doc_id, r["__cum"], r["__cum_b"], r["__rank"]) for r in win.collect()
+    )
+    rows_t = sorted(
+        (r.doc_id, r["__cum"], r["__cum_b"], r["__rank"]) for r in two.collect()
+    )
+    assert rows_w == rows_t and len(rows_w) > 100
