@@ -88,25 +88,42 @@ def _planes(dim: int, num: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_signature(df: DataFrame, vec_col: str, num_planes: int = 16, dim: int = 64) -> DataFrame:
     """Append a ``__sig`` bit-signature column: bit i = sign of the dot
-    product with deterministic gaussian plane i. Pure array-expression
-    arithmetic (single scan, codegen'd)."""
-    planes = _planes(dim, num_planes)
-    sig = None
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in p]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    product with deterministic gaussian plane i.
+
+    Arrow-batched pandas UDF doing ONE numpy matmul per batch
+    ((batch×dim) @ (dim×planes) → sign bits packed into an int64) —
+    measured 4.1 s → 0.6 s for the 64-plane signature over 5k vectors
+    at sf0.1 vs the per-plane ``aggregate(zip_with(...))`` HOF chain
+    (HOFs are interpreted per element; 64 planes × 64 dims per row is
+    exactly the workload the pandas-UDF exception in SURVEY §2.10 is
+    for). Plane matrix is a broadcast-sized closure constant
+    (dim × planes × 8 bytes). Sign ties (dot == 0) keep the HOF
+    semantics: only strictly positive dots set a bit."""
+    import numpy as np
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf
+
+    planes_m = np.array(_planes(dim, num_planes), dtype=np.float64).T
+
+    @pandas_udf("long")
+    def _sig(vecs):  # pd.Series of list<float> -> pd.Series of long
+        # Closure, not module-level: cloudpickle ships it by value so
+        # external-driver executors don't need /root/repo on sys.path.
+        import numpy as _np
+        import pandas as _pd
+
+        if len(vecs) == 0:
+            return _pd.Series([], dtype="int64")
+        x = _np.asarray(
+            [_np.asarray(v, dtype=_np.float64) for v in vecs]
         )
-        term = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
+        bits = (x @ planes_m) > 0.0
+        weights = _np.left_shift(
+            _np.int64(1), _np.arange(planes_m.shape[1], dtype=_np.int64)
         )
-        sig = term if sig is None else sig + term
-    return df.withColumn("__sig", sig)
+        return _pd.Series(bits.astype(_np.int64) @ weights)
+
+    return df.withColumn("__sig", _sig(_F.col(vec_col)))
 
 
 def lsh_topk(
@@ -115,14 +132,27 @@ def lsh_topk(
     vec_col: str,
     query_id: int,
     k: int = 10,
-    num_planes: int = 16,
-    bands: int = 4,
+    num_planes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band
-    with the query (16 planes → 4 bands of 4 bits), then exact cosine
+    with the query (64 planes → 16 bands of 4 bits), then exact cosine
     on candidates only. Returns the same schema as ``cosine_topk``;
     recall is probabilistic (hence no SQL oracle — the driver records
-    a rows-only check)."""
+    a rows-only check; tests/test_round8_ops.py gates mean recall@10
+    ≥ 0.8 on the fixture).
+
+    Parameter math (and why the default is 16 bands): per-band
+    collision probability for a neighbor at angle θ is (1−θ/π)^bits;
+    the fixture's exact 10th neighbors sit at cosine ≈ 0.24-0.28
+    (p ≈ 0.60), so a 4-bit band collides at p⁴ ≈ 0.13 and recall ≈
+    1−(1−0.13)^B needs B ≈ 12-16 bands — measured on the fixture:
+    4 bands 0.25, 8 bands 0.575, 12 bands 0.75, 16 bands 0.825. The
+    cost is candidate fraction ≈ 1−(1−2⁻⁴)^16 ≈ 0.64 of the corpus at
+    this WEAK-neighbor similarity — hyperplane LSH only prunes well
+    when neighbors are close (p ≥ 0.75 ⇒ the same 16 bands reach
+    recall ≥ 0.99 with far smaller buckets); for weak-similarity
+    corpora the IVF path (operators/ivf.py) is the pruning index."""
     bits = num_planes // bands
     mask = (1 << bits) - 1
     signed = lsh_signature(df, vec_col, num_planes)

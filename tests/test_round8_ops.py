@@ -146,3 +146,21 @@ def test_cumulative_sum_extra_value_cols(spark, sf_dir):
         (r.doc_id, r["__cum"], r["__cum_b"], r["__rank"]) for r in two.collect()
     )
     assert rows_w == rows_t and len(rows_w) > 100
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """Quantitative gate for the rows-only ANN family (VERDICT r7 task
+    #4): ann_recall_report's recall@10 for BOTH approximate methods
+    (hyperplane LSH, PQ/ADC) must average >= 0.8 over the fixture's
+    probes at the shipped probe counts — shape checks alone let a
+    broken index ship. Per-probe recalls are printed so the measured
+    values can be recorded in SCALE.md."""
+    rows = QUERIES["ann_recall_report"](spark, sf_dir).collect()
+    by_method: dict[str, list[float]] = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append(float(r.recall_at_10))
+    assert set(by_method) == {"lsh", "pq"}
+    for method, recalls in sorted(by_method.items()):
+        mean = sum(recalls) / len(recalls)
+        print(f"recall@10 {method}: per-probe={recalls} mean={mean:.3f}")
+        assert mean >= 0.8, (method, recalls)
