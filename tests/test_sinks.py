@@ -361,3 +361,34 @@ def test_write_spans_jdbc_raises_without_driver_jar(spark):
         )
     msg = str(ei.value)
     assert "com.clickhouse.jdbc.ClickHouseDriver" in msg or "ClassNotFound" in msg
+
+
+def test_kafka_source_options_mapping():
+    """The Kafka spool slot's option map (streaming/receiver.py): the
+    production form of the file spool, typed code not prose — same
+    approach as the JDBC option map above."""
+    from nabatshy_spark.streaming.receiver import kafka_source_options
+
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092", "otlp-spans", startingOffsets="latest"
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "otlp-spans"
+    assert opts["startingOffsets"] == "latest"      # override wins
+    assert opts["failOnDataLoss"] == "true"          # loud, not silent
+    assert opts["maxOffsetsPerTrigger"] == "100000"  # bounded micro-batch
+    assert opts["kafka.compression.type"] == "lz4"
+
+
+def test_kafka_spool_stream_raises_without_package(spark):
+    """With no spark-sql-kafka package the stream build RAISES the
+    data-source-not-found error — same no-silent-fallback contract as
+    write_spans_jdbc."""
+    import pytest
+
+    from nabatshy_spark.streaming.receiver import kafka_spool_stream
+
+    with pytest.raises(Exception) as ei:
+        kafka_spool_stream(spark, "localhost:1").writeStream  # force analysis
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
