@@ -64,11 +64,14 @@ _PRIORITY = [
     # rework, VERDICT r7 tasks #2/#5); part_abc_classes above carries
     # the real two-phase cumulative-share rewrite (task #3).
     "curation_funnel", "data_quality_report",
-    # New round-8 queries (registered in plans/round8_queries.py).
-    "events_sessionization", "events_orders_asof", "minhash_dedup_eval",
-    "docs_repetition_profile", "range_join_price_bands",
-    "orders_lineitem_colocated", "supplier_balance_ntiles",
-    "doc_simhash_hamming_pairs",
+    # New round-8 queries (plans/round8_queries.py): grouping sets,
+    # PIVOT/UNPIVOT, non-equi range join, exact quartiles over the
+    # two-phase rank, gaps-and-islands streaks, and the rows-only
+    # MinHash eval gate — plus a re-cert row for fk_integrity_audit.
+    "sales_rollup_cube", "orders_pivot_status_by_year",
+    "part_size_price_unpivot", "fk_integrity_audit",
+    "range_join_price_bands", "supplier_balance_quartiles",
+    "customer_order_streaks", "minhash_dedup_eval",
     # Re-certification fills: high-traffic queries whose shared
     # infrastructure (joins.semi_join_ids, dedup stack, sampling,
     # window helpers) this round's perf work may touch.

@@ -5522,3 +5522,87 @@ SELECT o.label, count(*)::BIGINT AS n_vecs,
 FROM own o JOIN frn f USING (vec_id)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# round-8 queries (plans/round8_queries.py)
+# ---------------------------------------------------------------------------
+
+ORACLES["sales_rollup_cube"] = """
+SELECT year(o_orderdate) AS yr,
+       o_orderstatus AS status,
+       GROUPING(yr, status)::BIGINT AS grouping_lvl,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(28,6))::DOUBLE, 2) AS revenue
+FROM orders
+GROUP BY ROLLUP(yr, status)
+ORDER BY grouping_lvl, yr, status
+"""
+
+ORACLES["orders_pivot_status_by_year"] = """
+SELECT year(o_orderdate) AS yr,
+       count(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_f,
+       count(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_o,
+       count(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_p
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+ORACLES["part_size_price_unpivot"] = """
+WITH per AS (
+  SELECT p_brand,
+         round(avg(p_size), 6) AS avg_size,
+         round(avg(p_retailprice), 6) AS avg_price
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, 'avg_size' AS attribute, avg_size AS avg_value FROM per
+UNION ALL
+SELECT p_brand, 'avg_price' AS attribute, avg_price AS avg_value FROM per
+ORDER BY p_brand, attribute
+"""
+
+ORACLES["range_join_price_bands"] = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 950.0), ('mid', 950.0, 1400.0),
+         ('premium', 1400.0, 1800.0), ('luxury', 1800.0, 10000.0)
+)
+SELECT band, lo, hi, count(*)::BIGINT AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band, lo, hi ORDER BY lo
+"""
+
+ORACLES["supplier_balance_quartiles"] = """
+WITH r AS (
+  SELECT s_acctbal::DECIMAL(28,6) AS bal,
+         row_number() OVER (ORDER BY s_acctbal::DECIMAL(28,6) ASC,
+                            s_suppkey ASC) AS rnk,
+         count(*) OVER () AS n
+  FROM supplier
+)
+SELECT CAST(ceil(4 * rnk / n) AS INT) AS quartile,
+       count(*)::BIGINT AS n_suppliers,
+       round(min(bal)::DOUBLE, 2) AS min_bal,
+       round(max(bal)::DOUBLE, 2) AS max_bal,
+       round(avg(bal::DOUBLE), 6) AS avg_bal
+FROM r GROUP BY 1 ORDER BY quartile
+"""
+
+ORACLES["customer_order_streaks"] = """
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, mo,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY mo) AS rn
+  FROM m
+),
+i AS (
+  SELECT o_custkey, mo - rn AS island, count(*) AS len
+  FROM r GROUP BY o_custkey, mo - rn
+),
+l AS (SELECT o_custkey, max(len) AS streak_months FROM i GROUP BY o_custkey)
+SELECT streak_months, count(*)::BIGINT AS n_customers
+FROM l GROUP BY streak_months ORDER BY streak_months
+"""

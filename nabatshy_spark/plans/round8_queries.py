@@ -1,0 +1,259 @@
+"""Round-8 queries: relational operator classes the registry did not
+yet surface — grouping sets (ROLLUP), PIVOT/UNPIVOT reshaping,
+non-equi range joins, gaps-and-islands date streaks, exact quantile
+segmentation — plus the
+MinHash-LSH quantitative eval gate (the dedup twin of
+ann_recall_report). All but the eval gate are oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.plans.queries import query
+
+
+@query("sales_rollup_cube")
+def sales_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface (§2.7 generalization): order counts and
+    revenue by (year, status) with ROLLUP — subtotal rows per year and
+    a grand total, each tagged by grouping_id so consumers can tell a
+    NULL group from a subtotal. The operator class OLAP cubes are made
+    of; Spark evaluates all grouping sets in one Expand+Aggregate pass
+    (one scan, one shuffle), not one job per set.
+
+    Scale: output is |years|×|statuses| + |years| + 1 rows —
+    dimension-bounded however large the fact table."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    return (
+        o.rollup("yr", "status")
+        .agg(
+            # grouping_id must live INSIDE the aggregate (it reads the
+            # Expand node's spark_grouping_id, which a later select no
+            # longer sees).
+            F.grouping_id("yr", "status").alias("grouping_lvl"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+        )
+        .select("yr", "status", "grouping_lvl", "n_orders", "revenue")
+        .orderBy("grouping_lvl", "yr", "status")
+    )
+
+
+@query("orders_pivot_status_by_year")
+def orders_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT reshaping: one row per year, one column per order status
+    (long→wide). The pivot values are pinned explicitly — at 100 TB an
+    unpinned pivot needs a distinct-scan planning pass AND an unpinned
+    output schema, both of which a production job avoids by declaring
+    its columns. One scan, one shuffle of |years| groups."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_orderstatus"
+    )
+    return (
+        o.groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") star is invalid inside Pivot
+        .select(
+            "yr",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query("part_size_price_unpivot")
+def part_size_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide→long): per-brand averages of two numeric part
+    attributes unpivoted to (brand, attribute, avg_value) rows — the
+    reshaping step feature stores and long-format exporters run.
+    Aggregate FIRST, melt the |brands|×2 result (`stack` is evaluated
+    on the dimension-sized aggregate, never on fact rows)."""
+    p = load(spark, sf_dir, "part")
+    per_brand = p.groupBy("p_brand").agg(
+        F.round(F.avg("p_size"), 6).alias("avg_size"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
+    return per_brand.selectExpr(
+        "p_brand",
+        "stack(2, 'avg_size', avg_size, 'avg_price', avg_price)"
+        " as (attribute, avg_value)",
+    ).orderBy("p_brand", "attribute")
+
+
+# Static price bands — pinned edges (a production banding table), the
+# small side of the non-equi range join below.
+_PRICE_BANDS = [
+    ("budget", 0.0, 950.0),
+    ("mid", 950.0, 1400.0),
+    ("premium", 1400.0, 1800.0),
+    ("luxury", 1800.0, 10_000.0),
+]
+
+
+@query("range_join_price_bands")
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi RANGE join: parts classified into static price bands by
+    ``lo <= price < hi`` — the interval-lookup join class (banding,
+    rate tables, SCD date ranges). The band table is tiny and
+    DELIBERATELY broadcast: a broadcast-nested-loop over 4 rows per
+    probe is the right physical plan for an interval lookup whose small
+    side cannot equi-hash (the plan-audit BNLJ exception, like the
+    1-row grand-total joins). If the band table ever grew data-sized,
+    the rewrite is binning the probe side to the band key (a CASE
+    expression or width_bucket) and equi-joining.
+
+    Scale: one scan of part, zero shuffle (broadcast + partial agg to
+    |bands| rows)."""
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    p = load(spark, sf_dir, "part")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("lo")
+    )
+
+
+@query("supplier_balance_quartiles")
+def supplier_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile segmentation: suppliers cut into account-balance
+    quartiles by RANK ARITHMETIC (ceil(4·rank/n) over a total order —
+    engine-portable, unlike ntile whose remainder-distribution rule
+    differs across engines), then per-quartile stats. The rank comes
+    from stats.cumulative_sum_ordered's two-phase form, so the
+    segmentation never sorts the supplier dimension on one task.
+
+    Scale: rank two-phase (range shuffle + config-bounded offsets);
+    the report is 4 rows."""
+    from nabatshy_spark.operators.stats import cumulative_sum_ordered
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").cast("decimal(28,6)").alias("bal")
+    )
+    ranked = cumulative_sum_ordered(
+        s,
+        [F.col("bal").asc(), F.col("s_suppkey").asc()],
+        "bal",
+        force="twophase",
+    )
+    q = ranked.withColumn(
+        "quartile",
+        F.ceil(F.lit(4) * F.col("__rank") / F.col("__n")).cast("int"),
+    )
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.min("bal").cast("double"), 2).alias("min_bal"),
+            F.round(F.max("bal").cast("double"), 2).alias("max_bal"),
+            F.round(F.avg(F.col("bal").cast("double")), 6).alias("avg_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@query("customer_order_streaks")
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over DATES: each customer's longest streak of
+    consecutive order months (distinct months where month_index −
+    dense-order-index is constant within an island) — the retention
+    streak the char-level dup_span_chars islands logic generalizes to
+    calendars. One shuffle on customer; windows are per-customer.
+
+    Output: streak-length histogram (streak_months, n_customers) —
+    bounded by the observation horizon in months."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "__m"
+        ),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("__m")
+    islands = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__island", F.col("__m") - F.col("__rn"))
+        .groupBy("o_custkey", "__island")
+        .agg(F.count("*").alias("__len"))
+    )
+    longest = islands.groupBy("o_custkey").agg(
+        F.max("__len").alias("streak_months")
+    )
+    return (
+        longest.groupBy("streak_months")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("streak_months")
+    )
+
+
+@query("minhash_dedup_eval")
+def minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative gate for the probabilistic dedup path — the dedup
+    twin of ann_recall_report: minhash_lsh_pairs' (exactly verified)
+    output scored against the EXACT capped posting join's pairs
+    (threshold 0.5) as precision/recall per signature budget.
+    P[band miss | J=t] = (1−t^rows_per_band)^bands, so recall should
+    climb toward 1 with the hash budget; "precision" < 1 can only come
+    from cap divergence (the minhash path verifies full arrays, the
+    exact side drops hot shingles from candidate generation — the
+    documented df-cap miss condition), which makes this report a live
+    measurement of that divergence too. Probabilistic by construction
+    → rows-only driver check; the hard floor lives in
+    tests/test_round8_ops.py::test_minhash_dedup_floor.
+
+    Scale: the exact side is the capped posting join (Σ min(df,cap)²);
+    the approximate side shuffles fixed-width signatures; the scoring
+    joins ride the two pair relations (tiny next to the corpus)."""
+    from nabatshy_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5, 200)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = exact.count()
+    reports = []
+    for n_hashes in [32, 64, 128]:
+        got = (
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5,
+                num_hashes=n_hashes, rows_per_band=2,
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        n_got = got.count()
+        n_hit = got.join(exact, ["doc_a", "doc_b"], "inner").count()
+        reports.append(
+            (
+                f"{n_hashes}h_{n_hashes // 2}bands",
+                n_true,
+                n_got,
+                n_hit,
+                round(n_hit / n_got, 4) if n_got else None,
+                round(n_hit / n_true, 4) if n_true else None,
+            )
+        )
+    return spark.createDataFrame(
+        reports,
+        "config string, n_true long, n_pairs long, n_hits long,"
+        " precision double, recall double",
+    )

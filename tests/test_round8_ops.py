@@ -164,3 +164,21 @@ def test_ann_recall_floor(spark, sf_dir):
         mean = sum(recalls) / len(recalls)
         print(f"recall@10 {method}: per-probe={recalls} mean={mean:.3f}")
         assert mean >= 0.8, (method, recalls)
+
+
+def test_minhash_dedup_floor(spark, sf_dir):
+    """Quantitative gate for the probabilistic dedup path (the dedup
+    twin of test_ann_recall_floor): at the full 128-hash budget the
+    MinHash-LSH pipeline must recover >= 0.9 of the exact capped
+    posting join's pairs, and verified precision must be >= 0.95 (< 1
+    only via the documented df-cap divergence)."""
+    rows = {r.config: r for r in QUERIES["minhash_dedup_eval"](spark, sf_dir).collect()}
+    assert rows, "eval produced no rows"
+    full = rows["128h_64bands"]
+    print(
+        "minhash eval:",
+        {k: (v.precision, v.recall) for k, v in sorted(rows.items())},
+    )
+    assert full.n_true > 0
+    assert full.recall >= 0.9, full
+    assert full.precision >= 0.95, full
