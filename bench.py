@@ -228,6 +228,15 @@ HEADLINE = [
     "supplier_single_source_risk",
     "embedding_label_separation",
     "percentile_accuracy_audit",
+    # round-8 relational additions (minhash_dedup_eval is excluded: an
+    # eval gate running 3 full dedup configs + the exact differential —
+    # 23 s at sf0.1 by design, not a throughput query)
+    "sales_rollup_cube",
+    "orders_pivot_status_by_year",
+    "part_size_price_unpivot",
+    "range_join_price_bands",
+    "supplier_balance_quartiles",
+    "customer_order_streaks",
 ]
 
 
