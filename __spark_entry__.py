@@ -72,6 +72,8 @@ _PRIORITY = [
     "part_size_price_unpivot", "fk_integrity_audit",
     "range_join_price_bands", "supplier_balance_quartiles",
     "customer_order_streaks", "minhash_dedup_eval",
+    "bloom_pruned_fact_join", "customer_yearly_setops",
+    "nation_revenue_yoy_growth",
     # Re-certification fills: high-traffic queries whose shared
     # infrastructure (joins.semi_join_ids, dedup stack, sampling,
     # window helpers) this round's perf work may touch.
@@ -82,8 +84,6 @@ _PRIORITY = [
     "priority_sample_docs", "endpoint_stats", "spans_self_time",
     "er_part_clusters", "knn_label_eval", "embedding_outlier_mahal",
     "spans_service_busy_time", "spans_overlap_pairs",
-    "stratified_kfold_assignment", "table_checksum_audit",
-    "fuzzy_name_pairs",
 ]
 
 

@@ -5606,3 +5606,48 @@ l AS (SELECT o_custkey, max(len) AS streak_months FROM i GROUP BY o_custkey)
 SELECT streak_months, count(*)::BIGINT AS n_customers
 FROM l GROUP BY streak_months ORDER BY streak_months
 """
+
+ORACLES["bloom_pruned_fact_join"] = """
+-- the bloom prune is an internal optimization with an exact semi-join
+-- after it, so the oracle is the PLAIN join: any divergence means a
+-- false NEGATIVE (impossible by construction) or a broken prune.
+SELECT year(o_orderdate) AS yr,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(28,6))::DOUBLE, 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY yr
+"""
+
+ORACLES["customer_yearly_setops"] = """
+WITH a95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     a96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'active_1995' AS cohort, count(*)::BIGINT AS n_customers FROM a95
+UNION ALL
+SELECT 'active_1996', count(*) FROM a96
+UNION ALL
+SELECT 'retained', count(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)
+UNION ALL
+SELECT 'churned', count(*) FROM (SELECT * FROM a95 EXCEPT SELECT * FROM a96)
+UNION ALL
+SELECT 'new', count(*) FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a95)
+ORDER BY cohort
+"""
+
+ORACLES["nation_revenue_yoy_growth"] = """
+WITH rev AS (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+         sum(o.o_totalprice::DECIMAL(28,6)) AS r
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, yr, round(r::DOUBLE, 2) AS revenue,
+       round((r::DOUBLE - lag(r::DOUBLE) OVER w)
+             / lag(r::DOUBLE) OVER w, 6) AS yoy_growth
+FROM rev
+WINDOW w AS (PARTITION BY nation ORDER BY yr)
+ORDER BY nation, yr
+"""

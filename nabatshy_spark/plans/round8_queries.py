@@ -257,3 +257,129 @@ def minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "config string, n_true long, n_pairs long, n_hits long,"
         " precision double, recall double",
     )
+
+
+@query("bloom_pruned_fact_join")
+def bloom_pruned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join (the pattern behind Spark's own
+    spark.sql.optimizer.runtime.bloomFilter and ClickHouse's
+    set-index pruning): a Bloom filter built over the QUALIFYING dim
+    keys (BUILDING-segment customers) becomes a codegen'd predicate ON
+    THE FACT SCAN — orders rows whose custkey cannot be in the segment
+    never reach the join — and the exact semi-join afterwards clears
+    the false positives, so the result is bit-identical to the plain
+    join (which is exactly what the oracle checks).
+
+    Scale shape: the bit set is ≤ num_bits values however large the
+    dim (collected once — a CONFIG-bounded driver transfer, like CMS
+    sketch merges), inlined as a literal array so the probe is pure
+    expression work inside the scan's codegen, no join and no shuffle
+    until the survivors. At billions of fact rows the win is the
+    shuffle writing only rows that can match."""
+    from nabatshy_spark.operators.sketches import _h, bloom_bits
+
+    num_hashes, num_bits = 5, 1024
+    cust = load(spark, sf_dir, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    bits = sorted(
+        r.bit
+        for r in bloom_bits(
+            seg, "c_custkey", num_hashes, num_bits
+        ).collect()
+    )
+    bits_arr = F.array(*[F.lit(int(b)) for b in bits])
+    o = load(spark, sf_dir, "orders")
+    pred = None
+    for d in range(num_hashes):
+        term = F.array_contains(
+            bits_arr, _h(F.col("o_custkey"), d, num_bits)
+        )
+        pred = term if pred is None else (pred & term)
+    pruned = o.filter(pred)
+    exact = pruned.join(
+        F.broadcast(seg),
+        pruned.o_custkey == seg.c_custkey,
+        "left_semi",
+    )
+    return (
+        exact.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query("customer_yearly_setops")
+def customer_yearly_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS surface (INTERSECT / EXCEPT — the one relational
+    operator family the registry had not yet exercised): the 1995 and
+    1996 active-customer sets compared as retained (INTERSECT), churned
+    (1995 EXCEPT 1996) and new (1996 EXCEPT 1995) cohorts. Spark plans
+    both as aggregate + left-semi/anti joins; inputs are
+    distinct-custkey relations (dimension-sized), so each set op is one
+    small shuffle."""
+    o = load(spark, sf_dir, "orders")
+    a95 = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    a96 = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    cohorts = [
+        ("active_1995", a95),
+        ("active_1996", a96),
+        ("retained", a95.intersect(a96)),
+        ("churned", a95.subtract(a96)),
+        ("new", a96.subtract(a95)),
+    ]
+    out = None
+    for name, df in cohorts:
+        row = df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(name).alias("cohort"), "n_customers"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("cohort")
+
+
+@query("nation_revenue_yoy_growth")
+def nation_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: the lag-window KPI
+    every warehouse dashboard carries. The fact table collapses to the
+    (nation, year) aggregate FIRST; the lag window runs over that
+    |nations|×|years| relation partitioned BY NATION (bounded
+    partitions — never a global sort). try_divide keeps a first-year
+    NULL a NULL, not a crash."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("__rev")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag(F.col("__rev").cast("double")).over(w)
+    return rev.select(
+        "nation",
+        "yr",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.try_divide(F.col("__rev").cast("double") - prev, prev), 6
+        ).alias("yoy_growth"),
+    ).orderBy("nation", "yr")

@@ -182,3 +182,29 @@ def test_minhash_dedup_floor(spark, sf_dir):
     assert full.n_true > 0
     assert full.recall >= 0.9, full
     assert full.precision >= 0.95, full
+
+
+def test_bloom_prune_actually_prunes(spark, sf_dir):
+    """The bloom predicate must (a) keep every true match — no false
+    negatives ever — and (b) actually remove rows before the join on
+    the fixture (selectivity < 1), otherwise the 'runtime filter' is
+    decorative."""
+    from nabatshy_spark.operators.sketches import _h, bloom_bits
+
+    cust = load(spark, sf_dir, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = sorted(
+        r.bit for r in bloom_bits(seg, "c_custkey", 5, 1024).collect()
+    )
+    bits_arr = F.array(*[F.lit(int(b)) for b in bits])
+    o = load(spark, sf_dir, "orders")
+    pred = None
+    for d in range(5):
+        term = F.array_contains(bits_arr, _h(F.col("o_custkey"), d, 1024))
+        pred = term if pred is None else (pred & term)
+    total = o.count()
+    pruned = o.filter(pred).count()
+    true_n = o.join(
+        F.broadcast(seg), o.o_custkey == seg.c_custkey, "left_semi"
+    ).count()
+    assert true_n <= pruned < total, (true_n, pruned, total)
