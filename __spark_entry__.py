@@ -73,7 +73,7 @@ _PRIORITY = [
     "range_join_price_bands", "supplier_balance_quartiles",
     "customer_order_streaks", "minhash_dedup_eval",
     "bloom_pruned_fact_join", "customer_yearly_setops",
-    "nation_revenue_yoy_growth",
+    "nation_revenue_yoy_growth", "sequence_packing_plan",
     # Re-certification fills: high-traffic queries whose shared
     # infrastructure (joins.semi_join_ids, dedup stack, sampling,
     # window helpers) this round's perf work may touch.
@@ -83,7 +83,7 @@ _PRIORITY = [
     "revenue_gini", "heaps_law_fit", "km_churn_survival",
     "priority_sample_docs", "endpoint_stats", "spans_self_time",
     "er_part_clusters", "knn_label_eval", "embedding_outlier_mahal",
-    "spans_service_busy_time", "spans_overlap_pairs",
+    "spans_service_busy_time",
 ]
 
 

@@ -5651,3 +5651,29 @@ FROM rev
 WINDOW w AS (PARTITION BY nation ORDER BY yr)
 ORDER BY nation, yr
 """
+
+ORACLES["sequence_packing_plan"] = """
+WITH toks AS (
+  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, tok,
+         sum(tok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS excl
+  FROM toks
+),
+seqs AS (
+  SELECT CAST(floor(excl / 2048) AS BIGINT) AS seq,
+         count(*) AS docs, sum(tok) AS tokens
+  FROM cum GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_sequences,
+       sum(docs)::BIGINT AS n_docs,
+       sum(tokens)::BIGINT AS total_tokens,
+       round(sum(tokens) / (count(*) * 2048.0), 6) AS mean_fill,
+       min(docs)::BIGINT AS min_docs_per_seq,
+       max(docs)::BIGINT AS max_docs_per_seq,
+       count(*) FILTER (tokens > 2048)::BIGINT AS n_overflow_seqs
+FROM seqs
+"""

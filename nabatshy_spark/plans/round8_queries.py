@@ -383,3 +383,48 @@ def nation_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("__rev").cast("double") - prev, prev), 6
         ).alias("yoy_growth"),
     ).orderBy("nation", "yr")
+
+
+@query("sequence_packing_plan")
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing audit (greedy concat-stream packing:
+    documents concatenated in doc order, a document belongs to the
+    sequence where it STARTS, sequences overflow at boundaries rather
+    than splitting documents) for a 2048-token budget, using the same
+    ceil(chars/4) subword estimate as tokenizer_fertility. The packing
+    assignment is floor(exclusive_prefix_tokens / budget) — one
+    two-phase prefix sum over the corpus (stats.cumulative_sum_ordered,
+    never a single-task sort), then a |sequences|-bounded aggregate
+    collapsed to the one-row report training-export jobs gate on:
+    sequence count, mean fill vs budget, docs per sequence, and how
+    many boundary sequences overflowed.
+
+    Complements export_shard_plan (hash sharding) and
+    padding_efficiency (per-batch pad waste): this is the packed
+    (padding-free) export shape."""
+    from nabatshy_spark.operators.stats import cumulative_sum_ordered
+
+    budget = 2048
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.ceil(F.col("n_chars") / F.lit(4.0)).alias("__tok")
+    )
+    cum = cumulative_sum_ordered(
+        docs, [F.col("doc_id").asc()], "__tok", force="twophase"
+    ).withColumn(
+        "__seq",
+        F.floor((F.col("__cum") - F.col("__tok")) / F.lit(budget)),
+    )
+    per_seq = cum.groupBy("__seq").agg(
+        F.count("*").alias("__docs"), F.sum("__tok").alias("__tokens")
+    )
+    return per_seq.agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("__docs").alias("n_docs"),
+        F.sum("__tokens").alias("total_tokens"),
+        F.round(
+            F.sum("__tokens") / (F.count("*") * F.lit(budget)), 6
+        ).alias("mean_fill"),
+        F.min("__docs").alias("min_docs_per_seq"),
+        F.max("__docs").alias("max_docs_per_seq"),
+        F.count_if(F.col("__tokens") > budget).alias("n_overflow_seqs"),
+    )
