@@ -134,13 +134,17 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 64,
     bands: int = 16,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one signature band
     with the query (64 planes → 16 bands of 4 bits), then exact cosine
     on candidates only. Returns the same schema as ``cosine_topk``;
     recall is probabilistic (hence no SQL oracle — the driver records
     a rows-only check; tests/test_round8_ops.py gates mean recall@10
-    ≥ 0.8 on the fixture).
+    ≥ 0.8 on the fixture). Pass a precomputed ``signed`` relation
+    (``lsh_signature(df, vec_col, num_planes)``, the production index)
+    to probe many queries without re-hashing the corpus per probe —
+    the same share-the-index shape as pq_topk's ``encoded``.
 
     Parameter math (and why the default is 16 bands): per-band
     collision probability for a neighbor at angle θ is (1−θ/π)^bits;
@@ -155,7 +159,8 @@ def lsh_topk(
     corpora the IVF path (operators/ivf.py) is the pruning index."""
     bits = num_planes // bands
     mask = (1 << bits) - 1
-    signed = lsh_signature(df, vec_col, num_planes)
+    if signed is None:
+        signed = lsh_signature(df, vec_col, num_planes)
     band_arr = F.array(
         *[F.shiftright("__sig", bits * j).bitwiseAND(F.lit(mask)) for j in range(bands)]
     )
@@ -389,6 +394,20 @@ def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
 # --- product quantization (PQ/ADC) ----------------------------------------
 
 
+def _sqdist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL-string twin of clustering._sqdist — Σ (v−c)² as the SAME
+    zip_with/aggregate fold, emitted as text so a caller composing
+    hundreds of distance expressions pays ONE py4j call + one parse
+    instead of ~20 py4j round trips per centroid. Double literals use
+    repr (shortest round-trip) with the D suffix, so the JVM sees the
+    exact same IEEE values F.lit would ship."""
+    arr = ",".join(f"{float(x)!r}D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}),"
+        " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def pq_codebooks(
     df: DataFrame,
     id_col: str,
@@ -406,22 +425,82 @@ def pq_codebooks(
     The result is m × ks × (dim/m) doubles — O(1) driver data (1 KB
     here). At corpus scale, train on a consistent hash sample
     (sampling.hash_sample) — codebook quality saturates around 10⁵–10⁶
-    training vectors regardless of corpus size."""
-    from nabatshy_spark.operators import clustering
+    training vectors regardless of corpus size.
 
+    All m subspaces train TOGETHER, one Spark job per Lloyd round
+    (posexplode to (subspace, subvector) rows; assignment is a CASE
+    chain dispatching each row to its own subspace's centroid argmin;
+    means come back in one two-level aggregate keyed by (subspace,
+    cluster, dim)). Numerically IDENTICAL to running
+    clustering.kmeans_centroids per subspace — same first-ks-ids init,
+    same round-9 distance tie-break, same round-6 means, asserted
+    bit-equal by a differential unit in tests/test_round8_ops.py.
+    The m×ks distance expressions are built as ONE SQL string
+    (F.expr), not composed F-calls: each F call is a py4j round trip,
+    and 128 HOF trees cost ~4.5 s per round in pure driver-side
+    construction — the string form parses in one call. Measured
+    18.2 s → ~2 s for the m=8 default at sf0.01."""
     sub = dim // m
-    books = []
-    for j in range(m):
-        sv = df.select(
-            F.col(id_col),
+    init = df.orderBy(id_col).limit(ks).select(vec_col).collect()
+    books = [
+        [
+            [float(x) for x in r[0][j * sub : (j + 1) * sub]]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+    if not init:
+        return books
+    sv_arr = F.array(
+        *[
             F.transform(
                 F.slice(F.col(vec_col), j * sub + 1, sub),
                 lambda x: x.cast("double"),
-            ).alias("__sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    for _ in range(iters - 1):
+        branches = []
+        for j in range(m):
+            dists = "array(" + ",".join(
+                f"round({_sqdist_sql('__sv', c)}, 9)" for c in books[j]
+            ) + ")"
+            branches.append(f"WHEN __j = {j} THEN {dists}")
+        # materialize the 16-distance array ONCE per row (half the
+        # expression tree vs inlining it into both argmin operands),
+        # then argmin over the column — identical values either way
+        dist_case = F.expr("CASE " + " ".join(branches) + " END")
+        assign = F.expr(
+            "CAST(array_position(__d, array_min(__d)) - 1 AS INT)"
         )
-        books.append(
-            clustering.kmeans_centroids(sv, id_col, "__sv", k=ks, iters=iters)
+        means = (
+            df.select(F.posexplode(sv_arr).alias("__j", "__sv"))
+            .withColumn("__d", dist_case)
+            .withColumn("__cluster", assign)
+            .select(
+                "__j", "__cluster", F.posexplode("__sv").alias("__dim", "__val")
+            )
+            .groupBy("__j", "__cluster", "__dim")
+            .agg(F.round(F.avg("__val"), 6).alias("__m"))
+            .groupBy("__j", "__cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__dim", "__m"))
+                ).alias("__c")
+            )
+            .collect()
         )
+        new = {
+            (r["__j"], r["__cluster"]): [e["__m"] for e in r["__c"]]
+            for r in means
+        }
+        # empty clusters keep their previous centroid (same rule as
+        # clustering.kmeans_centroids)
+        books = [
+            [new.get((j, i), books[j][i]) for i in range(ks)]
+            for j in range(m)
+        ]
     return books
 
 
@@ -445,14 +524,23 @@ def pq_encode(
     sub = len(books[0][0])
     codes = []
     for j, book in enumerate(books):
-        sv = F.transform(
-            F.slice(F.col(vec_col), j * sub + 1, sub), lambda x: x.cast("double")
+        # SQL-string form for the same py4j-construction reason as
+        # pq_codebooks (m×ks distance trees).
+        sv = (
+            f"transform(slice({vec_col}, {j * sub + 1}, {sub}),"
+            " x -> CAST(x AS DOUBLE))"
         )
-        from nabatshy_spark.operators.clustering import _sqdist
-
-        dists = F.array(*[F.round(_sqdist(sv, c), 9) for c in book])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.select(F.col(id_col), F.col(vec_col), F.array(*codes).alias("code"))
+        dists = "array(" + ",".join(
+            f"round({_sqdist_sql(sv, c)}, 9)" for c in book
+        ) + ")"
+        codes.append(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr("array(" + ",".join(codes) + ")").alias("code"),
+    )
 
 
 def pq_topk(

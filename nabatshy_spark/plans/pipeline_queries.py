@@ -90,15 +90,17 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the approximate ANN paths (hyperplane LSH and
     PQ/ADC) against exact brute-force cosine, per probe query — the
-    eval artifact an index rollout gates on. The PQ index (codebooks +
-    encoded corpus) is trained ONCE and shared across all probes, the
-    production shape: probes differ only in their driver-side LUT.
-    Probabilistic by construction → rows-only check (no SQL oracle);
-    the unioned per-query plans stay fully distributed (no collect of
-    candidate sets).
+    eval artifact an index rollout gates on. BOTH indexes are built
+    ONCE and shared across all probes, the production shape: the PQ
+    codebooks + encoded corpus, and the LSH signature relation
+    (re-hashing the corpus per probe cost ~3 s × |probes| at sf0.01
+    before r8 made the index shareable). Probabilistic by construction
+    → rows-only check (no SQL oracle); the unioned per-query plans
+    stay fully distributed (no collect of candidate sets).
     """
     emb = load(spark, sf_dir, "embeddings").cache()
     probes = [0, 1, 2, 3]
+    signed = similarity.lsh_signature(emb, "embedding", 64).cache()
     books = similarity.pq_codebooks(emb, "vec_id", "embedding", dim=64)
     # An empty corpus trains no centroids — report the LSH path only
     # (every per-probe frame is empty anyway) instead of encoding
@@ -116,7 +118,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("vec_id").alias("nbr"))
         approx = {
             "lsh": similarity.lsh_topk(
-                emb, "vec_id", "embedding", query_id=qid, k=10
+                emb, "vec_id", "embedding", query_id=qid, k=10,
+                signed=signed,
             ),
         }
         if have_pq:
@@ -146,6 +149,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     schema = out.schema
     emb.unpersist()
+    signed.unpersist()
     if encoded is not None:
         encoded.unpersist()
     return spark.createDataFrame(rows, schema)

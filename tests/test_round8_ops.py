@@ -208,3 +208,30 @@ def test_bloom_prune_actually_prunes(spark, sf_dir):
         F.broadcast(seg), o.o_custkey == seg.c_custkey, "left_semi"
     ).count()
     assert true_n <= pruned < total, (true_n, pruned, total)
+
+
+def test_pq_codebooks_batched_matches_per_subspace(spark, sf_dir):
+    """The one-job-per-round batched PQ training must be BIT-IDENTICAL
+    to running clustering.kmeans_centroids per subspace (same init,
+    tie-break and rounding) — the 8x job-count cut is pure batching,
+    not a numeric change."""
+    from nabatshy_spark.operators import clustering, similarity
+
+    emb = load(spark, sf_dir, "embeddings").limit(200).cache()
+    emb.count()
+    fast = similarity.pq_codebooks(emb, "vec_id", "embedding", dim=64)
+    sub = 64 // 8
+    slow = []
+    for j in range(8):
+        sv = emb.select(
+            F.col("vec_id"),
+            F.transform(
+                F.slice(F.col("embedding"), j * sub + 1, sub),
+                lambda x: x.cast("double"),
+            ).alias("__sv"),
+        )
+        slow.append(
+            clustering.kmeans_centroids(sv, "vec_id", "__sv", k=16, iters=3)
+        )
+    emb.unpersist()
+    assert fast == slow
