@@ -270,34 +270,32 @@ def bloom_pruned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the false positives, so the result is bit-identical to the plain
     join (which is exactly what the oracle checks).
 
-    Scale shape: the bit set is ≤ num_bits values however large the
-    dim (collected once — a CONFIG-bounded driver transfer, like CMS
-    sketch merges), inlined as a literal array so the probe is pure
-    expression work inside the scan's codegen, no join and no shuffle
-    until the survivors. At billions of fact rows the win is the
-    shuffle writing only rows that can match."""
-    from nabatshy_spark.operators.sketches import _h, bloom_bits
+    Scale shape: the bit set packs into ⌈num_bits/64⌉ long words
+    however large the dim (collected once — a CONFIG-bounded driver
+    transfer, like CMS sketch merges), inlined as a literal array so
+    each probe is element_at + shift + AND inside the scan's codegen —
+    O(1) per probe, no join and no shuffle until the survivors. At
+    billions of fact rows the win is the shuffle writing only rows
+    that can match."""
+    from nabatshy_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_bits,
+        bloom_pred,
+    )
 
     num_hashes, num_bits = 5, 1024
     cust = load(spark, sf_dir, "customer")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
         "c_custkey"
     )
-    bits = sorted(
-        r.bit
-        for r in bloom_bits(
-            seg, "c_custkey", num_hashes, num_bits
-        ).collect()
+    words = bloom_bitmap(
+        (r.bit for r in bloom_bits(seg, "c_custkey", num_hashes, num_bits).collect()),
+        num_bits,
     )
-    bits_arr = F.array(*[F.lit(int(b)) for b in bits])
     o = load(spark, sf_dir, "orders")
-    pred = None
-    for d in range(num_hashes):
-        term = F.array_contains(
-            bits_arr, _h(F.col("o_custkey"), d, num_bits)
-        )
-        pred = term if pred is None else (pred & term)
-    pruned = o.filter(pred)
+    pruned = o.filter(
+        bloom_pred(F.col("o_custkey"), words, num_hashes, num_bits)
+    )
     exact = pruned.join(
         F.broadcast(seg),
         pruned.o_custkey == seg.c_custkey,

@@ -189,19 +189,19 @@ def test_bloom_prune_actually_prunes(spark, sf_dir):
     negatives ever — and (b) actually remove rows before the join on
     the fixture (selectivity < 1), otherwise the 'runtime filter' is
     decorative."""
-    from nabatshy_spark.operators.sketches import _h, bloom_bits
+    from nabatshy_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_bits,
+        bloom_pred,
+    )
 
     cust = load(spark, sf_dir, "customer")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bits = sorted(
-        r.bit for r in bloom_bits(seg, "c_custkey", 5, 1024).collect()
+    words = bloom_bitmap(
+        (r.bit for r in bloom_bits(seg, "c_custkey", 5, 1024).collect()), 1024
     )
-    bits_arr = F.array(*[F.lit(int(b)) for b in bits])
     o = load(spark, sf_dir, "orders")
-    pred = None
-    for d in range(5):
-        term = F.array_contains(bits_arr, _h(F.col("o_custkey"), d, 1024))
-        pred = term if pred is None else (pred & term)
+    pred = bloom_pred(F.col("o_custkey"), words, 5, 1024)
     total = o.count()
     pruned = o.filter(pred).count()
     true_n = o.join(
