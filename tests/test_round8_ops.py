@@ -235,3 +235,23 @@ def test_pq_codebooks_batched_matches_per_subspace(spark, sf_dir):
         )
     emb.unpersist()
     assert fast == slow
+
+
+def test_cumulative_sum_two_phase_edge_cases(spark):
+    """Empty and single-row inputs through the two-phase path: the
+    range partitioner emits mostly EMPTY partitions here, which must
+    not contribute offset rows or break the broadcast join."""
+    from nabatshy_spark.operators.stats import cumulative_sum_ordered
+
+    empty = spark.createDataFrame([], "k long, v long")
+    out = cumulative_sum_ordered(
+        empty, [F.col("v").asc(), F.col("k").asc()], "v", force="twophase"
+    )
+    assert out.count() == 0
+    one = spark.createDataFrame([(7, 42)], "k long, v long")
+    rows = cumulative_sum_ordered(
+        one, [F.col("v").asc(), F.col("k").asc()], "v", force="twophase"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["__cum"], r["__rank"], r["__tot"], r["__n"]) == (42, 1, 42, 1)
