@@ -5677,3 +5677,26 @@ SELECT count(*)::BIGINT AS n_sequences,
        count(*) FILTER (tokens > 2048)::BIGINT AS n_overflow_seqs
 FROM seqs
 """
+
+ORACLES["spans_latency_exemplars"] = """
+WITH b AS (
+  SELECT name AS endpoint,
+         length(bin((duration_ns // 1000000) + 1)) - 1 AS log2_ms_bucket,
+         duration_ns, span_id, trace_id
+  FROM '/root/repo/tests/data/spans.parquet'
+),
+m AS (
+  SELECT endpoint, log2_ms_bucket, count(*)::BIGINT AS n_spans,
+         max(duration_ns) AS maxd
+  FROM b GROUP BY 1, 2
+)
+SELECT b.endpoint, b.log2_ms_bucket, m.n_spans,
+       (m.maxd // 1000000)::BIGINT AS max_ms,
+       min(b.span_id) AS exemplar_span,
+       arg_min(b.trace_id, b.span_id) AS exemplar_trace
+FROM b JOIN m ON b.endpoint = m.endpoint
+            AND b.log2_ms_bucket = m.log2_ms_bucket
+            AND b.duration_ns = m.maxd
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2
+"""

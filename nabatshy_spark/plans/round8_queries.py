@@ -426,3 +426,51 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__docs").alias("max_docs_per_seq"),
         F.count_if(F.col("__tokens") > budget).alias("n_overflow_seqs"),
     )
+
+
+@query("spans_latency_exemplars")
+def spans_latency_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency EXEMPLARS (the Grafana/OpenMetrics pattern: each
+    histogram bucket carries one representative trace to click into):
+    per (endpoint, power-of-two ms bucket), the span count plus the
+    slowest span's ids — deterministic under duration ties via the
+    unique span_id tiebreak (max duration, then min span_id), never
+    max_by's undefined-on-ties pick.
+
+    Scale: one scan → (endpoint, bucket) aggregate for counts+max, a
+    self-join back on the max to pick the exemplar row — the argmax
+    join touches only bucket-max spans. Complements
+    spans_duration_histogram (counts only) with the drill-in handle."""
+    from nabatshy_spark.plans.span_queries import load_spans
+
+    df = load_spans(spark)
+    ms = (F.col("duration_ns") / F.lit(1_000_000)).cast("long")
+    b = df.select(
+        F.col("name").alias("endpoint"),
+        (F.length(F.bin(ms + 1)) - 1).alias("log2_ms_bucket"),
+        "duration_ns",
+        "span_id",
+        "trace_id",
+    )
+    m = b.groupBy("endpoint", "log2_ms_bucket").agg(
+        F.count("*").alias("n_spans"),
+        F.max("duration_ns").alias("__maxd"),
+    )
+    return (
+        b.join(m, ["endpoint", "log2_ms_bucket"])
+        .filter(F.col("duration_ns") == F.col("__maxd"))
+        .groupBy("endpoint", "log2_ms_bucket", "n_spans", "__maxd")
+        .agg(
+            F.min("span_id").alias("exemplar_span"),
+            F.min_by("trace_id", "span_id").alias("exemplar_trace"),
+        )
+        .select(
+            "endpoint",
+            "log2_ms_bucket",
+            "n_spans",
+            (F.col("__maxd") / F.lit(1_000_000)).cast("long").alias("max_ms"),
+            "exemplar_span",
+            "exemplar_trace",
+        )
+        .orderBy("endpoint", "log2_ms_bucket")
+    )
