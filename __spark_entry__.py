@@ -74,7 +74,7 @@ _PRIORITY = [
     "customer_order_streaks", "minhash_dedup_eval",
     "bloom_pruned_fact_join", "customer_yearly_setops",
     "nation_revenue_yoy_growth", "sequence_packing_plan",
-    "spans_latency_exemplars",
+    "spans_latency_exemplars", "chi2_priority_returnflag",
     # Re-certification fills: high-traffic queries whose shared
     # infrastructure (joins.semi_join_ids, dedup stack, sampling,
     # window helpers) this round's perf work may touch.
@@ -83,7 +83,7 @@ _PRIORITY = [
     "boilerplate_scrub", "gopher_rule_flags", "pareto_suppliers",
     "revenue_gini", "heaps_law_fit", "km_churn_survival",
     "priority_sample_docs", "endpoint_stats", "spans_self_time",
-    "er_part_clusters", "knn_label_eval",
+    "er_part_clusters",
     "spans_service_busy_time",
 ]
 

@@ -5700,3 +5700,26 @@ FROM b JOIN m ON b.endpoint = m.endpoint
 GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2
 """
+
+ORACLES["chi2_priority_returnflag"] = """
+WITH obs AS (
+  SELECT o.o_orderpriority AS priority, l.l_returnflag AS flag,
+         count(*)::BIGINT AS n
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT priority, flag, n,
+         sum(n) OVER (PARTITION BY priority) AS rn,
+         sum(n) OVER (PARTITION BY flag) AS cn,
+         sum(n) OVER () AS t
+  FROM obs
+)
+SELECT max(t)::BIGINT AS n_lineitems,
+       count(*)::BIGINT AS n_cells,
+       ((count(DISTINCT priority) - 1) * (count(DISTINCT flag) - 1))::BIGINT AS dof,
+       round(sum((n::DOUBLE - rn::DOUBLE * cn::DOUBLE / t::DOUBLE)
+                 * (n::DOUBLE - rn::DOUBLE * cn::DOUBLE / t::DOUBLE)
+                 / (rn::DOUBLE * cn::DOUBLE / t::DOUBLE)), 6) AS chi2
+FROM m
+"""

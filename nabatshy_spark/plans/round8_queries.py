@@ -474,3 +474,62 @@ def spans_latency_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("endpoint", "log2_ms_bucket")
     )
+
+
+@query("chi2_priority_returnflag")
+def chi2_priority_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    line-item return flag — the categorical-association audit next to
+    the numeric drift family (psi_order_value_drift) and the DiD lift
+    (did_purchase_lift): "does return behavior depend on priority?".
+    Observed counts from ONE (priority, flag) aggregate; expected
+    counts and the χ² sum ride the |priorities|×|flags| contingency
+    relation with its margins broadcast back. Exact integer counts in,
+    fixed double arithmetic out (rounded), so the oracle replays it
+    bit-for-bit.
+
+    Scale: one fact scan + one dimension-bounded aggregate; everything
+    after is arithmetic on ≤ 15 rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    obs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    row_m = obs.groupBy("priority").agg(F.sum("n").alias("__rn"))
+    col_m = obs.groupBy("flag").agg(F.sum("n").alias("__cn"))
+    tot = obs.agg(F.sum("n").alias("__t"))
+    cells = (
+        obs.join(F.broadcast(row_m), "priority")
+        .join(F.broadcast(col_m), "flag")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "__e",
+            F.col("__rn").cast("double")
+            * F.col("__cn").cast("double")
+            / F.col("__t").cast("double"),
+        )
+        .withColumn(
+            "__chi",
+            (F.col("n").cast("double") - F.col("__e"))
+            * (F.col("n").cast("double") - F.col("__e"))
+            / F.col("__e"),
+        )
+    )
+    return cells.agg(
+        F.max("__t").alias("n_lineitems"),
+        F.count("*").alias("n_cells"),
+        (
+            (F.count_distinct("priority") - 1)
+            * (F.count_distinct("flag") - 1)
+        ).alias("dof"),
+        F.round(F.sum("__chi"), 6).alias("chi2"),
+    )
