@@ -237,6 +237,12 @@ HEADLINE = [
     "range_join_price_bands",
     "supplier_balance_quartiles",
     "customer_order_streaks",
+    "bloom_pruned_fact_join",
+    "customer_yearly_setops",
+    "nation_revenue_yoy_growth",
+    "sequence_packing_plan",
+    "spans_latency_exemplars",
+    "chi2_priority_returnflag",
 ]
 
 
