@@ -438,8 +438,11 @@ def pq_codebooks(
     The m×ks distance expressions are built as ONE SQL string
     (F.expr), not composed F-calls: each F call is a py4j round trip,
     and 128 HOF trees cost ~4.5 s per round in pure driver-side
-    construction — the string form parses in one call. Measured
-    18.2 s → ~2 s for the m=8 default at sf0.01."""
+    construction — the string form parses in one call, and the
+    distance array materializes once per row before the argmin.
+    Measured 18.2 s → 6.5 s for the m=8 default at sf0.01 (the
+    remainder is parse+analysis of the still-large tree; steady-state
+    execution is ~0.3 s/round)."""
     sub = dim // m
     init = df.orderBy(id_col).limit(ks).select(vec_col).collect()
     books = [
