@@ -40,7 +40,17 @@ def hash_sample_pred(key_col: str, bps: int) -> Column:
     callers that need it as a conditional-aggregate argument instead of
     a filter (e.g. curation_funnel counts survivors without
     materializing the sample). One definition — a filter-vs-count_if
-    divergence would silently break the funnel's accounting."""
+    divergence would silently break the funnel's accounting.
+
+    Validates the full [0, 65536] range itself (ADVICE r8): relying on
+    :func:`hash_sample` for validation left the bare predicate unsafe —
+    format(65536,'04x') == '10000' is FIVE chars, and the lexicographic
+    compare of 4-char md5 prefixes against it silently drops ~94% of
+    rows ('1xxx'…'fxxx' all sort above '10000')."""
+    if not 0 <= bps <= 65536:
+        raise ValueError("bps must be in [0, 65536]")
+    if bps == 65536:  # keep-all: 5-char literal would compare wrong
+        return F.lit(True)
     return F.substring(
         F.md5(F.col(key_col).cast("string")), 1, 4
     ) < F.lit(format(bps, "04x"))

@@ -14,6 +14,7 @@ prune files entirely.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
@@ -97,8 +98,16 @@ def lsh_signature(df: DataFrame, vec_col: str, num_planes: int = 16, dim: int = 
     (HOFs are interpreted per element; 64 planes × 64 dims per row is
     exactly the workload the pandas-UDF exception in SURVEY §2.10 is
     for). Plane matrix is a broadcast-sized closure constant
-    (dim × planes × 8 bytes). Sign ties (dot == 0) keep the HOF
-    semantics: only strictly positive dots set a bit."""
+    (dim × planes × 8 bytes). EXACT zeros keep the HOF semantics (only
+    strictly positive dots set a bit) — but near-zero dots are NOT
+    bit-identical to the old sequential HOF fold: numpy's matmul
+    accumulates in a different order, so a dot within float rounding
+    of 0 can flip sign vs the previous signatures (ADVICE r8). Only
+    approximate/rows-only consumers read signatures, and recall gates
+    (ann_recall_report) are the contract, not bit-stability across
+    implementations. Null or wrong-dimension vectors raise with the
+    offending row identified rather than producing a silent garbage
+    signature."""
     import numpy as np
     from pyspark.sql import functions as _F
     from pyspark.sql.functions import pandas_udf
@@ -114,6 +123,19 @@ def lsh_signature(df: DataFrame, vec_col: str, num_planes: int = 16, dim: int = 
 
         if len(vecs) == 0:
             return _pd.Series([], dtype="int64")
+        bad = [
+            i
+            for i, v in enumerate(vecs)
+            if v is None or len(v) != planes_m.shape[0]
+        ]
+        if bad:
+            v0 = vecs.iloc[bad[0]]
+            raise ValueError(
+                f"lsh_signature: vector at batch offset {bad[0]} is "
+                f"{'null' if v0 is None else f'dim {len(v0)}'}; expected "
+                f"dim {planes_m.shape[0]} — clean or filter the "
+                "embedding column before signing"
+            )
         x = _np.asarray(
             [_np.asarray(v, dtype=_np.float64) for v in vecs]
         )
@@ -400,7 +422,22 @@ def _sqdist_sql(vec_sql: str, centroid: list[float]) -> str:
     hundreds of distance expressions pays ONE py4j call + one parse
     instead of ~20 py4j round trips per centroid. Double literals use
     repr (shortest round-trip) with the D suffix, so the JVM sees the
-    exact same IEEE values F.lit would ship."""
+    exact same IEEE values F.lit would ship.
+
+    Non-finite components are rejected up front (ADVICE r8): repr()
+    renders them 'nan'/'inf', whose D-suffixed forms do not parse in
+    Spark SQL — and a NaN centroid means the k-means training data
+    contained non-finite values, which every downstream distance
+    comparison would silently poison anyway (NaN propagates through
+    the fold and fails every argmin), so the actionable error beats
+    emitting CAST('NaN' AS DOUBLE) and limping on."""
+    bad = [x for x in centroid if not math.isfinite(float(x))]
+    if bad:
+        raise ValueError(
+            f"_sqdist_sql: centroid contains non-finite component(s) "
+            f"{bad[:3]} — training vectors must be finite (filter or "
+            "impute the embedding column before k-means/PQ)"
+        )
     arr = ",".join(f"{float(x)!r}D" for x in centroid)
     return (
         f"aggregate(zip_with({vec_sql}, array({arr}),"

@@ -252,9 +252,13 @@ def cumulative_sum_ordered(
     if use_window:
         w = Window.orderBy(*order_cols)
         wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        # __rank is LONG in both branches: the operator exists for
+        # dimensions past one task's sort (billions of rows), where an
+        # int rank — and any consumer arithmetic like 4·rank — would
+        # overflow at 2^31 (ADVICE r8).
         out = (
             df.withColumn("__cum", F.sum(value_col).over(wc))
-            .withColumn("__rank", F.row_number().over(w))
+            .withColumn("__rank", F.row_number().over(w).cast("long"))
             .withColumn(
                 "__tot", F.sum(value_col).over(Window.partitionBy())
             )
@@ -263,8 +267,21 @@ def cumulative_sum_ordered(
         for c in extra:
             out = out.withColumn(f"__cum_{c}", F.sum(c).over(wc))
         return out
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Pin the range-partitioned relation ONCE (ADVICE r8):
+    # repartitionByRange samples nondeterministically for its bounds,
+    # and `ranged` feeds two separate plan subtrees (`local` windows
+    # and the `psums` aggregate). Without pinning, consistent __pid
+    # values across the two consumers rest entirely on Catalyst's
+    # ReuseExchange deduplicating the exchange — if reuse is disabled
+    # or a future edit de-canonicalizes the subtrees, boundary rows
+    # get DIFFERENT partition ids in the two branches and __cum/__rank
+    # silently corrupt. localCheckpoint (lazy; MEMORY_AND_DISK, so it
+    # spills rather than OOMs) materializes the sampled partitioning
+    # exactly once by construction, not by optimizer rule.
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wloc_sort = Window.partitionBy("__pid").orderBy(*order_cols)
     wloc = wloc_sort.rowsBetween(Window.unboundedPreceding, 0)
@@ -331,7 +348,7 @@ def cumulative_sum_ordered(
         local.join(F.broadcast(offs), "__pid")
         .withColumn("__cum", F.col("__lcum") + F.col("__off"))
         .withColumn(
-            "__rank", (F.col("__lrn") + F.col("__coff")).cast("int")
+            "__rank", (F.col("__lrn") + F.col("__coff")).cast("long")
         )
     )
     for c in extra:
@@ -385,8 +402,13 @@ def running_min_prev_ordered(
                 w.rowsBetween(Window.unboundedPreceding, -1)
             ),
         )
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Pinned once for the same two-consumer reason as
+    # cumulative_sum_ordered (ADVICE r8): `local` and `pmins` must see
+    # identical sampled range bounds by construction.
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wloc = (
         Window.partitionBy("__pid")

@@ -25,6 +25,13 @@ def sales_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     of; Spark evaluates all grouping sets in one Expand+Aggregate pass
     (one scan, one shuffle), not one job per set.
 
+    NAMING NOTE (VERDICT r8 #7): despite the historical name this
+    computes ROLLUP, not CUBE — the hierarchy-shaped subset of
+    grouping sets ((yr,status),(yr),()). The registry's true CUBE
+    (every subset, including (status)-only) is ``cube_pricing``. The
+    name is kept because the external correctness evidence chain
+    (CORRECTNESS_r08, staleness ledger) is keyed by it.
+
     Scale: output is |years|×|statuses| + |years| + 1 rows —
     dimension-bounded however large the fact table."""
     o = load(spark, sf_dir, "orders").select(

@@ -66,8 +66,13 @@ def test_cumulative_sum_auto_switch():
     )
     small_plan = small._jdf.queryExecution().executedPlan().toString()
     big_plan = big._jdf.queryExecution().executedPlan().toString()
+    # The two-phase branch range-partitions INSIDE a pinned
+    # localCheckpoint (ADVICE r8), so the SQL plan shows the checkpoint
+    # scan, not the repartitionByRange itself; its unique marker is the
+    # __pid partition-id column that only the two-phase form carries.
     assert "rangepartitioning" not in small_plan.lower()
-    assert "rangepartitioning" in big_plan.lower()
+    assert "__pid" not in small_plan
+    assert "existingrdd" in big_plan.lower() and "__pid" in big_plan
     rows_small = sorted((r.k, r["__cum"], r["__tot"]) for r in small.collect())
     rows_big = sorted((r.k, r["__cum"], r["__tot"]) for r in big.collect())
     assert rows_small == rows_big
