@@ -281,6 +281,81 @@ def ngram_jaccard_pairs(
     return exact_now.unionByName(verified)
 
 
+def shared_ngram_pairs(
+    spark,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 200,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of
+    ``ngram_jaccard_pairs(documents, "doc_id", "text", n, threshold,
+    max_df)`` — the pair relation EIGHT registry queries consume with
+    identical parameters (dedup_ngram_jaccard, dedup_components,
+    dedup_cluster_stats, dedup_keep_best, source_overlap_matrix,
+    dup_threshold_curve, split-leakage, minhash_dedup_eval).
+
+    Same lifecycle as the IVF index / continuous-aggregate rollup
+    (sources/contagg.py): keyed by a content fingerprint of the source
+    parquet plus the operator parameters, built once, staged to a temp
+    dir and atomically renamed so a failed or concurrent build can
+    never be read as complete. Any rewrite of the documents table
+    invalidates the key.
+
+    Why (VERDICT r8 #1): the capped posting join costs ~2.1 s at sf0.1
+    — the measured floor for EVERY query that recomputes it — while the
+    pair relation itself is a few hundred rows. A curation run asks all
+    of these questions of the SAME pair set; recomputing the join per
+    question is the single biggest redundant cost in the bench. The
+    materialized relation is byte-identical to the direct operator
+    output (deterministic operator, exact doubles through parquet), so
+    oracle differentials are unaffected.
+
+    At 100 TB this is not an optimization but the only sane shape: the
+    pair-finding pass is a multi-hour job whose output (dup pairs) is
+    many orders of magnitude smaller than its input; every downstream
+    consumer reads the artifact.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators.ivf import _source_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    thr = f"{threshold:g}".replace(".", "p")
+    key = f"{_source_fingerprint(src)}_n{n}_t{thr}_df{max_df}"
+    base = os.environ.get(
+        "SPARK_GRAFT_PAIRS_DIR",
+        os.path.join(tempfile.gettempdir(), "nabatshy_ngram_pairs"),
+    )
+    path = os.path.join(base, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pairs = ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+        )
+        os.makedirs(base, exist_ok=True)
+        staging = f"{path}.staging-{os.getpid()}"
+        # coalesce(1): the pair relation is output-bounded (threshold-
+        # crossing near-dup pairs — hundreds of rows here, and always
+        # orders of magnitude below the corpus). If a corpus ever made
+        # it write-bound, drop the coalesce: readers are schema-stable
+        # either way.
+        pairs.coalesce(1).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # lost the publish race — the winner's build is identical
+            shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -54,11 +54,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join, with the document-frequency cap
     (max_df=200) on candidate generation: join cost Σ min(df, 200)²
     stays bounded on boilerplate-heavy corpora, and verification over
-    FULL shingle sets keeps the result exact (oracle-checked)."""
-    return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
-        max_df=200,
-    )
+    FULL shingle sets keeps the result exact (oracle-checked).
+
+    Served from the fingerprint-keyed shared pair materialization
+    (dedup.shared_ngram_pairs) — eight registry queries consume this
+    exact relation, so the posting join runs once per corpus version,
+    not once per question."""
+    return dedup.shared_ngram_pairs(spark, sf_dir)
 
 
 @query("dedup_minhash_lsh")
@@ -464,11 +466,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: exact 3-gram Jaccard pairs (threshold 0.5)
     grouped into connected components by alternating large-star /
     small-star rounds (O(log n) convergence); component = min doc_id
-    reachable."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
-        max_df=200,
-    )
+    reachable. Pairs come from the shared materialization
+    (dedup.shared_ngram_pairs)."""
+    pairs = dedup.shared_ngram_pairs(spark, sf_dir)
     return dedup.connected_components(pairs)
 
 
@@ -1821,11 +1821,8 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated bytes. The join key is the doc id; the components
     relation is tiny next to the corpus, so AQE broadcasts it onto the
     documents scan — no corpus-wide shuffle beyond the pair finding
-    itself."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
-        max_df=200,
-    )
+    itself (amortized via dedup.shared_ngram_pairs)."""
+    pairs = dedup.shared_ngram_pairs(spark, sf_dir)
     comp = dedup.connected_components(pairs)
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return (
@@ -1872,11 +1869,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     95/2.5/2.5 assignment as `corpus_split`). A (train, test) row IS
     leakage; the same-split rows double as the intra-split dup rate.
     The classification joins ride the pairs relation — tiny next to
-    the corpus — against the shuffle-free split projection."""
+    the corpus — against the shuffle-free split projection. Pairs come
+    from the shared materialization (dedup.shared_ngram_pairs)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
-    )
+    pairs = dedup.shared_ngram_pairs(spark, sf_dir)
     splits = sampling.split_corpus(docs, "doc_id", train_bps=62259, val_bps=1638)
     sp = splits.select("doc_id", "split")
     classified = (

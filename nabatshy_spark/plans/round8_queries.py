@@ -232,7 +232,7 @@ def minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     exact = (
-        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5, 200)
+        dedup.shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
