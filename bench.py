@@ -408,6 +408,55 @@ def main() -> None:
     delta = {
         k: round(v - prev[k], 4) for k, v in timings.items() if k in prev
     }
+
+    # --- post-sweep SOLO adjudication (VERDICT r8 task #2) ---------------
+    # The in-sweep re-measure above still runs inside a JVM carrying a
+    # 100+-query session's storage/GC debt, so a final recorded round
+    # could ship an unexplained >1.5x mover that only a manual solo
+    # re-measure would adjudicate (r8 shipped exactly one). Close the
+    # protocol hole structurally: any common query still >1.5x its
+    # previous-round time after the sweep gets re-measured in a FRESH
+    # SparkSession (stop + rebuild, footers re-warmed), fresh lineage
+    # per lap, clearCache+gc, min-of-4 — and the solo number is written
+    # into BENCH_DETAIL.json BESIDE the sweep number. The sweep number
+    # stays canonical in `queries` (the recorded metric is the sweep);
+    # the solo number is the adjudication evidence: solo ~= prev means
+    # sweep-position noise, solo >> prev means a real regression with
+    # the session variable eliminated.
+    # Only meaningful at the recorded-round scale: the prev baseline is
+    # sf0.1, so comparing an sf0.001 iteration run against it would
+    # trigger (or mask) movers spuriously.
+    movers = (
+        sorted(
+            (
+                k
+                for k, v in timings.items()
+                if k in prev and prev[k] >= 0.2 and v > 1.5 * prev[k]
+            ),
+            key=lambda k: timings[k] / prev[k],
+            reverse=True,
+        )[:15]
+        if sf_num == 0.1
+        else []
+    )
+    solo: dict[str, float] = {}
+    if movers:
+        spark.stop()
+        spark = get_spark("nabatshy_bench_solo")
+        for t in TABLES:
+            load(spark, sf_dir, t).count()
+        import gc
+
+        for name in movers:
+            QUERIES[name](spark, sf_dir).collect()  # warm compile/codegen
+            best = float("inf")
+            for _ in range(4):
+                spark.catalog.clearCache()
+                gc.collect()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            solo[name] = round(best, 4)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(
@@ -423,6 +472,11 @@ def main() -> None:
                 # others are min-of-2): deltas for these partly reflect
                 # the measurement policy, so it's recorded, not hidden.
                 "remeasured": remeasured,
+                # Fresh-session min-of-4 numbers for every common query
+                # that ended the sweep >1.5x its previous-round time —
+                # the structural fix for unadjudicated movers (VERDICT
+                # r8 task #2). Empty dict = no such movers.
+                "solo_adjudication": solo,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             fh,
