@@ -243,6 +243,9 @@ HEADLINE = [
     "sequence_packing_plan",
     "spans_latency_exemplars",
     "chi2_priority_returnflag",
+    # round 9 additions: exact-substring dedup (Lee et al. ExactSubstr)
+    "longest_dup_substrings",
+    "dup_substring_doc_stats",
 ]
 
 

@@ -1,0 +1,191 @@
+"""Exact-substring duplicate detection — the suffix-ordering dedup
+class (Lee et al. 2021, "Deduplicating Training Data Makes Language
+Models Better", §3 ExactSubstr) re-expressed for Spark.
+
+No reference counterpart (SURVEY §2.11 extension surface). Lee et al.
+build a monolithic suffix array over the concatenated corpus; that
+construction is single-machine-shaped (one giant sort over all
+suffixes). The distributed equivalent used here is CHARACTER-WINDOW
+HASHING + DIAGONAL RUN ASSEMBLY:
+
+1. every start position of every document emits the xxhash64 of its
+   ``min_len``-char window — the same "bucket suffixes by their first
+   k bytes" idea as a sampled/bucketed suffix sort, except the bucket
+   key (the window) is ALL the evidence needed for matches of length
+   ≥ min_len, so no per-bucket suffix comparison is required at all;
+2. windows whose hash appears in ≥2 distinct documents (and under a
+   document-frequency cap) form the posting relation; a self-join on
+   the hash yields cross-document position pairs — cost
+   Σ min(df, cap)² over duplicated windows only, never N²;
+3. matching positions of one shared substring all lie on one DIAGONAL
+   (pos_a − pos_b constant); a per-(pair, diagonal) gaps-and-islands
+   pass (row_number over a partition-local window) collapses each
+   maximal consecutive run of matching windows into one candidate.
+
+EXACTNESS: a maximal shared region of length M ≥ min_len contains
+exactly M − min_len + 1 matching window starts, all consecutive on one
+diagonal, and no matching window straddles its edges — so the
+reconstructed length (run_length + min_len − 1) equals M exactly. The
+reported substrings are then VERIFIED by actual substring equality
+(guards the ~2⁻⁶⁴ per-pair hash-collision risk; the df-cap is the one
+documented miss condition — a run containing a window with df > cap
+splits or shrinks, the same boilerplate-ignoring trade as
+dedup.ngram_jaccard_pairs).
+
+Scale shape (100 TB): the window relation is rows ≈ total_chars with
+8-byte hash + 4-byte position — the same order of memory a suffix
+array costs (Lee et al. use 8 bytes/char), but shuffled on the hash so
+it partitions freely; nothing ever sorts globally. The window
+generation is one codegen'd pass over the text (transform + sequence +
+substring are all JVM expressions — no Python in the hot path); the
+frequency pass and the posting self-join shuffle 12-byte rows. The
+verify join ships only candidate substrings (output-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_hash_postings(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 50
+) -> DataFrame:
+    """(id, pos, h) for every ``min_len``-char window of every document
+    — pos is the 1-based character start. Documents shorter than
+    ``min_len`` contribute nothing (filtered, not sequence(1,0), which
+    Spark would treat as a DESCENDING range)."""
+    arr = F.expr(
+        f"transform(sequence(1, length({text_col}) - {min_len - 1}),"
+        f" i -> xxhash64(substring({text_col}, i, {min_len})))"
+    )
+    return (
+        df.filter(F.length(text_col) >= min_len)
+        .select(F.col(id_col), F.posexplode(arr).alias("__p0", "__h"))
+        .select(
+            F.col(id_col),
+            (F.col("__p0") + 1).cast("int").alias("pos"),
+            F.col("__h"),
+        )
+    )
+
+
+def duplicated_substring_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    max_df: int | None = 200,
+) -> DataFrame:
+    """All maximal cross-document duplicated substrings of length ≥
+    ``min_len``: one row per (doc_a < doc_b, diagonal, run) with the
+    exact 1-based positions and the exact duplicated length, verified
+    by substring equality. Columns: doc_a, doc_b, pos_a, pos_b,
+    dup_len.
+
+    See the module docstring for the construction and the df-cap miss
+    condition. ``max_df=None`` disables the cap (exact but unbounded
+    Σ df² on boilerplate-heavy corpora)."""
+    # The window relation feeds BOTH the frequency pass and the posting
+    # join; without pinning it is generated twice (measured 1.9 s per
+    # generation at sf0.1 — the single biggest stage). Same rationale
+    # as ngram_jaccard_pairs' shingle persist.
+    wins = window_hash_postings(df, id_col, text_col, min_len).persist()
+    freq = wins.groupBy("__h").agg(
+        F.count("*").alias("__c"),
+        # min != max <=> >=2 distinct docs, without a countDistinct
+        F.min(id_col).alias("__mn"),
+        F.max(id_col).alias("__mx"),
+    )
+    dup = freq.filter(F.col("__mn") != F.col("__mx"))
+    if max_df is not None:
+        dup = dup.filter(F.col("__c") <= max_df)
+    posts = wins.join(dup.select("__h"), "__h")
+    a = posts.select(
+        "__h", F.col(id_col).alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = posts.select(
+        "__h", F.col(id_col).alias("doc_b"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        a.join(b, "__h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("d", F.col("pa") - F.col("pb"))
+    )
+    # gaps-and-islands on the diagonal: (pa − row_number) is constant
+    # exactly across consecutive pa values. The window partitions by
+    # (pair, diagonal) — run-length-bounded partitions, never global.
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    runs = pairs.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+    cand = (
+        runs.groupBy("doc_a", "doc_b", "d", "__isl")
+        .agg(
+            F.min("pa").alias("pos_a"),
+            F.min("pb").alias("pos_b"),
+            (F.count("*") + (min_len - 1)).alias("dup_len"),
+        )
+        .drop("d", "__isl")
+    )
+    # collision guard: the reported substrings must actually be equal.
+    # Candidates are output-bounded (dup runs only), so AQE broadcasts
+    # them onto the two document scans.
+    ta = df.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.expr("substring(__ta, pos_a, dup_len)")
+            == F.expr("substring(__tb, pos_b, dup_len)")
+        )
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "dup_len")
+    )
+
+
+def shared_substring_runs(
+    spark,
+    sf_dir: str,
+    min_len: int = 50,
+    max_df: int | None = 200,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of
+    ``duplicated_substring_runs(documents, ...)`` — the exact-substring
+    twin of dedup.shared_ngram_pairs, with the same lifecycle (content
+    fingerprint + parameters key, staging+rename publish, `_SUCCESS`
+    gate). The runs relation is dup-bounded (tens of rows here, always
+    orders of magnitude below the corpus); at 100 TB the window pass is
+    a multi-hour job whose artifact every consumer reads."""
+    import os
+    import shutil
+    import tempfile
+
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators.ivf import _source_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = f"{_source_fingerprint(src)}_l{min_len}_df{max_df}"
+    base = os.environ.get(
+        "SPARK_GRAFT_SUBSTR_DIR",
+        os.path.join(tempfile.gettempdir(), "nabatshy_substr_runs"),
+    )
+    path = os.path.join(base, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        runs = duplicated_substring_runs(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            min_len=min_len,
+            max_df=max_df,
+        )
+        os.makedirs(base, exist_ok=True)
+        staging = f"{path}.staging-{os.getpid()}"
+        runs.coalesce(1).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)

@@ -2071,6 +2071,7 @@ from nabatshy_spark.plans import pipeline_queries as _pipeline_queries  # noqa: 
 from nabatshy_spark.plans import round6_queries as _round6_queries  # noqa: E402,F401
 from nabatshy_spark.plans import round7_queries as _round7_queries  # noqa: E402,F401
 from nabatshy_spark.plans import round8_queries as _round8_queries  # noqa: E402,F401
+from nabatshy_spark.plans import round9_queries as _round9_queries  # noqa: E402,F401
 
 
 @query("association_rules_parts")

@@ -5723,3 +5723,63 @@ SELECT max(t)::BIGINT AS n_lineitems,
                  / (rn::DOUBLE * cn::DOUBLE / t::DOUBLE)), 6) AS chi2
 FROM m
 """
+
+# Round-9: exact-substring dedup (operators/suffixes.py). The oracle
+# groups windows by their 50-char STRING; Spark shuffles the xxhash64
+# of the window — agreement is itself the no-collision check at test
+# scale (same contract as repeated_ngram_docs).
+_DUP_RUNS_CTE = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 50),
+wins AS (
+  SELECT doc_id, i AS pos, substr(text, i, 50) AS w
+  FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 48)) AS i) t
+),
+freq AS (
+  SELECT w, count(*) AS c, min(doc_id) AS mn, max(doc_id) AS mx
+  FROM wins GROUP BY w
+),
+dup AS (SELECT w FROM freq WHERE c <= 200 AND mn <> mx),
+posts AS (SELECT doc_id, pos, w FROM wins JOIN dup USING (w)),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
+  FROM posts a JOIN posts b USING (w)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, d, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS isl
+  FROM pr
+),
+cand AS (
+  SELECT doc_a, doc_b,
+         min(pa)::INT AS pos_a, min(pb)::INT AS pos_b,
+         (count(*) + 49)::BIGINT AS dup_len
+  FROM runs GROUP BY doc_a, doc_b, d, isl
+)
+"""
+
+ORACLES["longest_dup_substrings"] = _DUP_RUNS_CTE + """
+SELECT cand.doc_a, cand.doc_b, pos_a, pos_b, dup_len,
+       substr(substr(da.text, pos_a, dup_len), 1, 40) AS sample
+FROM cand JOIN documents da ON da.doc_id = cand.doc_a
+ORDER BY dup_len DESC, doc_a ASC, doc_b ASC, pos_a ASC, pos_b ASC
+LIMIT 20
+"""
+
+ORACLES["dup_substring_doc_stats"] = _DUP_RUNS_CTE + """
+, sides AS (
+  SELECT doc_a AS doc_id, doc_b AS partner, dup_len FROM cand
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS partner, dup_len FROM cand
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_runs,
+       count(DISTINCT partner)::BIGINT AS n_partners,
+       max(dup_len)::BIGINT AS max_dup_len,
+       sum(dup_len)::BIGINT AS total_dup_chars
+FROM sides
+GROUP BY doc_id
+ORDER BY max_dup_len DESC, doc_id ASC
+LIMIT 50
+"""

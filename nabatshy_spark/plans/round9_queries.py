@@ -1,0 +1,98 @@
+"""Round-9 queries: exact-substring duplicate detection (the
+suffix-ordering dedup class, operators/suffixes.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nabatshy_spark.catalog import load
+from nabatshy_spark.plans.queries import query
+
+
+@query("longest_dup_substrings")
+def longest_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 longest exactly-duplicated cross-document substrings
+    (length ≥ 50 chars at ARBITRARY length — Lee et al. ExactSubstr,
+    the marquee training-data dedup signal the fixed-n
+    cross_doc_ngram_dup can only lower-bound): char-window hashing +
+    diagonal run assembly (operators/suffixes.py), verified by
+    substring equality, with a 40-char sample of each find.
+
+    Oracle parity note: Spark shuffles 8-byte xxhash64 window keys,
+    the DuckDB oracle groups by the 50-char window STRING — agreement
+    is itself the no-collision check at test scale (same contract as
+    repeated_ngram_docs). The df>200 cap is the shared miss condition.
+
+    Scale: window relation ≈ total_chars rows × 12 bytes, shuffled on
+    the hash (same memory order as a suffix array, but partitionable);
+    posting self-join Σ min(df,cap)² over DUPLICATED windows only; the
+    islands window partitions per (pair, diagonal). Nothing sorts
+    globally; the output is dup-bounded and served from the
+    fingerprint-keyed materialization (suffixes.shared_substring_runs,
+    built once per corpus version)."""
+    from nabatshy_spark.operators import suffixes
+
+    docs = load(spark, sf_dir, "documents")
+    runs = suffixes.shared_substring_runs(spark, sf_dir, 50, 200)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__t"))
+    return (
+        runs.join(da, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            "dup_len",
+            F.expr("substring(substring(__t, pos_a, dup_len), 1, 40)").alias(
+                "sample"
+            ),
+        )
+        .orderBy(
+            F.col("dup_len").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+            F.col("pos_a").asc(),
+            F.col("pos_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+@query("dup_substring_doc_stats")
+def dup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication exposure: for each doc
+    appearing in any verified ≥50-char duplicated run, the number of
+    runs, the partner count, and the longest run — the remove-list
+    input an ExactSubstr dedup pass acts on (complements
+    dup_span_chars, which measures char coverage from the fixed-n
+    signal). One extra dup-bounded aggregate over the shared runs
+    relation (suffixes.shared_substring_runs)."""
+    from nabatshy_spark.operators import suffixes
+
+    runs = suffixes.shared_substring_runs(spark, sf_dir, 50, 200)
+    per_side = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "dup_len",
+    ).unionByName(
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "dup_len",
+        )
+    )
+    return (
+        per_side.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.countDistinct("partner").alias("n_partners"),
+            F.max("dup_len").alias("max_dup_len"),
+            F.sum("dup_len").alias("total_dup_chars"),
+        )
+        .orderBy(
+            F.col("max_dup_len").desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(50)
+    )
