@@ -53,16 +53,27 @@ def start_file_ingest(
     Structured-Streaming-to-ClickHouse shape (BASELINE spark_approach;
     exercised end-to-end against a wire mock in tests/test_sinks.py).
     Retries of a failed batch re-run the whole sink_fn — the same
-    at-least-once contract as the parquet spool.
+    at-least-once contract as the parquet spool. A TWO-argument
+    ``sink_fn(batch, epoch_id)`` also receives the micro-batch id —
+    the hook an exactly-once sink needs (``lambda b, i:
+    idempotent_append(b, out, i)``): Structured Streaming replays an
+    uncommitted batch with the SAME id after a crash, so an
+    id-keyed idempotent write turns at-least-once replay into
+    exactly-once delivery (proven under a real mid-batch SIGKILL in
+    tests/test_stream_crash_recovery.py).
     """
+    import inspect
+
     raw = spark.readStream.schema(RAW_SCHEMA).text(input_dir)
     write = sink_fn if sink_fn is not None else (
         lambda b: append_spans(b, output_path)
     )
+    wants_epoch = len(inspect.signature(write).parameters) >= 2
 
     if dedupe_watermark is None:
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            write(parse_otlp_json(batch, "value"))
+            parsed = parse_otlp_json(batch, "value")
+            write(parsed, epoch_id) if wants_epoch else write(parsed)
 
         stream = raw
     else:
@@ -79,7 +90,7 @@ def start_file_ingest(
         )
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            write(batch)
+            write(batch, epoch_id) if wants_epoch else write(batch)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
