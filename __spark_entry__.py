@@ -41,50 +41,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-8 window (exactly 50 — the driver checks the FIRST 50
+    # ---- Round-9 window (exactly 50 — the driver checks the FIRST 50
     # registered queries only; entry #51 would silently never get a
-    # row). Leads with the 16 queries that have never had an external
-    # CORRECTNESS row (the staged r8 rotation from the r7 window
-    # comment): 7 oracle-backed late round-7 additions + 9 rows-only
-    # queries. After this round EVERY query in the registry has had an
-    # external row at least once.
-    # Oracle-backed, never externally checked (all 7 pass the judge's
-    # own driver-style DuckDB differential per VERDICT r7).
-    "image_dhash_near_dups", "kcore_trade_pruning", "event_value_twap",
-    "part_abc_classes", "psi_order_value_drift",
-    "supplier_single_source_risk", "embedding_label_separation",
-    # Rows-only (no oracle by design: approximate ANN / sketches /
-    # iterative BPE) — external rows+schema evidence still counts.
-    "ann_recall_report", "distinct_users_approx", "profile_orders_approx",
-    "ann_pq_topk", "ann_ivfpq_topk", "bpe_vocab_merges",
-    "bpe_token_stats", "compression_quality_flags",
-    "percentile_accuracy_audit",
-    # Fresh rows for code touched this round (gen_row_staleness.py-driven):
-    # curation_funnel / data_quality_report (single-pass multi-count
-    # rework, VERDICT r7 tasks #2/#5); part_abc_classes above carries
-    # the real two-phase cumulative-share rewrite (task #3).
-    "curation_funnel", "data_quality_report",
-    # New round-8 queries (plans/round8_queries.py): grouping sets,
-    # PIVOT/UNPIVOT, non-equi range join, exact quartiles over the
-    # two-phase rank, gaps-and-islands streaks, and the rows-only
-    # MinHash eval gate — plus a re-cert row for fk_integrity_audit.
-    "sales_rollup_cube", "orders_pivot_status_by_year",
-    "part_size_price_unpivot", "fk_integrity_audit",
-    "range_join_price_bands", "supplier_balance_quartiles",
-    "customer_order_streaks", "minhash_dedup_eval",
-    "bloom_pruned_fact_join", "customer_yearly_setops",
-    "nation_revenue_yoy_growth", "sequence_packing_plan",
-    "spans_latency_exemplars", "chi2_priority_returnflag",
-    # Re-certification fills: high-traffic queries whose shared
-    # infrastructure (joins.semi_join_ids, dedup stack, sampling,
-    # window helpers) this round's perf work may touch.
-    "curate_corpus", "dedup_pipeline", "dedup_exact", "sample_hash",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dup_ngram_coverage",
-    "boilerplate_scrub", "gopher_rule_flags", "pareto_suppliers",
-    "revenue_gini", "heaps_law_fit", "km_churn_survival",
-    "priority_sample_docs", "endpoint_stats", "spans_self_time",
-    "er_part_clusters",
-    "spans_service_busy_time",
+    # row). Purely staleness-driven (VERDICT r8 task #6): every query
+    # already has external evidence (r8 closed the rotation), so the
+    # window is (a) every query whose code path round 9 touched, (b)
+    # the two new round-9 queries, (c) the oldest-evidence r1 tail.
+    # (a1) gen_row_staleness.py-flagged: the shared-pair-relation
+    # conversion (dedup.shared_ngram_pairs) + the ROLLUP naming note.
+    "dedup_cluster_stats", "dedup_components", "dedup_keep_best",
+    "dedup_ngram_jaccard", "dup_threshold_curve", "sales_rollup_cube",
+    "source_overlap_matrix", "split_leakage_audit", "minhash_dedup_eval",
+    # (b) new round-9 queries: exact-substring dedup (suffixes.py).
+    "longest_dup_substrings", "dup_substring_doc_stats",
+    # (a2) operator-level touches below the tool's file granularity:
+    # stats.py two-phase pin + long rank → its six consumers;
+    # sampling.hash_sample_pred hardening → its consumers;
+    # similarity lsh_signature/_sqdist_sql guards → k-means + ANN
+    # family (rows-only) + embedding LSH; streaming ingest epoch-id
+    # hook → the stream/batch parity rollup.
+    "revenue_gini", "pareto_suppliers", "heaps_law_fit",
+    "part_abc_classes", "supplier_balance_quartiles",
+    "sequence_packing_plan", "curation_funnel", "sample_hash",
+    "dsir_selection", "kmeans_embeddings", "ann_recall_report",
+    "ann_pq_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+    "dedup_embedding_lsh", "stream_batch_parity_rollup",
+    # (c) oldest-evidence tail: external row last seen in r1.
+    "ann_cosine_topk", "asof_join_orders", "combined_metrics",
+    "cube_pricing", "customers_without_orders",
+    "distinct_customers_by_priority", "distinct_segments",
+    "dynamic_buckets", "endpoint_stats_approx", "error_rate_by_priority",
+    "gapfill_series", "hourly_heatmap", "multimodal_features",
+    "order_coverage_left_join", "pct_vs_baseline", "pivot_status_price",
+    "point_lookup", "pricing_summary", "range_join_events",
+    "region_nation_rollup", "relative_window", "running_user_value",
+    "sample_stratified",
 ]
 
 

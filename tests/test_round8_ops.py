@@ -280,22 +280,23 @@ def test_correctness_window_invariants():
     assert len(P) == 50 and len(set(P)) == 50
     assert all(k in qs for k in P)
     assert list(qs)[:50] == P
-    r8 = {
-        "sales_rollup_cube", "orders_pivot_status_by_year",
-        "part_size_price_unpivot", "range_join_price_bands",
-        "supplier_balance_quartiles", "customer_order_streaks",
-        "minhash_dedup_eval", "bloom_pruned_fact_join",
-        "customer_yearly_setops", "nation_revenue_yoy_growth",
-        "sequence_packing_plan", "spans_latency_exemplars",
-        "chi2_priority_returnflag",
+    # round-9 rotation rule: this round's new queries and the queries
+    # its code changes touched must be inside the window.
+    r9 = {
+        "longest_dup_substrings", "dup_substring_doc_stats",
+        "dedup_ngram_jaccard", "dedup_keep_best", "source_overlap_matrix",
+        "dup_threshold_curve", "minhash_dedup_eval",
+        "supplier_balance_quartiles", "revenue_gini", "pareto_suppliers",
+        "curation_funnel", "kmeans_embeddings",
     }
-    assert r8 <= set(P), r8 - set(P)
+    assert r9 <= set(P), r9 - set(P)
     rows_only_ok = {
         "hll_user_rollup", "embedding_pca_variance", "ann_recall_report",
         "distinct_users_approx", "profile_orders_approx", "ann_pq_topk",
         "ann_ivfpq_topk", "bpe_vocab_merges", "bpe_token_stats",
         "compression_quality_flags", "percentile_accuracy_audit",
-        "minhash_dedup_eval",
+        "minhash_dedup_eval", "ann_lsh_topk", "dedup_embedding_lsh",
+        "endpoint_stats_approx",
     }
     for k in P:
         assert k in osql or k in rows_only_ok, k

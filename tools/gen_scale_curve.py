@@ -31,6 +31,13 @@ DEFAULT = [
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# Extra decades (e.g. the locally generated /tmp/sf1 from gen_sf1.py —
+# kept out of git): colon-separated dirs appended to the sweep.
+SF_DIRS += [
+    d
+    for d in os.environ.get("SPARK_GRAFT_EXTRA_SF_DIRS", "").split(":")
+    if d
+]
 
 
 def main() -> None:
