@@ -54,6 +54,7 @@ _PRIORITY = [
     "source_overlap_matrix", "split_leakage_audit", "minhash_dedup_eval",
     # (b) new round-9 queries: exact-substring dedup (suffixes.py).
     "longest_dup_substrings", "dup_substring_doc_stats",
+    "exactsubstr_cut_plan", "intra_doc_repeats",
     # (a2) operator-level touches below the tool's file granularity:
     # stats.py two-phase pin + long rank → its six consumers;
     # sampling.hash_sample_pred hardening → its consumers;
@@ -74,8 +75,7 @@ _PRIORITY = [
     "gapfill_series", "hourly_heatmap", "multimodal_features",
     "order_coverage_left_join", "pct_vs_baseline", "pivot_status_price",
     "point_lookup", "pricing_summary", "range_join_events",
-    "region_nation_rollup", "relative_window", "running_user_value",
-    "sample_stratified",
+    "region_nation_rollup", "relative_window",
 ]
 
 

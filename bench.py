@@ -246,6 +246,8 @@ HEADLINE = [
     # round 9 additions: exact-substring dedup (Lee et al. ExactSubstr)
     "longest_dup_substrings",
     "dup_substring_doc_stats",
+    "exactsubstr_cut_plan",
+    "intra_doc_repeats",
 ]
 
 

@@ -146,6 +146,127 @@ def duplicated_substring_runs(
     )
 
 
+def intra_doc_repeat_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    max_occ: int | None = 50,
+) -> DataFrame:
+    """Maximal WITHIN-document repeated substrings of length ≥
+    ``min_len`` — the self-repeat half of ExactSubstr (Lee et al. also
+    cut a document's own verbatim repeats: boilerplate lists, repeated
+    headers, copy-paste stutter; complements the word-level
+    repetition_stats, which cannot see arbitrary-length char repeats).
+
+    Same machinery as :func:`duplicated_substring_runs`, with the
+    diagonal now the repeat PERIOD: positions pa < pb of one document
+    sharing a window hash lie on diagonal d = pb − pa; a maximal
+    contiguous run of matching window starts on one diagonal
+    reconstructs the exact repeat length (run + min_len − 1 = |{p :
+    text[p] = text[p+d]}| — the same edge argument as the cross-doc
+    form, exact also for OVERLAPPING repeats d < min_len, i.e.
+    periodic text). ``max_occ`` caps per-document occurrences of one
+    window (C(occ,2) pair blow-up on degenerate single-char runs —
+    the documented miss condition).
+
+    Columns: id, pos_a, pos_b, period, rep_len — equality-verified.
+    """
+    wins = window_hash_postings(df, id_col, text_col, min_len).persist()
+    occ = wins.groupBy(id_col, "__h").agg(F.count("*").alias("__c"))
+    dup = occ.filter(F.col("__c") >= 2)
+    if max_occ is not None:
+        dup = dup.filter(F.col("__c") <= max_occ)
+    posts = wins.join(dup.select(id_col, "__h"), [id_col, "__h"])
+    a = posts.select(id_col, "__h", F.col("pos").alias("pa"))
+    b = posts.select(id_col, "__h", F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, [id_col, "__h"])
+        .filter(F.col("pa") < F.col("pb"))
+        .withColumn("period", F.col("pb") - F.col("pa"))
+    )
+    w = Window.partitionBy(id_col, "period").orderBy("pa")
+    runs = pairs.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+    cand = (
+        runs.groupBy(id_col, "period", "__isl")
+        .agg(
+            F.min("pa").alias("pos_a"),
+            (F.count("*") + (min_len - 1)).alias("rep_len"),
+        )
+        .withColumn("pos_b", F.col("pos_a") + F.col("period"))
+        .drop("__isl")
+    )
+    t = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    return (
+        cand.join(t, id_col)
+        .filter(
+            F.expr("substring(__t, pos_a, rep_len)")
+            == F.expr("substring(__t, pos_b, rep_len)")
+        )
+        .select(id_col, "pos_a", "pos_b", "period", "rep_len")
+    )
+
+
+def exactsubstr_cut_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    runs: DataFrame,
+    nchars_col: str = "n_chars",
+) -> DataFrame:
+    """The ACTIONABLE output of ExactSubstr dedup (Lee et al. 2021 §4.2
+    "deduplicate by removing the duplicated spans"): per affected
+    document, the merged cut intervals and resulting size, under the
+    deterministic keep-first policy — for every verified duplicated
+    run the occurrence in the LOWER-id document survives and the
+    higher-id document's span is cut. Pairwise-consistent: content
+    shared by a set of documents always survives in the set's minimum
+    id (any other copy is the ``doc_b`` of some pair), subject to the
+    runs relation's df-cap miss condition.
+
+    Overlapping cut intervals per document are merged with the classic
+    gaps-and-islands pass (running max of interval end, partitioned
+    per document — never a global sort), so ``chars_removed`` counts
+    each character once however many partners duplicated it.
+
+    Returns (doc_id, n_spans_cut, chars_removed, new_len) for affected
+    documents — the summary a curation run audits before committing
+    the rewrite; the rewrite itself is a substring-splice over the
+    same merged intervals.
+    """
+    cuts = runs.select(
+        F.col("doc_b").alias(id_col),
+        F.col("pos_b").alias("__s"),
+        (F.col("pos_b") + F.col("dup_len")).alias("__e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__s", "__e")
+    prev_e = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = cuts.withColumn(
+        "__new",
+        F.when(prev_e.isNull() | (F.col("__s") > prev_e), 1).otherwise(0),
+    ).withColumn(
+        "__g",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy(id_col, "__g").agg(
+        F.min("__s").alias("__ms"), F.max("__e").alias("__me")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans_cut"),
+        F.sum(F.col("__me") - F.col("__ms")).alias("chars_removed"),
+    )
+    return (
+        per_doc.join(df.select(id_col, nchars_col), id_col)
+        .select(
+            id_col,
+            "n_spans_cut",
+            "chars_removed",
+            (F.col(nchars_col) - F.col("chars_removed")).alias("new_len"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def shared_substring_runs(
     spark,
     sf_dir: str,

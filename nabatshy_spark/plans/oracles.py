@@ -5783,3 +5783,69 @@ GROUP BY doc_id
 ORDER BY max_dup_len DESC, doc_id ASC
 LIMIT 50
 """
+
+ORACLES["exactsubstr_cut_plan"] = _DUP_RUNS_CTE + """
+, cuts AS (
+  SELECT doc_b AS doc_id, pos_b AS s, pos_b + dup_len AS e FROM cand
+),
+ord AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM cuts
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+  FROM ord
+),
+merged AS (
+  SELECT doc_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans_cut,
+         sum(me - ms)::BIGINT AS chars_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT p.doc_id, n_spans_cut, chars_removed,
+       (d.n_chars - chars_removed)::BIGINT AS new_len
+FROM per_doc p JOIN documents d USING (doc_id)
+ORDER BY doc_id
+"""
+
+ORACLES["intra_doc_repeats"] = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+wins AS (
+  SELECT doc_id, i AS pos, substr(text, i, 20) AS w
+  FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 18)) AS i) t
+),
+occ AS (
+  SELECT doc_id, w, count(*) AS c FROM wins GROUP BY doc_id, w
+),
+dup AS (SELECT doc_id, w FROM occ WHERE c >= 2 AND c <= 50),
+posts AS (SELECT doc_id, pos, w FROM wins JOIN dup USING (doc_id, w)),
+pr AS (
+  SELECT a.doc_id, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS period
+  FROM posts a JOIN posts b ON a.doc_id = b.doc_id AND a.w = b.w
+  WHERE a.pos < b.pos
+),
+runs AS (
+  SELECT doc_id, period, pa,
+         pa - row_number() OVER (PARTITION BY doc_id, period ORDER BY pa)
+           AS isl
+  FROM pr
+),
+cand AS (
+  SELECT doc_id, period,
+         min(pa)::INT AS pos_a,
+         (count(*) + 19)::BIGINT AS rep_len
+  FROM runs GROUP BY doc_id, period, isl
+)
+SELECT doc_id, pos_a, (pos_a + period)::INT AS pos_b, period::INT AS period,
+       rep_len
+FROM cand
+ORDER BY rep_len DESC, doc_id ASC, pos_a ASC, period ASC
+LIMIT 50
+"""

@@ -96,3 +96,45 @@ def dup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query("exactsubstr_cut_plan")
+def exactsubstr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup's actionable output (Lee et al. §4.2): per
+    affected document, the merged duplicated spans to cut under the
+    keep-first (lower doc_id survives) policy, and the resulting
+    document size — the audit report a curation run reviews before
+    committing the corpus rewrite. Interval merging is a per-document
+    gaps-and-islands window (partition-local); the runs come from the
+    shared verified artifact (suffixes.shared_substring_runs)."""
+    from nabatshy_spark.operators import suffixes
+
+    docs = load(spark, sf_dir, "documents")
+    runs = suffixes.shared_substring_runs(spark, sf_dir, 50, 200)
+    return suffixes.exactsubstr_cut_stats(docs, "doc_id", "text", runs)
+
+
+@query("intra_doc_repeats")
+def intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document verbatim repeats >= 20 chars at arbitrary
+    length (suffixes.intra_doc_repeat_runs) — the self-repeat half of
+    ExactSubstr: boilerplate lists, repeated headers, copy-paste
+    stutter that word-level repetition_stats cannot measure at
+    arbitrary char length. All runs, ordered deterministically; the
+    period column distinguishes adjacent stutter (period == rep gap)
+    from far apart repeats."""
+    from nabatshy_spark.operators import suffixes
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        suffixes.intra_doc_repeat_runs(
+            docs, "doc_id", "text", min_len=20, max_occ=50
+        )
+        .orderBy(
+            F.col("rep_len").desc(),
+            F.col("doc_id").asc(),
+            F.col("pos_a").asc(),
+            F.col("period").asc(),
+        )
+        .limit(50)
+    )

@@ -162,3 +162,117 @@ def test_substring_recall_vs_ngram_signal(spark, sf_dir):
     assert jacc, "fixture should contain near-dup pairs"
     recall = len(jacc & runs) / len(jacc)
     assert recall >= 0.8, f"ExactSubstr recall vs n-gram signal: {recall}"
+
+
+def test_exactsubstr_cut_keep_first_and_merge(spark):
+    """Cut-plan semantics: the lower-id occurrence survives, a span
+    duplicated by several partners is cut (and counted) once, and
+    applying the plan leaves NO cross-document >=min_len duplicate in
+    the rewritten corpus — Lee et al.'s termination property."""
+    from nabatshy_spark.operators import suffixes
+
+    block_a = "A".join(f"qq{i}" for i in range(40))[:180]
+    block_b = "B".join(f"rr{i}" for i in range(40))[:180]
+    d1 = f"doc-one-unique-head {block_a} doc-one-unique-tail-xxxxxx"
+    d2 = f"doc-two-start {block_a} doc-two-middle-unique {block_b} two-end"
+    d3 = f"three-begin {block_b} three-mid-unique-yyyyyyyy {block_a} three-close"
+    docs = _mkdocs(spark, [(1, d1), (2, d2), (3, d3)]).withColumn(
+        "n_chars", F.length("text")
+    )
+    runs = suffixes.duplicated_substring_runs(
+        docs, "doc_id", "text", min_len=50
+    )
+    plan = {
+        r.doc_id: r
+        for r in suffixes.exactsubstr_cut_stats(
+            docs, "doc_id", "text", runs
+        ).collect()
+    }
+    # doc 1 is the minimum id everywhere -> never cut
+    assert 1 not in plan
+    # doc 2: cut exactly block_a's span (keeps block_b vs doc 3)
+    assert plan[2].n_spans_cut == 1
+    # doc 3: cut both blocks (block_a owed to 1 AND 2 -> still one span)
+    assert plan[3].n_spans_cut == 2
+    # apply the rewrite and assert no >=50-char cross-doc dup remains
+    texts = {1: d1, 2: d2, 3: d3}
+    cut_rows = runs.select("doc_b", "pos_b", "dup_len").collect()
+    intervals: dict[int, list[tuple[int, int]]] = {}
+    for r in cut_rows:
+        intervals.setdefault(r.doc_b, []).append(
+            (r.pos_b - 1, r.pos_b - 1 + r.dup_len)
+        )
+    rewritten = {}
+    for did, text in texts.items():
+        spans = sorted(intervals.get(did, []))
+        merged: list[list[int]] = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out, prev = [], 0
+        for s, e in merged:
+            out.append(text[prev:s])
+            prev = e
+        out.append(text[prev:])
+        rewritten[did] = "".join(out)
+        if did in plan:
+            assert len(rewritten[did]) == plan[did].new_len
+            assert plan[did].chars_removed == len(text) - len(rewritten[did])
+    wins = {
+        did: {t[i : i + 50] for i in range(len(t) - 49)}
+        for did, t in rewritten.items()
+    }
+    for a in wins:
+        for b in wins:
+            if a < b:
+                assert not (wins[a] & wins[b]), (a, b)
+
+
+def test_intra_doc_repeats_periodic_exact(spark):
+    """Self-repeat reconstruction must be exact also for OVERLAPPING
+    repeats (period < min_len): in 'ab'*40 every position matches at
+    period 2, so the maximal run at period 2 spans the whole string."""
+    from nabatshy_spark.operators import suffixes
+
+    periodic = "ab" * 40  # len 80
+    plain = "completely aperiodic filler with distinct words only once"
+    out = suffixes.intra_doc_repeat_runs(
+        _mkdocs(spark, [(1, periodic), (2, plain)]),
+        "doc_id",
+        "text",
+        min_len=20,
+        max_occ=None,
+    ).collect()
+    by_period = {r.period: r for r in out if r.doc_id == 1}
+    # period 2: text[p] == text[p+2] for p in [1, 78] -> |R| = 78
+    assert by_period[2].rep_len == 78
+    assert by_period[2].pos_a == 1 and by_period[2].pos_b == 3
+    # every reported run is a genuine equality
+    for r in out:
+        t = periodic if r.doc_id == 1 else plain
+        assert (
+            t[r.pos_a - 1 : r.pos_a - 1 + r.rep_len]
+            == t[r.pos_b - 1 : r.pos_b - 1 + r.rep_len]
+        )
+    assert not [r for r in out if r.doc_id == 2]
+
+
+def test_intra_doc_repeats_far_apart(spark):
+    """A 40-char block repeated at distance (period > min_len) comes
+    back with the exact planted length and positions."""
+    from nabatshy_spark.operators import suffixes
+
+    block = "Z".join(f"m{i}" for i in range(20))[:40]
+    text = f"head-{block}-unique-middle-part-here-{block}-tail"
+    out = suffixes.intra_doc_repeat_runs(
+        _mkdocs(spark, [(1, text)]), "doc_id", "text", min_len=20
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.rep_len == 42  # planted 40 + the shared '-' on BOTH sides
+    assert (
+        text[r.pos_a - 1 : r.pos_a - 1 + r.rep_len]
+        == text[r.pos_b - 1 : r.pos_b - 1 + r.rep_len]
+    )
