@@ -248,6 +248,7 @@ HEADLINE = [
     "dup_substring_doc_stats",
     "exactsubstr_cut_plan",
     "intra_doc_repeats",
+    "exactsubstr_source_coverage",
 ]
 
 

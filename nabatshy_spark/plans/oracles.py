@@ -5849,3 +5849,38 @@ FROM cand
 ORDER BY rep_len DESC, doc_id ASC, pos_a ASC, period ASC
 LIMIT 50
 """
+
+ORACLES["exactsubstr_source_coverage"] = _DUP_RUNS_CTE + """
+, ivals AS (
+  SELECT doc_a AS doc_id, pos_a AS s, pos_a + dup_len AS e FROM cand
+  UNION ALL
+  SELECT doc_b AS doc_id, pos_b AS s, pos_b + dup_len AS e FROM cand
+),
+ord AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM ivals
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+  FROM ord
+),
+merged AS (
+  SELECT doc_id, g, max(e) - min(s) AS cov FROM isl GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, sum(cov) AS covered FROM merged GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) FILTER (WHERE p.covered IS NOT NULL)::BIGINT AS n_docs_dup,
+       sum(coalesce(p.covered, 0))::BIGINT AS covered_chars,
+       round(sum(coalesce(p.covered, 0)) / CAST(sum(d.n_chars) AS DOUBLE), 6)
+         AS frac_covered
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""

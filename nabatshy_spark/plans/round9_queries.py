@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nabatshy_spark.catalog import load
 from nabatshy_spark.plans.queries import query
@@ -138,3 +139,64 @@ def intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query("exactsubstr_source_coverage")
+def exactsubstr_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al.'s headline corpus metric per source: what fraction of
+    each feed's characters sit inside a verified cross-document
+    duplicated run (BOTH occurrences count — the doc_a copy is just as
+    duplicated as the doc_b copy; contrast exactsubstr_cut_plan, which
+    counts only the copies the keep-first policy removes). Pairs with
+    source_overlap_matrix: that says who copies from whom, this says
+    how much of each feed is copies. Per-document interval merge is
+    the same partition-local gaps-and-islands pass as the cut plan;
+    the rollup is |sources| rows."""
+    from nabatshy_spark.operators import suffixes
+
+    docs = load(spark, sf_dir, "documents")
+    runs = suffixes.shared_substring_runs(spark, sf_dir, 50, 200)
+    ivals = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("pos_a").alias("__s"),
+        (F.col("pos_a") + F.col("dup_len")).alias("__e"),
+    ).unionByName(
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("pos_b").alias("__s"),
+            (F.col("pos_b") + F.col("dup_len")).alias("__e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("__s", "__e")
+    prev_e = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        ivals.withColumn(
+            "__new",
+            F.when(prev_e.isNull() | (F.col("__s") > prev_e), 1).otherwise(0),
+        )
+        .withColumn(
+            "__g",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "__g")
+        .agg((F.max("__e") - F.min("__s")).alias("__cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("__cov").alias("__covered"))
+    )
+    per_src = (
+        docs.join(merged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count_if(F.col("__covered").isNotNull()).alias("n_docs_dup"),
+            F.sum(F.coalesce("__covered", F.lit(0))).alias("covered_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_docs_dup",
+        "covered_chars",
+        F.round(
+            F.col("covered_chars") / F.col("total_chars").cast("double"), 6
+        ).alias("frac_covered"),
+    ).orderBy("source")
