@@ -55,7 +55,7 @@ _PRIORITY = [
     # (b) new round-9 queries: exact-substring dedup (suffixes.py).
     "longest_dup_substrings", "dup_substring_doc_stats",
     "exactsubstr_cut_plan", "intra_doc_repeats",
-    "exactsubstr_source_coverage",
+    "exactsubstr_source_coverage", "decontaminate_exactsubstr",
     # (a2) operator-level touches below the tool's file granularity:
     # stats.py two-phase pin + long rank → its six consumers;
     # sampling.hash_sample_pred hardening → its consumers;
@@ -76,7 +76,6 @@ _PRIORITY = [
     "gapfill_series", "hourly_heatmap", "multimodal_features",
     "order_coverage_left_join", "pct_vs_baseline", "pivot_status_price",
     "point_lookup", "pricing_summary", "range_join_events",
-    "region_nation_rollup",
 ]
 
 

@@ -249,6 +249,7 @@ HEADLINE = [
     "exactsubstr_cut_plan",
     "intra_doc_repeats",
     "exactsubstr_source_coverage",
+    "decontaminate_exactsubstr",
 ]
 
 

@@ -146,6 +146,77 @@ def duplicated_substring_runs(
     )
 
 
+def cross_corpus_substring_runs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    max_df: int | None = 200,
+) -> DataFrame:
+    """Verbatim ≥``min_len``-char overlaps BETWEEN two relations — the
+    char-level decontamination check (did benchmark text leak into the
+    training corpus verbatim?), the ExactSubstr complement of the
+    n-gram `dedup.decontaminate`: that one needs a fixed n, this finds
+    arbitrary-length leaks ≥ min_len and their exact spans.
+
+    Same diagonal-run machinery as :func:`duplicated_substring_runs`,
+    but the posting join is corpus×bench instead of a self-join — cost
+    Σ df_corpus(h)·df_bench(h) over shared window hashes, and only the
+    corpus side is df-capped (the benchmark is small by definition;
+    capping it would hide exactly the leaks being hunted). Emits
+    (corpus_id, bench_id, pos_c, pos_b, dup_len), equality-verified.
+
+    Scale: the benchmark window relation is broadcast-sized (a few
+    thousand eval documents); the corpus side streams through one
+    shuffle on the hash. At 100 TB this is the shape actually run
+    before every training export.
+    """
+    cw = window_hash_postings(corpus, id_col, text_col, min_len).persist()
+    bw = window_hash_postings(bench, id_col, text_col, min_len)
+    if max_df is not None:
+        ok = (
+            cw.groupBy("__h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__h")
+        )
+        cw = cw.join(ok, "__h")
+    c = cw.select(
+        "__h", F.col(id_col).alias("corpus_id"), F.col("pos").alias("pc")
+    )
+    b = bw.select(
+        "__h", F.col(id_col).alias("bench_id"), F.col("pos").alias("pb")
+    )
+    pairs = c.join(b, "__h").withColumn("d", F.col("pc") - F.col("pb"))
+    w = Window.partitionBy("corpus_id", "bench_id", "d").orderBy("pc")
+    runs = pairs.withColumn("__isl", F.col("pc") - F.row_number().over(w))
+    cand = (
+        runs.groupBy("corpus_id", "bench_id", "d", "__isl")
+        .agg(
+            F.min("pc").alias("pos_c"),
+            F.min("pb").alias("pos_b"),
+            (F.count("*") + (min_len - 1)).alias("dup_len"),
+        )
+        .drop("d", "__isl")
+    )
+    tc = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(text_col).alias("__tc")
+    )
+    tb = bench.select(
+        F.col(id_col).alias("bench_id"), F.col(text_col).alias("__tb")
+    )
+    return (
+        cand.join(tc, "corpus_id")
+        .join(tb, "bench_id")
+        .filter(
+            F.expr("substring(__tc, pos_c, dup_len)")
+            == F.expr("substring(__tb, pos_b, dup_len)")
+        )
+        .select("corpus_id", "bench_id", "pos_c", "pos_b", "dup_len")
+    )
+
+
 def intra_doc_repeat_runs(
     df: DataFrame,
     id_col: str,

@@ -5884,3 +5884,51 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source
 """
+
+ORACLES["decontaminate_exactsubstr"] = """
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN u < 62259 THEN 'train'
+              WHEN u < 62259 + 1638 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT::INT AS u
+    FROM documents
+  )
+),
+tr AS (SELECT doc_id, text FROM sp WHERE split = 'train' AND length(text) >= 50),
+te AS (SELECT doc_id, text FROM sp WHERE split = 'test' AND length(text) >= 50),
+wc AS (
+  SELECT doc_id, i AS pos, substr(text, i, 50) AS w
+  FROM tr, LATERAL (SELECT unnest(range(1, length(text) - 48)) AS i) t
+),
+wb AS (
+  SELECT doc_id, i AS pos, substr(text, i, 50) AS w
+  FROM te, LATERAL (SELECT unnest(range(1, length(text) - 48)) AS i) t
+),
+ok AS (SELECT w FROM wc GROUP BY w HAVING count(*) <= 200),
+pr AS (
+  SELECT c.doc_id AS train_doc, b.doc_id AS test_doc,
+         c.pos AS pc, b.pos AS pb, c.pos - b.pos AS d
+  FROM (SELECT * FROM wc WHERE w IN (SELECT w FROM ok)) c
+  JOIN wb b USING (w)
+),
+runs AS (
+  SELECT train_doc, test_doc, d, pc, pb,
+         pc - row_number() OVER (PARTITION BY train_doc, test_doc, d
+                                 ORDER BY pc) AS isl
+  FROM pr
+),
+cand AS (
+  SELECT train_doc, test_doc,
+         min(pc)::INT AS pos_train, min(pb)::INT AS pos_test,
+         (count(*) + 49)::BIGINT AS dup_len
+  FROM runs GROUP BY train_doc, test_doc, d, isl
+)
+SELECT train_doc, test_doc, pos_train, pos_test, dup_len
+FROM cand
+ORDER BY dup_len DESC, train_doc ASC, test_doc ASC, pos_train ASC,
+         pos_test ASC
+LIMIT 50
+"""

@@ -200,3 +200,44 @@ def exactsubstr_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_chars") / F.col("total_chars").cast("double"), 6
         ).alias("frac_covered"),
     ).orderBy("source")
+
+
+@query("decontaminate_exactsubstr")
+def decontaminate_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level train/test decontamination (the ExactSubstr
+    complement of the n-gram decontaminate_corpus): verbatim >=50-char
+    overlaps between the TRAIN and TEST splits of the deterministic
+    95/2.5/2.5 corpus split — arbitrary-length leak spans with exact
+    positions, not fixed-n gram hits. Reported per leak, ordered by
+    severity; an empty result is the clean-export gate.
+
+    Scale: the test-split window relation is broadcast-sized by
+    construction (2.5% of the corpus); the train side streams through
+    one hash shuffle with the df cap (cap applies to the TRAIN side
+    only — capping the benchmark would hide the leaks being hunted)."""
+    from nabatshy_spark.operators import sampling, suffixes
+
+    docs = load(spark, sf_dir, "documents")
+    splits = sampling.split_corpus(docs, "doc_id", train_bps=62259, val_bps=1638)
+    train = splits.filter(F.col("split") == "train")
+    test = splits.filter(F.col("split") == "test")
+    runs = suffixes.cross_corpus_substring_runs(
+        train, test, "doc_id", "text", min_len=50, max_df=200
+    )
+    return (
+        runs.select(
+            F.col("corpus_id").alias("train_doc"),
+            F.col("bench_id").alias("test_doc"),
+            F.col("pos_c").alias("pos_train"),
+            F.col("pos_b").alias("pos_test"),
+            "dup_len",
+        )
+        .orderBy(
+            F.col("dup_len").desc(),
+            F.col("train_doc").asc(),
+            F.col("test_doc").asc(),
+            F.col("pos_train").asc(),
+            F.col("pos_test").asc(),
+        )
+        .limit(50)
+    )

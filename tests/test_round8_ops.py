@@ -285,7 +285,7 @@ def test_correctness_window_invariants():
     r9 = {
         "longest_dup_substrings", "dup_substring_doc_stats",
         "exactsubstr_cut_plan", "intra_doc_repeats",
-        "exactsubstr_source_coverage",
+        "exactsubstr_source_coverage", "decontaminate_exactsubstr",
         "dedup_ngram_jaccard", "dedup_keep_best", "source_overlap_matrix",
         "dup_threshold_curve", "minhash_dedup_eval",
         "supplier_balance_quartiles", "revenue_gini", "pareto_suppliers",

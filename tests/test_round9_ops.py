@@ -276,3 +276,32 @@ def test_intra_doc_repeats_far_apart(spark):
         text[r.pos_a - 1 : r.pos_a - 1 + r.rep_len]
         == text[r.pos_b - 1 : r.pos_b - 1 + r.rep_len]
     )
+
+
+def test_cross_corpus_runs_planted_leak(spark):
+    """A benchmark passage planted verbatim inside a training document
+    must surface with exact span and length; clean docs must not."""
+    from nabatshy_spark.operators import suffixes
+
+    passage = "Q".join(f"ans{i}" for i in range(30))[:150]
+    corpus = _mkdocs(
+        spark,
+        [
+            (1, f"train doc with leaked eval text: {passage} plus more"),
+            (2, "a perfectly clean training document with original words"),
+        ],
+    )
+    bench = _mkdocs(spark, [(100, f"benchmark question {passage} answer")])
+    out = suffixes.cross_corpus_substring_runs(
+        corpus, bench, "doc_id", "text", min_len=50, max_df=None
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.corpus_id, r.bench_id) == (1, 100)
+    assert r.dup_len >= 150
+    a = f"train doc with leaked eval text: {passage} plus more"
+    b = f"benchmark question {passage} answer"
+    assert (
+        a[r.pos_c - 1 : r.pos_c - 1 + r.dup_len]
+        == b[r.pos_b - 1 : r.pos_b - 1 + r.dup_len]
+    )
