@@ -431,8 +431,10 @@ def main() -> None:
     # sweep-position noise, solo >> prev means a real regression with
     # the session variable eliminated.
     # Only meaningful at the recorded-round scale: the prev baseline is
-    # sf0.1, so comparing an sf0.001 iteration run against it would
-    # trigger (or mask) movers spuriously.
+    # sf0.1, so comparing any other corpus against it would trigger (or
+    # mask) movers spuriously. Gate on the literal dir-name SF — the
+    # sf_num fallback maps ANY non-numeric dir name to 0.1, which would
+    # enable this pass for an arbitrary corpus.
     movers = (
         sorted(
             (
@@ -443,7 +445,7 @@ def main() -> None:
             key=lambda k: timings[k] / prev[k],
             reverse=True,
         )[:15]
-        if sf_num == 0.1
+        if sf == "0.1"
         else []
     )
     solo: dict[str, float] = {}

@@ -281,6 +281,11 @@ def ngram_jaccard_pairs(
     return exact_now.unionByName(verified)
 
 
+# Bump when ngram_jaccard_pairs' OUTPUT semantics change (see key note
+# in shared_ngram_pairs).
+_PAIRS_VERSION = 1
+
+
 def shared_ngram_pairs(
     spark,
     sf_dir: str,
@@ -325,7 +330,11 @@ def shared_ngram_pairs(
 
     src = os.path.join(sf_dir, "documents.parquet")
     thr = f"{threshold:g}".replace(".", "p")
-    key = f"{_source_fingerprint(src)}_n{n}_t{thr}_df{max_df}"
+    # _PAIRS_VERSION is part of the key: the fingerprint tracks the
+    # DATA, not the operator — bump it whenever ngram_jaccard_pairs'
+    # semantics change, or a machine with a warm /tmp cache silently
+    # serves pre-change pairs to all eight consumers.
+    key = f"{_source_fingerprint(src)}_v{_PAIRS_VERSION}_n{n}_t{thr}_df{max_df}"
     base = os.environ.get(
         "SPARK_GRAFT_PAIRS_DIR",
         os.path.join(tempfile.gettempdir(), "nabatshy_ngram_pairs"),

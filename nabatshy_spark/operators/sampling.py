@@ -28,10 +28,9 @@ def hash_sample(df: DataFrame, key_col: str, bps: int) -> DataFrame:
     Scale: a deterministic filter directly over the scan — no shuffle,
     no RNG state, safe under task retries and speculative execution.
     """
-    if not 0 <= bps <= 65536:
-        raise ValueError("bps must be in [0, 65536]")
-    if bps == 65536:  # keep-all: '10000' is 5 chars and would compare wrong
-        return df
+    # ONE copy of the boundary logic: validation and the keep-all
+    # special case live in hash_sample_pred (a lit(True) filter is
+    # optimized away), so filter and count_if can never diverge.
     return df.filter(hash_sample_pred(key_col, bps))
 
 

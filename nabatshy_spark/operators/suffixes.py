@@ -278,10 +278,38 @@ def intra_doc_repeat_runs(
     )
 
 
+def merge_intervals(
+    ivals: DataFrame, id_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Merge overlapping/touching half-open intervals per ``id_col``
+    (classic gaps-and-islands: running max of interval end, partition-
+    local — never a global sort). Returns one row per merged island
+    with ``__ms``/``__me`` bounds. ONE definition shared by the cut
+    plan and the coverage metric, so an edge-rule fix cannot make the
+    two reports disagree."""
+    w = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prev_e = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        ivals.withColumn(
+            "__new",
+            F.when(
+                prev_e.isNull() | (F.col(start_col) > prev_e), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__g",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min(start_col).alias("__ms"), F.max(end_col).alias("__me")
+        )
+    )
+
+
 def exactsubstr_cut_stats(
     df: DataFrame,
     id_col: str,
-    text_col: str,
     runs: DataFrame,
     nchars_col: str = "n_chars",
 ) -> DataFrame:
@@ -310,18 +338,7 @@ def exactsubstr_cut_stats(
         F.col("pos_b").alias("__s"),
         (F.col("pos_b") + F.col("dup_len")).alias("__e"),
     )
-    w = Window.partitionBy(id_col).orderBy("__s", "__e")
-    prev_e = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = cuts.withColumn(
-        "__new",
-        F.when(prev_e.isNull() | (F.col("__s") > prev_e), 1).otherwise(0),
-    ).withColumn(
-        "__g",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    merged = isl.groupBy(id_col, "__g").agg(
-        F.min("__s").alias("__ms"), F.max("__e").alias("__me")
-    )
+    merged = merge_intervals(cuts, id_col, "__s", "__e")
     per_doc = merged.groupBy(id_col).agg(
         F.count("*").alias("n_spans_cut"),
         F.sum(F.col("__me") - F.col("__ms")).alias("chars_removed"),
@@ -336,6 +353,9 @@ def exactsubstr_cut_stats(
         )
         .orderBy(id_col)
     )
+
+
+_RUNS_VERSION = 1
 
 
 def shared_substring_runs(
@@ -359,7 +379,9 @@ def shared_substring_runs(
     from nabatshy_spark.operators.ivf import _source_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = f"{_source_fingerprint(src)}_l{min_len}_df{max_df}"
+    # _RUNS_VERSION tracks the operator, the fingerprint tracks the
+    # data — bump on any semantic change to duplicated_substring_runs.
+    key = f"{_source_fingerprint(src)}_v{_RUNS_VERSION}_l{min_len}_df{max_df}"
     base = os.environ.get(
         "SPARK_GRAFT_SUBSTR_DIR",
         os.path.join(tempfile.gettempdir(), "nabatshy_substr_runs"),

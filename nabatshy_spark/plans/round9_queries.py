@@ -112,7 +112,7 @@ def exactsubstr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     runs = suffixes.shared_substring_runs(spark, sf_dir, 50, 200)
-    return suffixes.exactsubstr_cut_stats(docs, "doc_id", "text", runs)
+    return suffixes.exactsubstr_cut_stats(docs, "doc_id", runs)
 
 
 @query("intra_doc_repeats")
@@ -167,21 +167,10 @@ def exactsubstr_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos_b") + F.col("dup_len")).alias("__e"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("__s", "__e")
-    prev_e = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     merged = (
-        ivals.withColumn(
-            "__new",
-            F.when(prev_e.isNull() | (F.col("__s") > prev_e), 1).otherwise(0),
-        )
-        .withColumn(
-            "__g",
-            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("doc_id", "__g")
-        .agg((F.max("__e") - F.min("__s")).alias("__cov"))
+        suffixes.merge_intervals(ivals, "doc_id", "__s", "__e")
         .groupBy("doc_id")
-        .agg(F.sum("__cov").alias("__covered"))
+        .agg(F.sum(F.col("__me") - F.col("__ms")).alias("__covered"))
     )
     per_src = (
         docs.join(merged, "doc_id", "left")

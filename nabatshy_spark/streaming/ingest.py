@@ -68,7 +68,20 @@ def start_file_ingest(
     write = sink_fn if sink_fn is not None else (
         lambda b: append_spans(b, output_path)
     )
-    wants_epoch = len(inspect.signature(write).parameters) >= 2
+    # Count only REQUIRED positional parameters: a one-batch sink with
+    # a defaulted config arg (lambda b, path=OUT: ...) must NOT have
+    # the epoch id silently injected into its default slot, and
+    # non-introspectable callables keep the legacy one-arg contract.
+    try:
+        _req = [
+            p
+            for p in inspect.signature(write).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        ]
+        wants_epoch = len(_req) >= 2
+    except (TypeError, ValueError):
+        wants_epoch = False
 
     if dedupe_watermark is None:
         def sink(batch: DataFrame, epoch_id: int) -> None:

@@ -185,7 +185,7 @@ def test_exactsubstr_cut_keep_first_and_merge(spark):
     plan = {
         r.doc_id: r
         for r in suffixes.exactsubstr_cut_stats(
-            docs, "doc_id", "text", runs
+            docs, "doc_id", runs
         ).collect()
     }
     # doc 1 is the minimum id everywhere -> never cut
@@ -305,3 +305,43 @@ def test_cross_corpus_runs_planted_leak(spark):
         a[r.pos_c - 1 : r.pos_c - 1 + r.dup_len]
         == b[r.pos_b - 1 : r.pos_b - 1 + r.dup_len]
     )
+
+
+def test_sink_epoch_dispatch_by_required_args(spark, tmp_path):
+    """Epoch-id injection keys on REQUIRED positional arity: a sink
+    with a defaulted second parameter keeps the one-arg contract (the
+    batch id must never land in a config slot), while a two-required-
+    arg sink receives the epoch id."""
+    import json
+    import os
+
+    from nabatshy_spark.streaming.ingest import start_file_ingest
+    from tests.test_otlp_ingest import _payload
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "req-0.jsonl").write_text(
+        json.dumps(json.loads(_payload()), separators=(",", ":")) + "\n"
+    )
+    seen = {}
+
+    def one_arg_with_default(batch, flag="default-untouched"):
+        seen["one"] = (batch.count(), flag)
+
+    q = start_file_ingest(
+        spark, str(spool), str(tmp_path / "o1"), str(tmp_path / "c1"),
+        sink_fn=one_arg_with_default,
+    )
+    q.awaitTermination(60)
+    assert seen["one"][0] > 0
+    assert seen["one"][1] == "default-untouched"  # pre-fix: epoch id 0
+
+    def two_required(batch, epoch_id):
+        seen["two"] = (batch.count(), epoch_id)
+
+    q = start_file_ingest(
+        spark, str(spool), str(tmp_path / "o2"), str(tmp_path / "c2"),
+        sink_fn=two_required,
+    )
+    q.awaitTermination(60)
+    assert seen["two"] == (seen["one"][0], 0)

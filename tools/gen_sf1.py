@@ -13,7 +13,14 @@ Construction (deterministic, seed-pinned):
   with a tiny per-copy jitter on price/value columns so exact-tie
   artifacts don't distort top-k/threshold queries. Group-by key
   cardinalities scale 10× — the same direction TPC-H scaling moves
-  them — while per-key fan-ins stay constant.
+  them — while per-key fan-ins stay constant. ONE documented
+  exception: queries joining events to orders via the HARDCODED
+  ``e.user_id = o_custkey % 150`` (asof_join_orders family) keep a
+  constant matching-key set under ANY user-domain scaling (the mod
+  base is pinned in the query), so for that relation per-key order
+  fan-in grows 10× and join output grows 10× — which is also exactly
+  what a true sf1 with a 10× user domain produces; the shifted
+  user_id reproduces that shape, it does not distort it.
 - documents: generated fresh (NOT copied — replicating text 10× would
   make every doc a cross-copy exact duplicate and blow up the pair
   relation by construction). Vocabulary, language mix, source mix and
