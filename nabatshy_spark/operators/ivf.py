@@ -24,16 +24,18 @@ probe), not a flattering constant.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nabatshy_spark import artifacts
 from nabatshy_spark.operators.dedup import cosine
 from nabatshy_spark.operators.similarity import lsh_signature
+
+# Canonical implementation moved to nabatshy_spark.artifacts (round 10
+# lifecycle unification); several modules import it from here.
+_source_fingerprint = artifacts.source_fingerprint
 
 CELL_COL = "cell"
 
@@ -56,24 +58,6 @@ def build_ivf(
     )
 
 
-def _source_fingerprint(source_path: str) -> str:
-    """Cheap content key for an on-disk parquet source: sha256 over the
-    sorted (relative path, size, mtime_ns) of every data file. No data
-    is read; any rewrite of the source changes the key."""
-    h = hashlib.sha256(os.path.abspath(source_path).encode())
-    if os.path.isdir(source_path):
-        for root, _dirs, files in sorted(os.walk(source_path)):
-            for f in sorted(files):
-                p = os.path.join(root, f)
-                st = os.stat(p)
-                rel = os.path.relpath(p, source_path)
-                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
-    else:
-        st = os.stat(source_path)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
-
-
 def ensure_ivf(
     spark: SparkSession,
     source_path: str,
@@ -93,23 +77,17 @@ def ensure_ivf(
     At 100 TB this maps to a catalog-registered table location whose
     name embeds the source snapshot version; the staging-then-rename
     publish is the same pattern (rename is atomic per filesystem /
-    object-store commit).
+    object-store commit). Lifecycle owned by artifacts.ensure.
     """
-    base = base_dir or os.path.join(tempfile.gettempdir(), "nabatshy_ivf")
-    os.makedirs(base, exist_ok=True)
-    path = os.path.join(
-        base, f"{_source_fingerprint(source_path)}_b{cell_bits}_d{dim}"
+    key = f"{artifacts.source_fingerprint(source_path)}_b{cell_bits}_d{dim}"
+    return artifacts.ensure(
+        "ivf",
+        key,
+        lambda staging: build_ivf(
+            spark.read.parquet(source_path), staging, vec_col, cell_bits, dim
+        ),
+        base=base_dir,
     )
-    if os.path.isdir(path):
-        return path
-    staging = f"{path}.staging-{os.getpid()}"
-    build_ivf(spark.read.parquet(source_path), staging, vec_col, cell_bits, dim)
-    try:
-        os.rename(staging, path)
-    except OSError:
-        # another builder won the publish race; its index is identical
-        shutil.rmtree(staging, ignore_errors=True)
-    return path
 
 
 def _probe_cells(cell: int, cell_bits: int, nprobe: int) -> list[int]:
@@ -272,22 +250,17 @@ def ensure_ivfpq(
     """Idempotent IVF+PQ build with the same content-fingerprinted,
     staging-then-rename lifecycle as :func:`ensure_ivf` (codebooks are
     deterministic, so two concurrent builds produce identical indexes
-    and the rename race is benign)."""
-    base = base_dir or os.path.join(tempfile.gettempdir(), "nabatshy_ivfpq")
-    os.makedirs(base, exist_ok=True)
-    path = os.path.join(
-        base,
-        f"{_source_fingerprint(source_path)}_b{cell_bits}_d{dim}_m{m}_k{ks}",
+    and the rename race is benign). Lifecycle owned by artifacts.ensure."""
+    key = (
+        f"{artifacts.source_fingerprint(source_path)}"
+        f"_b{cell_bits}_d{dim}_m{m}_k{ks}"
     )
-    if os.path.isdir(path):
-        return path
-    staging = f"{path}.staging-{os.getpid()}"
-    build_ivfpq(
-        spark.read.parquet(source_path), staging, id_col, vec_col,
-        cell_bits, dim, m, ks,
+    return artifacts.ensure(
+        "ivfpq",
+        key,
+        lambda staging: build_ivfpq(
+            spark.read.parquet(source_path), staging, id_col, vec_col,
+            cell_bits, dim, m, ks,
+        ),
+        base=base_dir,
     )
-    try:
-        os.rename(staging, path)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-    return path

@@ -27,16 +27,15 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nabatshy_spark.operators.ivf import _source_fingerprint
+from nabatshy_spark import artifacts
 
-BUCKET_ROOT = os.environ.get(
-    "SPARK_GRAFT_BUCKET_DIR", os.path.join(tempfile.gettempdir(), "nabatshy_bucketed")
-)
+# Explicit override hook (tests monkeypatch this); None → the shared
+# artifacts root ($SPARK_GRAFT_BUCKET_DIR / $SPARK_GRAFT_ARTIFACT_DIR /
+# per-user tempdir), resolved at call time by artifacts.ensure.
+BUCKET_ROOT: str | None = None
 
 
 def write_bucketed(
@@ -104,78 +103,30 @@ def ensure_bucketed(
 
     The name embeds a content fingerprint of the source file, so a
     changed source yields a new layout rather than a stale read. The
-    layout is built in a pid-unique STAGING directory and atomically
-    renamed into place (the same lifecycle as operators/ivf.py), so
-    concurrent sessions can never read a half-written or mid-overwrite
-    layout: whoever loses the rename race discards its staging copy and
-    registers the winner's (content-identical) layout.
+    on-disk lifecycle — pid-unique staging, atomic rename publish,
+    quarantine of crashed partial layouts, _SUCCESS gate — is owned by
+    artifacts.ensure (it was first written here; round 10 hoisted it).
     """
     src = os.path.join(sf_dir, f"{source}.parquet")
-    fp = _source_fingerprint(src)
+    fp = artifacts.source_fingerprint(src)
     table = f"nab_{source}_bkt{num_buckets}_{fp[:12]}"
     if spark.catalog.tableExists(table):
         return table
-    path = os.path.join(BUCKET_ROOT, table)
     df = spark.read.parquet(src)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _build(staging_path: str) -> None:
         staging_table = f"{table}__stg{os.getpid()}"
-        staging_path = f"{path}.staging-{os.getpid()}"
         write_bucketed(df, staging_table, staging_path, keys, num_buckets)
         # External table: dropping it leaves the staged files in place.
         spark.sql(f"DROP TABLE IF EXISTS `{staging_table}`")
-        try:
-            os.rename(staging_path, path)
-        except OSError:
-            import shutil
 
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
-                # Another session published the same fingerprint first;
-                # its layout is content-identical, so use it and
-                # discard ours.
-                shutil.rmtree(staging_path, ignore_errors=True)
-            else:
-                # `path` exists but carried no _SUCCESS at check time: a
-                # stale partial layout left by a crashed run, NOT a
-                # completed publish. Registering over it would silently
-                # serve corrupt data to every later join — but a racer
-                # can complete an atomic rename-publish between that
-                # check and the eviction, so never rmtree `path` in
-                # place (readers of the already-registered external
-                # table would transiently see a half-deleted VALID
-                # layout). Quarantine-rename first: atomic, so whatever
-                # sits at `path` moves aside whole, then decide.
-                quarantine = f"{path}.quarantine-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-                try:
-                    os.rename(path, quarantine)
-                except OSError:
-                    quarantine = None  # a racer evicted it first
-                if quarantine is not None and os.path.exists(
-                    os.path.join(quarantine, "_SUCCESS")
-                ):
-                    # We quarantined a publish a racer completed in the
-                    # window. It is content-identical to our staging
-                    # copy: restore it atomically and discard ours. If
-                    # the restore loses to yet another publish, theirs
-                    # is equally valid — just drop the quarantined copy.
-                    try:
-                        os.rename(quarantine, path)
-                    except OSError:
-                        shutil.rmtree(quarantine, ignore_errors=True)
-                    shutil.rmtree(staging_path, ignore_errors=True)
-                else:
-                    if quarantine is not None:
-                        shutil.rmtree(quarantine, ignore_errors=True)
-                    try:
-                        os.rename(staging_path, path)
-                    except OSError:
-                        shutil.rmtree(staging_path, ignore_errors=True)
-                        if not os.path.exists(
-                            os.path.join(path, "_SUCCESS")
-                        ):
-                            raise RuntimeError(
-                                f"bucketed layout at {path} is incomplete "
-                                "(no _SUCCESS) and could not be replaced"
-                            )
+    path = artifacts.ensure(
+        "bucketed",
+        table,
+        _build,
+        env_var="SPARK_GRAFT_BUCKET_DIR",
+        base=BUCKET_ROOT,
+    )
     _register_external_bucketed(spark, table, path, df.schema, keys, num_buckets)
     return table
 

@@ -33,18 +33,11 @@ failed build can never be read as a complete rollup.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nabatshy_spark.operators.ivf import _source_fingerprint
-
-CONTAGG_ROOT = os.environ.get(
-    "SPARK_GRAFT_CONTAGG_DIR",
-    os.path.join(tempfile.gettempdir(), "nabatshy_contagg"),
-)
+from nabatshy_spark import artifacts
 
 # Mergeable partial aggregates — everything derivable (avg) is computed
 # at read time from these. The sum is DECIMAL(28,6), not double: double
@@ -74,30 +67,28 @@ def ensure_rollup(
     ``cutoff`` (an ISO timestamp literal aligned to the bucket width).
     Returns the rollup path. Idempotent: keyed by a content fingerprint
     of the source files + the cutoff/bucket parameters; rebuilt only
-    when the source changes. Staging-then-rename so concurrent or
-    failed builds never expose a partial rollup.
+    when the source changes. Lifecycle (staging-then-rename, _SUCCESS
+    gate, per-user root, GC) owned by artifacts.ensure.
     """
     src = os.path.join(sf_dir, "events.parquet")
-    key = f"{_source_fingerprint(src)}-{cutoff.replace(' ', 'T').replace(':', '')}-{bucket}"
-    path = os.path.join(CONTAGG_ROOT, key)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return path
-    rollup = (
-        _bucketed(spark.read.parquet(src), bucket)
-        .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
-        .groupBy("bucket", "event_type")
-        .agg(*_ROLLUP_AGGS)
+    key = (
+        f"{artifacts.source_fingerprint(src)}"
+        f"-{cutoff.replace(' ', 'T').replace(':', '')}-{bucket}"
     )
-    staging = path + f".staging-{os.getpid()}"
-    rollup.write.mode("overwrite").parquet(staging)
-    os.makedirs(CONTAGG_ROOT, exist_ok=True)
-    try:
-        os.rename(staging, path)
-    except OSError:
-        # Lost a race to a concurrent builder — its completed rollup
-        # (same fingerprint, same content) is already at ``path``.
-        shutil.rmtree(staging, ignore_errors=True)
-    return path
+
+    def _build(staging: str) -> None:
+        (
+            _bucketed(spark.read.parquet(src), bucket)
+            .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("bucket", "event_type")
+            .agg(*_ROLLUP_AGGS)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    return artifacts.ensure(
+        "contagg", key, _build, env_var="SPARK_GRAFT_CONTAGG_DIR"
+    )
 
 
 def serve_series(

@@ -28,16 +28,11 @@ bucketed-join layout in sources/bucketed.py.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nabatshy_spark.operators.ivf import _source_fingerprint
-
-ZORDER_ROOT = os.environ.get(
-    "SPARK_GRAFT_ZORDER_DIR", os.path.join(tempfile.gettempdir(), "nabatshy_zorder")
-)
+from nabatshy_spark import artifacts
 
 
 def interleave_bits(bucket_cols: list[Column], bits: int) -> Column:
@@ -111,24 +106,19 @@ def ensure_zordered(
     num_files: int | None = None,
 ) -> str:
     """Idempotently materialize the z-ordered layout of
-    ``sf_dir/source`` and return its path — content-fingerprint-keyed
-    with a staging-then-rename write, so a changed source or a dead
-    half-written build can never serve a stale layout (same lifecycle
-    rule as operators/ivf.py)."""
+    ``sf_dir/source`` and return its path — content-fingerprint-keyed;
+    lifecycle (staging-then-rename, _SUCCESS gate, per-user root, GC)
+    owned by artifacts.ensure."""
+    from nabatshy_spark.catalog import load
+
     src = os.path.join(sf_dir, f"{source}.parquet")
-    fp = _source_fingerprint(src)
-    tag = f"{source}_z{'_'.join(cols)}_b{bits}_{fp[:12]}"
-    path = os.path.join(ZORDER_ROOT, tag)
-    if not os.path.exists(path):
-        from nabatshy_spark.catalog import load
-
-        staging = f"{path}.staging.{os.getpid()}"
-        zorder_write(load(spark, sf_dir, source), staging, cols, bits, num_files)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            # lost a concurrent-build race; the winner's layout is valid
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
-    return path
+    fp = artifacts.source_fingerprint(src)
+    key = f"{source}_z{'_'.join(cols)}_b{bits}_{fp[:12]}"
+    return artifacts.ensure(
+        "zorder",
+        key,
+        lambda staging: zorder_write(
+            load(spark, sf_dir, source), staging, cols, bits, num_files
+        ),
+        env_var="SPARK_GRAFT_ZORDER_DIR",
+    )

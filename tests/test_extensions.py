@@ -440,9 +440,17 @@ def test_contagg_rollup_reused_not_rebuilt(spark, sf_dir):
     from nabatshy_spark.sources import contagg
 
     p1 = contagg.ensure_rollup(spark, sf_dir, "2024-01-24 00:00:00")
-    m1 = os.path.getmtime(p1)
+    # The directory itself is utime-touched on every cache hit (the
+    # artifact GC's time-since-last-read TTL), so reuse is asserted on
+    # the DATA files: a rebuild rewrites them, a cache hit cannot.
+    m1 = {
+        f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)
+    }
     p2 = contagg.ensure_rollup(spark, sf_dir, "2024-01-24 00:00:00")
-    assert p1 == p2 and os.path.getmtime(p2) == m1
+    m2 = {
+        f: os.path.getmtime(os.path.join(p2, f)) for f in os.listdir(p2)
+    }
+    assert p1 == p2 and m1 == m2
 
 
 def test_pagerank_uniform_cycle(spark):

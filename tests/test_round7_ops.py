@@ -192,7 +192,6 @@ def test_ensure_bucketed_quarantine_restores_racer_publish(spark, sf_dir, tmp_pa
     (path / "part-corrupt.parquet").write_bytes(b"not parquet")
 
     real_rename = os.rename
-    staging_path = f"{path}.staging-{os.getpid()}"
     state = {"injected": False}
 
     def racing_rename(s, d):
@@ -200,7 +199,11 @@ def test_ensure_bucketed_quarantine_restores_racer_publish(spark, sf_dir, tmp_pa
             # The evictor is about to quarantine `path`. Simulate a
             # racer winning the window: evict the stale partial and
             # publish a valid (content-identical) layout at `path`.
+            # The staging dir name carries a pid+nonce suffix — find it.
             state["injected"] = True
+            staging_path = str(
+                next(tmp_path.glob(f"{table}.staging-*"))
+            )
             racer = f"{path}.racer"
             shutil.copytree(staging_path, racer)
             (pathlib.Path(racer) / "_racer_marker").write_text("x")

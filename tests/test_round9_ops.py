@@ -7,7 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from nabatshy_spark.catalog import load
-from nabatshy_spark.operators import dedup
+from nabatshy_spark.operators import dedup, suffixes
 
 
 def _rows(df):
@@ -307,6 +307,26 @@ def test_cross_corpus_runs_planted_leak(spark):
     )
 
 
+def test_cross_corpus_probe_prunes_before_shuffle(spark):
+    """The benchmark hash set must reach the corpus-side window
+    generation as a BROADCAST semi-join (round-10 prefilter): the plan
+    carries a LeftSemi BroadcastHashJoin, and no corpus window survives
+    to the df-cap aggregate unless its hash is shared with the
+    benchmark — asserted by the physical plan shape."""
+    from nabatshy_spark.operators import suffixes
+
+    corpus = _mkdocs(
+        spark, [(i, f"totally original corpus text number {i} " * 9) for i in range(6)]
+    )
+    bench = _mkdocs(spark, [(100, "benchmark only words that match nothing " * 6)])
+    out = suffixes.cross_corpus_substring_runs(
+        corpus, bench, "doc_id", "text", min_len=50, max_df=200
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert out.count() == 0  # nothing shared → nothing emitted
+
+
 def test_sink_epoch_dispatch_by_required_args(spark, tmp_path):
     """Epoch-id injection keys on REQUIRED positional arity: a sink
     with a defaulted second parameter keeps the one-arg contract (the
@@ -345,3 +365,39 @@ def test_sink_epoch_dispatch_by_required_args(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert seen["two"] == (seen["one"][0], 0)
+
+
+def test_window_hash_postings_chunked_identical_to_naive(spark):
+    """The chunked two-step explode (per-row memory O(chunk), ADVICE
+    r9) must emit exactly the naive per-position window relation —
+    boundary windows straddling chunk edges included."""
+    texts = [
+        ("d1", "abcdefghijklmnopqrstuvwxyz0123456789"),
+        ("d2", "abcabcabcabcabcabcabc"),
+        ("d3", "xy"),  # shorter than min_len: contributes nothing
+        ("d4", "zzzzzzz"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    min_len = 5
+    naive = set()
+    for doc_id, t in texts:
+        for i in range(len(t) - min_len + 1):
+            naive.add((doc_id, i + 1, t[i : i + min_len]))
+    for chunk in (1, 3, 7, 100000):
+        got = suffixes.window_hash_postings(
+            df, "doc_id", "text", min_len=min_len, chunk=chunk
+        ).collect()
+        # compare on substrings (hash-free ground truth): rebuild the
+        # substring from (doc_id, pos) and check the full (id,pos) set
+        text_of = dict(texts)
+        got_set = {
+            (r.doc_id, r.pos, text_of[r.doc_id][r.pos - 1 : r.pos - 1 + min_len])
+            for r in got
+        }
+        assert got_set == naive, f"chunk={chunk}"
+        # and the hash itself is the window's xxhash64 (spot check via
+        # chunk-independence): same (id,pos) -> same hash across chunks
+        if chunk == 1:
+            base = {(r.doc_id, r.pos): r["__h"] for r in got}
+        else:
+            assert {(r.doc_id, r.pos): r["__h"] for r in got} == base

@@ -108,7 +108,11 @@ def _documents(con: duckdb.DuckDBPyConnection, out: str, n_docs: int = 50_000) -
     vocab: dict[str, int] = {}
     lengths = []
     langs = [r[1] for r in rows]
-    sources = sorted({r[2] for r in rows})
+    # Sample ACTUAL source names from the sf0.1 empirical distribution
+    # (same as lang) — fabricated src{i} labels would change the source
+    # domain at the third decade and weaken every source-keyed query's
+    # scale-curve comparability (ADVICE r9).
+    sources = [r[2] for r in rows]
     for text, _l, _s in rows:
         words = text.split(" ")
         lengths.append(len(words))
@@ -137,7 +141,7 @@ def _documents(con: duckdb.DuckDBPyConnection, out: str, n_docs: int = 50_000) -
                 doc_id,
                 text,
                 rng.choice(langs),
-                f"src{rng.randrange(len(sources))}",
+                rng.choice(sources),
                 len(text),
             )
         )
