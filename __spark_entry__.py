@@ -41,41 +41,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-9 window (exactly 50 — the driver checks the FIRST 50
+    # ---- Round-10 window (exactly 50 — the driver checks the FIRST 50
     # registered queries only; entry #51 would silently never get a
-    # row). Purely staleness-driven (VERDICT r8 task #6): every query
-    # already has external evidence (r8 closed the rotation), so the
-    # window is (a) every query whose code path round 9 touched, (b)
-    # the two new round-9 queries, (c) the oldest-evidence r1 tail.
-    # (a1) gen_row_staleness.py-flagged: the shared-pair-relation
-    # conversion (dedup.shared_ngram_pairs) + the ROLLUP naming note.
-    "dedup_cluster_stats", "dedup_components", "dedup_keep_best",
-    "dedup_ngram_jaccard", "dup_threshold_curve", "sales_rollup_cube",
-    "source_overlap_matrix", "split_leakage_audit", "minhash_dedup_eval",
-    # (b) new round-9 queries: exact-substring dedup (suffixes.py).
+    # row). Staleness-driven (VERDICT r8 task #6 convention): (a) every
+    # query whose code path round 10 touched, (b) the new round-10
+    # query, (c) the oldest-evidence tail (r1, then r2).
+    # (b) NEW: the output-bounded ER surface.
+    "er_part_topk",
+    # (a1) minhash banding rewrite (dedup.minhash_lsh_pairs: one
+    # transform(sequence) band-key expression, long keys).
+    "dedup_minhash_lsh", "minhash_dedup_eval",
+    # (a2) chunked window hashing (suffixes.window_hash_postings) +
+    # the broadcast-semi-join bench prefilter in
+    # cross_corpus_substring_runs → the whole ExactSubstr family.
     "longest_dup_substrings", "dup_substring_doc_stats",
     "exactsubstr_cut_plan", "intra_doc_repeats",
     "exactsubstr_source_coverage", "decontaminate_exactsubstr",
-    # (a2) operator-level touches below the tool's file granularity:
-    # stats.py two-phase pin + long rank → its six consumers;
-    # sampling.hash_sample_pred hardening → its consumers;
-    # similarity lsh_signature/_sqdist_sql guards → k-means + ANN
-    # family (rows-only) + embedding LSH; streaming ingest epoch-id
-    # hook → the stream/batch parity rollup.
-    "revenue_gini", "pareto_suppliers", "heaps_law_fit",
-    "part_abc_classes", "supplier_balance_quartiles",
-    "sequence_packing_plan", "curation_funnel", "sample_hash",
-    "dsir_selection", "kmeans_embeddings", "ann_recall_report",
-    "ann_pq_topk", "ann_ivfpq_topk", "ann_lsh_topk",
-    "dedup_embedding_lsh", "stream_batch_parity_rollup",
-    # (c) oldest-evidence tail: external row last seen in r1.
-    "ann_cosine_topk", "asof_join_orders", "combined_metrics",
-    "cube_pricing", "customers_without_orders",
-    "distinct_customers_by_priority", "distinct_segments",
-    "dynamic_buckets", "endpoint_stats_approx", "error_rate_by_priority",
-    "gapfill_series", "hourly_heatmap", "multimodal_features",
-    "order_coverage_left_join", "pct_vs_baseline", "pivot_status_price",
-    "point_lookup", "pricing_summary", "range_join_events",
+    # (a3) artifact-lifecycle unification (artifacts.py) → every
+    # consumer of a fingerprint-keyed artifact: the shared n-gram pair
+    # relation (7 oracle consumers), the contagg rollup, the z-order
+    # and bucketed layouts, and the IVF/IVFPQ indexes (rows-only).
+    "dedup_ngram_jaccard", "dedup_components", "dedup_cluster_stats",
+    "dedup_keep_best", "source_overlap_matrix", "dup_threshold_curve",
+    "split_leakage_audit", "continuous_aggregate",
+    "zorder_pruning_stats", "bucketed_revenue_join",
+    "ann_ivf_topk", "ann_ivfpq_topk",
+    # (c1) oldest-evidence tail: external row last seen in r1.
+    "region_nation_rollup", "relative_window", "running_user_value",
+    "sample_stratified", "search_dsl_fallback", "search_dsl_typed",
+    "search_page", "segments_with_big_orders", "service_dependency",
+    "sessionization", "slowest_traces", "text_fingerprint",
+    "text_langid", "text_normalize", "text_stats",
+    "text_tfidf_top_terms", "text_token_counts", "top_event_types",
+    "topk_per_group", "trace_rollup", "unpivot_status_price",
+    # (c2) next-oldest tail: external row last seen in r2.
+    "chunk_documents", "corpus_split", "dedup_embedding",
+    "dedup_simhash", "embedding_centroids", "embedding_quantize",
+    "event_funnel", "fuzzy_prefix_pairs",
 ]
 
 

@@ -20,7 +20,7 @@ oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nabatshy_spark.operators.dedup import connected_components
@@ -280,6 +280,153 @@ def score_part_pairs(
         "brand_eq",
         F.round("size_sim", 6).alias("size_sim"),
         F.round("score", 6).alias("score"),
+    )
+
+
+def part_topk_matches(
+    part: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_df: int | None = 200,
+    rep_cap: int = 8,
+) -> DataFrame:
+    """Per-record top-``k`` scored matches — the OUTPUT-BOUNDED ER
+    surface (VERDICT r9 task #4).
+
+    The all-pairs contract (:func:`score_part_pairs`) is inherently
+    output-quadratic on dup-heavy catalogs: a (name, brand) group of g
+    records emits g·(g−1)/2 matched pairs, so its cost grows with its
+    own output (sf1 curve exponent 1.56, adjudicated output-bound). At
+    100 TB nobody consumes that relation row-by-row; the useful
+    bounded contract is "for each record, its k best matches", ≤ N·k
+    rows total. Candidate generation is bounded too:
+
+    - *token pass*: df-capped inverted index on (token, brand) — the
+      same Σ min(df, cap)² bound as :func:`blocked_candidate_pairs`;
+    - *canonical pass*: each record pairs with the ``rep_cap``
+      LOWEST-ID REPRESENTATIVES of its identical-(token-set, brand)
+      group instead of with every member — Σ g·rep_cap, linear in g.
+
+    Miss condition (documented, deterministic): a record's true k-th
+    best match can be a same-group NON-representative whose size is
+    closer than every representative's; reps are a fixed deterministic
+    sample (lowest ids), so the result is exactly reproducible and the
+    oracle encodes the same cap. Groups ≤ rep_cap are exhaustively
+    paired (the cap binds nowhere at small scale, so the answer equals
+    the uncapped one there). Emits
+    (p_partkey, match_key, score, rank) with rank 1..k by
+    (score DESC, match_key ASC).
+
+    Brand equality is threshold-necessary above 0.7 (see
+    :func:`score_part_pairs`), so both passes block on it.
+    """
+    if threshold <= 0.7:
+        raise ValueError(
+            "part_topk_matches requires threshold > 0.7 (brand-equality "
+            "blocking is threshold-derived; below 0.7 use the all-pairs "
+            "contract)"
+        )
+    base = part.select(
+        F.col("p_partkey").alias("id"),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col("p_name"))), r"\s+")
+        ).alias("ts"),
+        "p_brand",
+        "p_size",
+    )
+    # --- token pass: df-capped postings on (token, brand) ------------
+    tok = base.select("id", F.explode("ts").alias("tok"), "p_brand")
+    if max_df is not None:
+        keep = (
+            tok.groupBy("tok", "p_brand")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("tok", "p_brand")
+        )
+        tok = tok.join(keep, ["tok", "p_brand"])
+    fanout = part.sparkSession.sparkContext.defaultParallelism
+    tok = tok.repartition(fanout, "tok", "p_brand")
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    tok_pairs = (
+        ta.join(
+            tb,
+            (F.col("ta.tok") == F.col("tb.tok"))
+            & (F.col("ta.p_brand") == F.col("tb.p_brand"))
+            & (F.col("ta.id") < F.col("tb.id")),
+        )
+        .select(F.col("ta.id").alias("id_a"), F.col("tb.id").alias("id_b"))
+        .distinct()
+    )
+    # --- canonical pass: record × group representatives --------------
+    canon = base.select(
+        "id", F.sort_array("ts").alias("__key"), "p_brand"
+    )
+    w = Window.partitionBy("__key", "p_brand").orderBy("id")
+    ranked = canon.withColumn("__r", F.row_number().over(w))
+    reps = ranked.filter(F.col("__r") <= rep_cap).select(
+        F.col("id").alias("__rep"), "__key", "p_brand"
+    )
+    rep_pairs = (
+        ranked.join(reps, ["__key", "p_brand"])
+        .filter(F.col("id") != F.col("__rep"))
+        .select(
+            F.least("id", "__rep").alias("id_a"),
+            F.greatest("id", "__rep").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = tok_pairs.unionByName(rep_pairs).dropDuplicates(["id_a", "id_b"])
+    # --- exact scoring on the bounded candidate set ------------------
+    sa = base.select(
+        F.col("id").alias("id_a"),
+        F.col("ts").alias("__tsa"),
+        F.col("p_brand").alias("__ba"),
+        F.col("p_size").alias("__za"),
+    )
+    sb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("ts").alias("__tsb"),
+        F.col("p_brand").alias("__bb"),
+        F.col("p_size").alias("__zb"),
+    )
+    inter = F.size(F.array_intersect("__tsa", "__tsb"))
+    nj = inter / (F.size("__tsa") + F.size("__tsb") - inter)
+    beq = F.when(F.col("__ba") == F.col("__bb"), 1).otherwise(0)
+    ss = 1.0 - F.least(F.abs(F.col("__za") - F.col("__zb")), F.lit(10)) / 10.0
+    matched = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (0.5 * nj + 0.3 * beq + 0.2 * ss).alias("__score"),
+        )
+        .filter(F.col("__score") >= threshold)
+    )
+    directed = matched.select(
+        F.col("id_a").alias("p_partkey"),
+        F.col("id_b").alias("match_key"),
+        "__score",
+    ).unionByName(
+        matched.select(
+            F.col("id_b").alias("p_partkey"),
+            F.col("id_a").alias("match_key"),
+            "__score",
+        )
+    )
+    tw = Window.partitionBy("p_partkey").orderBy(
+        F.col("__score").desc(), F.col("match_key").asc()
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(tw))
+        .filter(F.col("rank") <= k)
+        .select(
+            "p_partkey",
+            "match_key",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("__score", 6).alias("score"),
+        )
+        .orderBy("p_partkey", "rank")
     )
 
 

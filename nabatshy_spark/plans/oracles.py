@@ -5932,3 +5932,71 @@ ORDER BY dup_len DESC, train_doc ASC, test_doc ASC, pos_train ASC,
          pos_test ASC
 LIMIT 50
 """
+
+# --- round 10: output-bounded entity resolution ----------------------------
+
+# Mirrors entity.part_topk_matches EXACTLY, including the bounded
+# candidate generation (df-capped token postings per (token, brand) ∪
+# record×representative pairs, rep_cap = 8 lowest ids per identical-
+# (sorted-token-set, brand) group) — the cap is part of the CONTRACT,
+# so the differential is exact at any group size, not just where the
+# cap happens not to bind.
+ORACLES["er_part_topk"] = """
+WITH base AS (
+  SELECT p_partkey AS id,
+         list_distinct(string_split_regex(lower(trim(p_name)), '\\s+')) AS ts,
+         p_brand, p_size
+  FROM part
+),
+tok AS (SELECT id, unnest(ts) AS tok, p_brand FROM base),
+keep AS (
+  SELECT tok, p_brand FROM tok
+  GROUP BY tok, p_brand HAVING count(*) <= 200
+),
+tokc AS (SELECT t.* FROM tok t JOIN keep USING (tok, p_brand)),
+tpair AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM tokc a JOIN tokc b
+    ON a.tok = b.tok AND a.p_brand = b.p_brand AND a.id < b.id
+),
+canon AS (
+  SELECT id, p_brand,
+         array_to_string(list_sort(ts), chr(9)) AS key,
+         row_number() OVER (
+           PARTITION BY array_to_string(list_sort(ts), chr(9)), p_brand
+           ORDER BY id) AS r
+  FROM base
+),
+cpair AS (
+  SELECT DISTINCT least(c.id, p.id) AS id_a, greatest(c.id, p.id) AS id_b
+  FROM canon c JOIN canon p
+    ON c.key = p.key AND c.p_brand = p.p_brand
+   AND p.r <= 8 AND c.id <> p.id
+),
+cand AS (SELECT * FROM tpair UNION SELECT * FROM cpair),
+matched AS (
+  SELECT cd.id_a, cd.id_b,
+         0.5 * (len(list_intersect(a.ts, b.ts)) * 1.0
+                / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
+         + 0.3 * (CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END)
+         + 0.2 * (1.0 - least(abs(a.p_size - b.p_size), 10) / 10.0)
+           AS score
+  FROM cand cd JOIN base a ON a.id = cd.id_a JOIN base b ON b.id = cd.id_b
+),
+thresh AS (SELECT * FROM matched WHERE score >= 0.8),
+directed AS (
+  SELECT id_a AS p_partkey, id_b AS match_key, score FROM thresh
+  UNION ALL
+  SELECT id_b, id_a, score FROM thresh
+),
+ranked AS (
+  SELECT p_partkey, match_key, score,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY score DESC, match_key ASC) AS rn
+  FROM directed
+)
+SELECT p_partkey, match_key, CAST(rn AS INTEGER) AS rank,
+       round(score, 6) AS score
+FROM ranked WHERE rn <= 3
+ORDER BY p_partkey, rank
+"""

@@ -144,3 +144,68 @@ def test_capped_blocking_equals_exhaustive_at_high_threshold(spark):
         for r in entity.score_part_pairs(df, threshold=0.8, max_df=5).collect()
     }
     assert exhaustive and capped == exhaustive
+
+
+def test_part_topk_matches_bounded_and_consistent(spark):
+    """Round-10 bounded ER surface: ≤ k rows per record; rank ordered by
+    (score desc, match_key asc); where the rep cap does NOT bind, the
+    top-k equals the exhaustive relation's per-record top-k."""
+    rows = []
+    for i in range(40):
+        rows.append(
+            Row(
+                p_partkey=i,
+                p_name="red plate" if i % 2 == 0 else "blue plate",
+                p_brand=f"Brand#{i % 2}",
+                p_size=(i % 9) + 1,
+            )
+        )
+    df = spark.createDataFrame(rows)
+    k = 3
+    got = entity.part_topk_matches(
+        df, threshold=0.8, k=k, max_df=200, rep_cap=100  # cap unbound
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.p_partkey, []).append(r)
+    # exhaustive reference: all matched pairs, both directions
+    pairs = entity.score_part_pairs(df, threshold=0.8).collect()
+    directed = {}
+    for p in pairs:
+        directed.setdefault(p.id_a, []).append((p.id_b, p.score))
+        directed.setdefault(p.id_b, []).append((p.id_a, p.score))
+    for rec, lst in per.items():
+        assert len(lst) <= k
+        lst.sort(key=lambda r: r.rank)
+        want = sorted(directed[rec], key=lambda t: (-t[1], t[0]))[:k]
+        assert [(r.match_key, r.score) for r in lst] == [
+            (m, round(s, 6)) for m, s in want
+        ]
+    # every record with at least one match appears
+    assert set(per) == set(directed)
+
+
+def test_part_topk_rep_cap_bounds_candidates(spark):
+    """With the rep cap binding, every record still gets up to k matches
+    drawn from its group's lowest-id representatives — output stays
+    ≤ N·k and non-rep×non-rep pairs are (by contract) not emitted."""
+    rows = [
+        Row(p_partkey=i, p_name="same name", p_brand="B", p_size=5)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    got = entity.part_topk_matches(
+        df, threshold=0.8, k=3, max_df=2, rep_cap=4
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.p_partkey, set()).add(r.match_key)
+    assert len(got) <= 30 * 3
+    reps = {0, 1, 2, 3}
+    for rec, matches in per.items():
+        assert len(matches) <= 3
+        if rec not in reps:
+            # non-reps only ever match representatives
+            assert matches <= reps
+        # identical rows → every match scores 1.0
+    assert all(r.score == 1.0 for r in got)

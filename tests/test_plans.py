@@ -451,3 +451,24 @@ def test_search_eval_single_postings_pass(spark, sf_dir):
         "postings + doc_lens + corpus constants: a fixed number of "
         "narrow scans, not one per eval query"
     )
+
+
+def test_plan_audit_covers_every_registered_query():
+    """PLANS.md must carry one row per registered query — it drifted to
+    321/323 in round 9 when two queries were added after the last
+    regen (VERDICT r9 'what's wrong' #1). Regenerate with
+    tools/gen_plan_audit.py when this fails."""
+    import os
+    import re
+
+    from nabatshy_spark.plans.queries import QUERIES
+
+    plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans) as f:
+        audited = set(re.findall(r"^\| `([a-z0-9_]+)`", f.read(), re.M))
+    missing = sorted(set(QUERIES) - audited)
+    extra = sorted(audited - set(QUERIES))
+    assert not missing and not extra, (
+        f"PLANS.md out of sync: missing={missing} extra={extra} — "
+        "run python tools/gen_plan_audit.py"
+    )
