@@ -250,6 +250,10 @@ HEADLINE = [
     "intra_doc_repeats",
     "exactsubstr_source_coverage",
     "decontaminate_exactsubstr",
+    # round 10 additions: bounded-output entity resolution
+    # (er_topk_eval is excluded like minhash_dedup_eval: an audit gate
+    # that deliberately pays the quadratic all-pairs twin's cost)
+    "er_part_topk",
 ]
 
 

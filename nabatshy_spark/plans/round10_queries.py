@@ -3,7 +3,8 @@ ER surface — VERDICT r9 task #4)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from nabatshy_spark.catalog import load
 from nabatshy_spark.operators import entity
@@ -30,4 +31,70 @@ def er_part_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         max_df=200,
         rep_cap=8,
+    )
+
+
+@query("er_topk_eval")
+def er_topk_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative gate for the rep-capped top-k contract: compare
+    er_part_topk's edges against the TRUE per-record top-3 derived
+    from the exact all-pairs relation (er_part_pairs' blocking). The
+    audit itself pays the quadratic twin's cost by design — it exists
+    to measure what the cap loses, like minhash_dedup_eval for LSH.
+    Where no (name, brand) group exceeds rep_cap the recall is exactly
+    1.0; above that the lost edges are non-representative partners
+    whose size happened to be closer than every representative's.
+    Emits one row: record coverage and edge recall, both derived from
+    deterministic integer counts."""
+    part = load(spark, sf_dir, "part")
+    capped = entity.part_topk_matches(
+        part, threshold=0.8, k=3, max_df=200, rep_cap=8
+    ).select("p_partkey", "match_key")
+    pairs = entity.score_part_pairs(part, threshold=0.8, max_df=200)
+    directed = pairs.select(
+        F.col("id_a").alias("p_partkey"),
+        F.col("id_b").alias("match_key"),
+        "score",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("p_partkey"),
+            F.col("id_a").alias("match_key"),
+            "score",
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("score").desc(), F.col("match_key").asc()
+    )
+    true_topk = (
+        directed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 3)
+        .select("p_partkey", "match_key", F.lit(1).alias("__t"))
+    )
+    # One full-outer join + one aggregate: every count comes from a
+    # single pass over the edge union, so the truth and capped subtrees
+    # are each referenced ONCE (three separate 1-row aggregates would
+    # re-expand the whole candidate DAG per count — 90 exchanges in the
+    # plan audit before this shape).
+    joined = true_topk.join(
+        capped.withColumn("__c", F.lit(1)),
+        ["p_partkey", "match_key"],
+        "full_outer",
+    )
+    return joined.agg(
+        F.countDistinct(
+            F.when(F.col("__t") == 1, F.col("p_partkey"))
+        ).alias("n_records"),
+        F.sum(F.when(F.col("__t") == 1, 1).otherwise(0)).alias("true_edges"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("capped_edges"),
+        F.sum(
+            F.when((F.col("__t") == 1) & (F.col("__c") == 1), 1).otherwise(0)
+        ).alias("shared_edges"),
+    ).select(
+        "n_records",
+        "true_edges",
+        "capped_edges",
+        "shared_edges",
+        F.round(F.col("shared_edges") / F.col("true_edges"), 6).alias(
+            "edge_recall"
+        ),
     )

@@ -209,3 +209,40 @@ def test_part_topk_rep_cap_bounds_candidates(spark):
             assert matches <= reps
         # identical rows → every match scores 1.0
     assert all(r.score == 1.0 for r in got)
+
+
+def test_er_topk_oracle_agrees_where_cap_binds(spark, tmp_path):
+    """Cross-engine proof AT a binding rep cap: a 30-record
+    identical-name group (rep_cap=8 < 29 partners) must produce the
+    same top-k relation from the Spark operator and the DuckDB oracle
+    SQL — the sf0.01 driver differential never exercises the cap, so
+    this pins the capped branch both engines encode."""
+    import duckdb
+
+    from nabatshy_spark.plans.oracles import ORACLES
+
+    rows = [
+        Row(
+            p_partkey=i,
+            p_name="same name",
+            p_brand="B" if i % 2 == 0 else "C",
+            p_size=(i * 7) % 23,
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    pq = str(tmp_path / "part.parquet")
+    df.coalesce(1).write.parquet(pq)
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in entity.part_topk_matches(
+            df, threshold=0.8, k=3, max_df=200, rep_cap=8
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{pq}/*.parquet'")
+    want = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(ORACLES["er_part_topk"]).fetchall()
+    )
+    assert got == want and len(got) > 0

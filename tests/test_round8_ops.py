@@ -280,25 +280,32 @@ def test_correctness_window_invariants():
     assert len(P) == 50 and len(set(P)) == 50
     assert all(k in qs for k in P)
     assert list(qs)[:50] == P
-    # round-9 rotation rule: this round's new queries and the queries
+    # round-10 rotation rule: this round's new queries and the queries
     # its code changes touched must be inside the window.
-    r9 = {
+    r10 = {
+        # new this round
+        "er_part_topk", "er_topk_eval",
+        # minhash banding rewrite
+        "dedup_minhash_lsh", "minhash_dedup_eval",
+        # chunked window hashing + decontamination prefilter
         "longest_dup_substrings", "dup_substring_doc_stats",
         "exactsubstr_cut_plan", "intra_doc_repeats",
         "exactsubstr_source_coverage", "decontaminate_exactsubstr",
-        "dedup_ngram_jaccard", "dedup_keep_best", "source_overlap_matrix",
-        "dup_threshold_curve", "minhash_dedup_eval",
-        "supplier_balance_quartiles", "revenue_gini", "pareto_suppliers",
-        "curation_funnel", "kmeans_embeddings",
+        # artifact-lifecycle unification consumers
+        "dedup_ngram_jaccard", "dedup_components", "dedup_cluster_stats",
+        "dedup_keep_best", "source_overlap_matrix", "dup_threshold_curve",
+        "split_leakage_audit", "continuous_aggregate",
+        "zorder_pruning_stats", "bucketed_revenue_join",
+        "ann_ivf_topk", "ann_ivfpq_topk",
     }
-    assert r9 <= set(P), r9 - set(P)
+    assert r10 <= set(P), r10 - set(P)
     rows_only_ok = {
         "hll_user_rollup", "embedding_pca_variance", "ann_recall_report",
         "distinct_users_approx", "profile_orders_approx", "ann_pq_topk",
-        "ann_ivfpq_topk", "bpe_vocab_merges", "bpe_token_stats",
-        "compression_quality_flags", "percentile_accuracy_audit",
-        "minhash_dedup_eval", "ann_lsh_topk", "dedup_embedding_lsh",
-        "endpoint_stats_approx",
+        "ann_ivf_topk", "ann_ivfpq_topk", "bpe_vocab_merges",
+        "bpe_token_stats", "compression_quality_flags",
+        "percentile_accuracy_audit", "minhash_dedup_eval", "ann_lsh_topk",
+        "dedup_embedding_lsh", "endpoint_stats_approx",
     }
     for k in P:
         assert k in osql or k in rows_only_ok, k
