@@ -343,14 +343,29 @@ def main() -> None:
     # laps stay steady-state consumer reads. An explicit
     # SPARK_GRAFT_ARTIFACT_DIR is respected (escape hatch for
     # correctness-only runs that want the warm cache).
+    import shutil
     import tempfile
 
     from nabatshy_spark import artifacts
 
+    run_artifact_dir = None
     if "SPARK_GRAFT_ARTIFACT_DIR" not in os.environ:
-        os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = tempfile.mkdtemp(
-            prefix="nabatshy_bench_artifacts_"
-        )
+        # Crashed earlier runs leave their roots behind (each run uses
+        # a fresh one, so artifacts' own in-root GC never revisits
+        # them) — sweep siblings older than 6 h before creating ours,
+        # bounding /tmp growth to one run's artifacts plus recents.
+        tmp = tempfile.gettempdir()
+        cutoff = time.time() - 6 * 3600
+        for e in os.listdir(tmp):
+            if e.startswith("nabatshy_bench_artifacts_"):
+                p = os.path.join(tmp, e)
+                try:
+                    if os.stat(p).st_mtime < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+        run_artifact_dir = tempfile.mkdtemp(prefix="nabatshy_bench_artifacts_")
+        os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = run_artifact_dir
     artifacts.BUILD_TIMES.clear()
     _ensure_scaled_spans(sf_num)
     spark = get_spark("nabatshy_bench")
@@ -591,6 +606,13 @@ def main() -> None:
         n -= 1
         line = _line(n)
     print(line)
+    # The per-run artifact root served its purpose (fresh builds,
+    # measured); zorder/bucketed layouts in it are full table copies,
+    # so leaving it would grow /tmp by GBs per run.
+    if run_artifact_dir is not None:
+        import shutil
+
+        shutil.rmtree(run_artifact_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -95,11 +95,35 @@ def _secure_dir(path: str) -> str:
             f"{os.getuid()}: refusing to trust a cache another user "
             "controls"
         )
+    # makedirs' mode applies only to NEWLY created dirs: a pre-existing
+    # group/world-writable root (older code, permissive umask) would
+    # re-open the pre-planted-cache hole the 0700 contract closes —
+    # tighten it in place.
+    if st.st_mode & 0o077:
+        os.chmod(path, 0o700)
     return path
 
 
 def _complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _newest_dir_mtime(path: str) -> float:
+    """Newest mtime across ``path`` and every SUBDIRECTORY (files are
+    skipped — creating/renaming a file updates its parent dir's mtime,
+    so directory mtimes bound file activity while keeping the walk
+    cheap on staging trees with many part files)."""
+    try:
+        newest = os.stat(path).st_mtime
+    except OSError:
+        return 0.0
+    for root, dirs, _files in os.walk(path):
+        for d in dirs:
+            try:
+                newest = max(newest, os.stat(os.path.join(root, d)).st_mtime)
+            except OSError:
+                continue
+    return newest
 
 
 def _sweep(base: str, ttl: float) -> None:
@@ -115,7 +139,17 @@ def _sweep(base: str, ttl: float) -> None:
         except OSError:
             continue
         if ".staging-" in e or ".quarantine-" in e:
-            if age > _STAGING_TTL:
+            # A LIVE build's staging dir can keep a stale top-level
+            # mtime (Spark's committer writes under _temporary/
+            # subtrees), and the module advertises multi-hour builds —
+            # judge staleness by the newest mtime in the whole
+            # directory tree, or an active build racing this sweep
+            # would have its task outputs deleted and could still
+            # commit a silently incomplete artifact.
+            if (
+                age > _STAGING_TTL
+                and now - _newest_dir_mtime(p) > _STAGING_TTL
+            ):
                 shutil.rmtree(p, ignore_errors=True)
         elif age > ttl:
             shutil.rmtree(p, ignore_errors=True)

@@ -34,9 +34,19 @@ def blocked_candidate_pairs(
     block_cols: list[str] | None = None,
     carry_cols: list[str] | None = None,
     min_jaccard: float = 0.0,
+    rep_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 name token, with the token-Jaccard
     ingredients (``inter``, ``n_a``, ``n_b``).
+
+    ``rep_cap`` bounds the canonical-name pass (round 10): instead of
+    all pairs within an identical-token-set group (Σ g², the quadratic
+    term on dup-heavy catalogs), each record pairs only with the
+    ``rep_cap`` LOWEST-ID representatives of its group — Σ g·rep_cap,
+    linear in group size. Groups ≤ rep_cap are exhaustively paired, so
+    the cap is invisible until it binds; a deterministic, documented
+    miss condition beyond that (non-rep×non-rep pairs are not
+    emitted). ``None`` keeps the exact full pass.
 
     Multi-pass blocking, the scalable record-linkage shape:
 
@@ -187,10 +197,25 @@ def blocked_candidate_pairs(
         canon = sets.select(
             "id", F.sort_array("ts").alias("key"), *bks
         ).repartition(fanout, "key", *bks)
-        ca = canon.alias("ca")
-        cb = canon.alias("cb")
-        cand = cand.unionByName(
-            ca.join(
+        if rep_cap is not None:
+            w = Window.partitionBy("key", *bks).orderBy("id")
+            ranked = canon.withColumn("__r", F.row_number().over(w))
+            reps = ranked.filter(F.col("__r") <= rep_cap).select(
+                F.col("id").alias("__rep"), "key", *bks
+            )
+            canon_pairs = (
+                ranked.join(reps, ["key", *bks])
+                .filter(F.col("id") != F.col("__rep"))
+                .select(
+                    F.least("id", "__rep").alias("id_a"),
+                    F.greatest("id", "__rep").alias("id_b"),
+                )
+                .distinct()
+            )
+        else:
+            ca = canon.alias("ca")
+            cb = canon.alias("cb")
+            canon_pairs = ca.join(
                 cb,
                 (F.col("ca.key") == F.col("cb.key"))
                 & (F.col("ca.id") < F.col("cb.id"))
@@ -198,7 +223,7 @@ def blocked_candidate_pairs(
             ).select(
                 F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b")
             )
-        )
+        cand = cand.unionByName(canon_pairs)
     cand = cand.dropDuplicates(["id_a", "id_b"])
     sa = sets.alias("sa")
     sb = sets.alias("sb")
@@ -216,6 +241,37 @@ def blocked_candidate_pairs(
             *[F.col(f"sa.{c}").alias(f"{c}_a") for c in carry],
             *[F.col(f"sb.{c}").alias(f"{c}_b") for c in carry],
         )
+    )
+
+
+def _score_part_candidates(pairs: DataFrame) -> DataFrame:
+    """THE part-ER score — 0.5·Jaccard(name tokens) + 0.3·[brand equal]
+    + 0.2·(1 − min(|Δsize|, 10)/10) — over a candidate relation
+    carrying (inter, n_a, n_b, p_brand_a/b, p_size_a/b). One
+    definition consumed by both score_part_pairs and
+    part_topk_matches (and mirrored by the DuckDB twins), so a weight
+    or cap change can never leave the truth and capped relations
+    scored by different rules."""
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        ).alias("name_jaccard"),
+        F.when(F.col("p_brand_a") == F.col("p_brand_b"), 1)
+        .otherwise(0)
+        .alias("brand_eq"),
+        (
+            1.0
+            - F.least(
+                F.abs(F.col("p_size_a") - F.col("p_size_b")), F.lit(10)
+            ) / 10.0
+        ).alias("size_sim"),
+    ).withColumn(
+        "score",
+        0.5 * F.col("name_jaccard")
+        + 0.3 * F.col("brand_eq")
+        + 0.2 * F.col("size_sim"),
     )
 
 
@@ -248,30 +304,8 @@ def score_part_pairs(
         carry_cols=["p_brand", "p_size"],
         min_jaccard=max(0.0, (threshold - 0.5) / 0.5),
     )
-    scored = (
-        pairs.select(
-            "id_a",
-            "id_b",
-            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
-                "name_jaccard"
-            ),
-            F.when(F.col("p_brand_a") == F.col("p_brand_b"), 1).otherwise(0).alias(
-                "brand_eq"
-            ),
-            (
-                1.0
-                - F.least(
-                    F.abs(F.col("p_size_a") - F.col("p_size_b")), F.lit(10)
-                ) / 10.0
-            ).alias("size_sim"),
-        )
-        .withColumn(
-            "score",
-            0.5 * F.col("name_jaccard")
-            + 0.3 * F.col("brand_eq")
-            + 0.2 * F.col("size_sim"),
-        )
-        .filter(F.col("score") >= threshold)
+    scored = _score_part_candidates(pairs).filter(
+        F.col("score") >= threshold
     )
     return scored.select(
         "id_a",
@@ -326,82 +360,21 @@ def part_topk_matches(
             "blocking is threshold-derived; below 0.7 use the all-pairs "
             "contract)"
         )
-    base = part.select(
-        F.col("p_partkey").alias("id"),
-        F.array_distinct(
-            F.split(F.lower(F.trim(F.col("p_name"))), r"\s+")
-        ).alias("ts"),
-        "p_brand",
-        "p_size",
+    # Same candidate machinery and score definition as the all-pairs
+    # contract (blocked_candidate_pairs + _score_part_candidates) —
+    # only the canonical pass runs rep-capped. The min_jaccard prune is
+    # threshold-derived and recall-lossless, so the post-threshold
+    # match set is unchanged by it.
+    pairs = blocked_candidate_pairs(
+        part, "p_partkey", "p_name", max_df=max_df,
+        block_cols=["p_brand"], carry_cols=["p_brand", "p_size"],
+        min_jaccard=max(0.0, (threshold - 0.5) / 0.5),
+        rep_cap=rep_cap,
     )
-    # --- token pass: df-capped postings on (token, brand) ------------
-    tok = base.select("id", F.explode("ts").alias("tok"), "p_brand")
-    if max_df is not None:
-        keep = (
-            tok.groupBy("tok", "p_brand")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("tok", "p_brand")
-        )
-        tok = tok.join(keep, ["tok", "p_brand"])
-    fanout = part.sparkSession.sparkContext.defaultParallelism
-    tok = tok.repartition(fanout, "tok", "p_brand")
-    ta, tb = tok.alias("ta"), tok.alias("tb")
-    tok_pairs = (
-        ta.join(
-            tb,
-            (F.col("ta.tok") == F.col("tb.tok"))
-            & (F.col("ta.p_brand") == F.col("tb.p_brand"))
-            & (F.col("ta.id") < F.col("tb.id")),
-        )
-        .select(F.col("ta.id").alias("id_a"), F.col("tb.id").alias("id_b"))
-        .distinct()
-    )
-    # --- canonical pass: record × group representatives --------------
-    canon = base.select(
-        "id", F.sort_array("ts").alias("__key"), "p_brand"
-    )
-    w = Window.partitionBy("__key", "p_brand").orderBy("id")
-    ranked = canon.withColumn("__r", F.row_number().over(w))
-    reps = ranked.filter(F.col("__r") <= rep_cap).select(
-        F.col("id").alias("__rep"), "__key", "p_brand"
-    )
-    rep_pairs = (
-        ranked.join(reps, ["__key", "p_brand"])
-        .filter(F.col("id") != F.col("__rep"))
-        .select(
-            F.least("id", "__rep").alias("id_a"),
-            F.greatest("id", "__rep").alias("id_b"),
-        )
-        .distinct()
-    )
-    cand = tok_pairs.unionByName(rep_pairs).dropDuplicates(["id_a", "id_b"])
-    # --- exact scoring on the bounded candidate set ------------------
-    sa = base.select(
-        F.col("id").alias("id_a"),
-        F.col("ts").alias("__tsa"),
-        F.col("p_brand").alias("__ba"),
-        F.col("p_size").alias("__za"),
-    )
-    sb = base.select(
-        F.col("id").alias("id_b"),
-        F.col("ts").alias("__tsb"),
-        F.col("p_brand").alias("__bb"),
-        F.col("p_size").alias("__zb"),
-    )
-    inter = F.size(F.array_intersect("__tsa", "__tsb"))
-    nj = inter / (F.size("__tsa") + F.size("__tsb") - inter)
-    beq = F.when(F.col("__ba") == F.col("__bb"), 1).otherwise(0)
-    ss = 1.0 - F.least(F.abs(F.col("__za") - F.col("__zb")), F.lit(10)) / 10.0
     matched = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (0.5 * nj + 0.3 * beq + 0.2 * ss).alias("__score"),
-        )
-        .filter(F.col("__score") >= threshold)
+        _score_part_candidates(pairs)
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.col("score").alias("__score"))
     )
     directed = matched.select(
         F.col("id_a").alias("p_partkey"),

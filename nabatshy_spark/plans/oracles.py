@@ -5935,96 +5935,13 @@ LIMIT 50
 
 # --- round 10: output-bounded entity resolution ----------------------------
 
-# Mirrors entity.part_topk_matches EXACTLY, including the bounded
-# candidate generation (df-capped token postings per (token, brand) ∪
-# record×representative pairs, rep_cap = 8 lowest ids per identical-
-# (sorted-token-set, brand) group) — the cap is part of the CONTRACT,
-# so the differential is exact at any group size, not just where the
-# cap happens not to bind.
-ORACLES["er_part_topk"] = """
-WITH base AS (
-  SELECT p_partkey AS id,
-         list_distinct(string_split_regex(lower(trim(p_name)), '\\s+')) AS ts,
-         p_brand, p_size
-  FROM part
-),
-tok AS (SELECT id, unnest(ts) AS tok, p_brand FROM base),
-keep AS (
-  SELECT tok, p_brand FROM tok
-  GROUP BY tok, p_brand HAVING count(*) <= 200
-),
-tokc AS (SELECT t.* FROM tok t JOIN keep USING (tok, p_brand)),
-tpair AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM tokc a JOIN tokc b
-    ON a.tok = b.tok AND a.p_brand = b.p_brand AND a.id < b.id
-),
-canon AS (
-  SELECT id, p_brand,
-         array_to_string(list_sort(ts), chr(9)) AS key,
-         row_number() OVER (
-           PARTITION BY array_to_string(list_sort(ts), chr(9)), p_brand
-           ORDER BY id) AS r
-  FROM base
-),
-cpair AS (
-  SELECT DISTINCT least(c.id, p.id) AS id_a, greatest(c.id, p.id) AS id_b
-  FROM canon c JOIN canon p
-    ON c.key = p.key AND c.p_brand = p.p_brand
-   AND p.r <= 8 AND c.id <> p.id
-),
-cand AS (SELECT * FROM tpair UNION SELECT * FROM cpair),
-matched AS (
-  SELECT cd.id_a, cd.id_b,
-         0.5 * (len(list_intersect(a.ts, b.ts)) * 1.0
-                / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
-         + 0.3 * (CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END)
-         + 0.2 * (1.0 - least(abs(a.p_size - b.p_size), 10) / 10.0)
-           AS score
-  FROM cand cd JOIN base a ON a.id = cd.id_a JOIN base b ON b.id = cd.id_b
-),
-thresh AS (SELECT * FROM matched WHERE score >= 0.8),
-directed AS (
-  SELECT id_a AS p_partkey, id_b AS match_key, score FROM thresh
-  UNION ALL
-  SELECT id_b, id_a, score FROM thresh
-),
-ranked AS (
-  SELECT p_partkey, match_key, score,
-         row_number() OVER (PARTITION BY p_partkey
-                            ORDER BY score DESC, match_key ASC) AS rn
-  FROM directed
-)
-SELECT p_partkey, match_key, CAST(rn AS INTEGER) AS rank,
-       round(score, 6) AS score
-FROM ranked WHERE rn <= 3
-ORDER BY p_partkey, rank
-"""
-
-# Gate for the rep-capped contract: truth = per-record top-3 from the
-# exhaustive scored relation (same provably-complete blocking argument
-# as er_part_pairs); capped = er_part_topk's own CTE chain. Integer
-# counts + one exact ratio.
-ORACLES["er_topk_eval"] = f"""
-WITH scored AS ({_ER_SCORED_SQL}),
-matched AS (
-  SELECT id_a, id_b,
-         0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim AS score
-  FROM scored
-  WHERE 0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim >= 0.8
-),
-directed AS (
-  SELECT id_a AS p_partkey, id_b AS match_key, score FROM matched
-  UNION ALL
-  SELECT id_b, id_a, score FROM matched
-),
-true_topk AS (
-  SELECT p_partkey, match_key FROM (
-    SELECT p_partkey, match_key,
-           row_number() OVER (PARTITION BY p_partkey
-                              ORDER BY score DESC, match_key ASC) AS rn
-    FROM directed) WHERE rn <= 3
-),
+# The capped candidate chain is the CONTRACT (df-capped token postings
+# per (token, brand) ∪ record×representative pairs, rep_cap = 8 lowest
+# ids per identical-(sorted-token-set, brand) group) — ONE fragment
+# shared by er_part_topk and its recall gate er_topk_eval, so the two
+# can never encode different cap semantics (same rule as the shared
+# _ER_SCORED_SQL above).
+_ER_TOPK_CAPPED_SQL = """
 base AS (
   SELECT p_partkey AS id,
          list_distinct(string_split_regex(lower(trim(p_name)), '\\s+')) AS ts,
@@ -6057,7 +5974,7 @@ cpair AS (
    AND p.r <= 8 AND c.id <> p.id
 ),
 cand AS (SELECT * FROM tpair UNION SELECT * FROM cpair),
-cmatched AS (
+capped_scored AS (
   SELECT cd.id_a, cd.id_b,
          0.5 * (len(list_intersect(a.ts, b.ts)) * 1.0
                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
@@ -6065,12 +5982,62 @@ cmatched AS (
          + 0.2 * (1.0 - least(abs(a.p_size - b.p_size), 10) / 10.0)
            AS score
   FROM cand cd JOIN base a ON a.id = cd.id_a JOIN base b ON b.id = cd.id_b
+)"""
+
+# Mirrors entity.part_topk_matches EXACTLY, including the bounded
+# candidate generation — the cap is part of the contract, so the
+# differential is exact at any group size, not just where the cap
+# happens not to bind.
+ORACLES["er_part_topk"] = f"""
+WITH {_ER_TOPK_CAPPED_SQL},
+thresh AS (SELECT * FROM capped_scored WHERE score >= 0.8),
+directed AS (
+  SELECT id_a AS p_partkey, id_b AS match_key, score FROM thresh
+  UNION ALL
+  SELECT id_b, id_a, score FROM thresh
 ),
+ranked AS (
+  SELECT p_partkey, match_key, score,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY score DESC, match_key ASC) AS rn
+  FROM directed
+)
+SELECT p_partkey, match_key, CAST(rn AS INTEGER) AS rank,
+       round(score, 6) AS score
+FROM ranked WHERE rn <= 3
+ORDER BY p_partkey, rank
+"""
+
+# Gate for the rep-capped contract: truth = per-record top-3 from the
+# exhaustive scored relation (same provably-complete blocking argument
+# as er_part_pairs); capped = the SAME fragment er_part_topk runs.
+# Integer counts + one exact ratio.
+ORACLES["er_topk_eval"] = f"""
+WITH scored AS ({_ER_SCORED_SQL}),
+matched AS (
+  SELECT id_a, id_b,
+         0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim AS score
+  FROM scored
+  WHERE 0.5 * name_jaccard + 0.3 * brand_eq + 0.2 * size_sim >= 0.8
+),
+directed AS (
+  SELECT id_a AS p_partkey, id_b AS match_key, score FROM matched
+  UNION ALL
+  SELECT id_b, id_a, score FROM matched
+),
+true_topk AS (
+  SELECT p_partkey, match_key FROM (
+    SELECT p_partkey, match_key,
+           row_number() OVER (PARTITION BY p_partkey
+                              ORDER BY score DESC, match_key ASC) AS rn
+    FROM directed) WHERE rn <= 3
+),
+{_ER_TOPK_CAPPED_SQL},
 cdirected AS (
   SELECT id_a AS p_partkey, id_b AS match_key, score
-  FROM cmatched WHERE score >= 0.8
+  FROM capped_scored WHERE score >= 0.8
   UNION ALL
-  SELECT id_b, id_a, score FROM cmatched WHERE score >= 0.8
+  SELECT id_b, id_a, score FROM capped_scored WHERE score >= 0.8
 ),
 capped AS (
   SELECT p_partkey, match_key FROM (

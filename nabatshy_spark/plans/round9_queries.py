@@ -127,18 +127,22 @@ def intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabatshy_spark.operators import suffixes
 
     docs = load(spark, sf_dir, "documents")
-    return (
-        suffixes.intra_doc_repeat_runs(
-            docs, "doc_id", "text", min_len=20, max_occ=50
-        )
-        .orderBy(
-            F.col("rep_len").desc(),
-            F.col("doc_id").asc(),
-            F.col("pos_a").asc(),
-            F.col("period").asc(),
-        )
-        .limit(50)
-    )
+    # Materialize the (output-bounded) runs relation eagerly, then
+    # release the internal window-relation persist — without this every
+    # invocation leaves a full-corpus cached relation behind (ADVICE
+    # r9; bench masks it with clearCache, other drivers don't).
+    handles: list[DataFrame] = []
+    runs = suffixes.intra_doc_repeat_runs(
+        docs, "doc_id", "text", min_len=20, max_occ=50, _handles=handles
+    ).localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return runs.orderBy(
+        F.col("rep_len").desc(),
+        F.col("doc_id").asc(),
+        F.col("pos_a").asc(),
+        F.col("period").asc(),
+    ).limit(50)
 
 
 @query("exactsubstr_source_coverage")
@@ -210,9 +214,15 @@ def decontaminate_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = sampling.split_corpus(docs, "doc_id", train_bps=62259, val_bps=1638)
     train = splits.filter(F.col("split") == "train")
     test = splits.filter(F.col("split") == "test")
+    # Eager-checkpoint the (leak-bounded) runs, then release the two
+    # internal window persists — see intra_doc_repeats for why.
+    handles: list[DataFrame] = []
     runs = suffixes.cross_corpus_substring_runs(
-        train, test, "doc_id", "text", min_len=50, max_df=200
-    )
+        train, test, "doc_id", "text", min_len=50, max_df=200,
+        _handles=handles,
+    ).localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
     return (
         runs.select(
             F.col("corpus_id").alias("train_doc"),

@@ -110,8 +110,6 @@ def ensure_bucketed(
     src = os.path.join(sf_dir, f"{source}.parquet")
     fp = artifacts.source_fingerprint(src)
     table = f"nab_{source}_bkt{num_buckets}_{fp[:12]}"
-    if spark.catalog.tableExists(table):
-        return table
     df = spark.read.parquet(src)
 
     def _build(staging_path: str) -> None:
@@ -120,6 +118,10 @@ def ensure_bucketed(
         # External table: dropping it leaves the staged files in place.
         spark.sql(f"DROP TABLE IF EXISTS `{staging_table}`")
 
+    # ensure() runs even when the catalog table already exists: its
+    # cache-hit utime is the artifact GC's time-since-last-READ marker,
+    # and skipping it would let the 7-day sweep delete a layout still
+    # actively served by a registered table.
     path = artifacts.ensure(
         "bucketed",
         table,
@@ -127,7 +129,10 @@ def ensure_bucketed(
         env_var="SPARK_GRAFT_BUCKET_DIR",
         base=BUCKET_ROOT,
     )
-    _register_external_bucketed(spark, table, path, df.schema, keys, num_buckets)
+    if not spark.catalog.tableExists(table):
+        _register_external_bucketed(
+            spark, table, path, df.schema, keys, num_buckets
+        )
     return table
 
 
