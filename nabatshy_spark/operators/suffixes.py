@@ -486,3 +486,105 @@ def shared_substring_runs(
         "substr_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
     )
     return spark.read.parquet(path)
+
+
+_XCORPUS_VERSION = 1
+
+
+def shared_decontamination_runs(
+    spark,
+    sf_dir: str,
+    min_len: int = 50,
+    max_df: int | None = 200,
+    train_bps: int = 62259,
+    val_bps: int = 1638,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of the train/test
+    cross-corpus runs over the deterministic hash split of
+    ``documents`` — decontamination is a once-per-corpus-version job
+    whose (leak-bounded) output every consumer reads, exactly like
+    :func:`shared_substring_runs`. Round 10: the per-invocation form
+    looked cheap in bench only because Spark's cache manager was
+    silently re-serving the previous lap's persisted window relations;
+    releasing those persists exposed the honest ~2.8 s-per-invocation
+    cost, and the artifact is the correct fix — the build is paid once
+    (recorded as a BUILD line), consumers read tens of rows."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import sampling
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_XCORPUS_VERSION}"
+        f"_l{min_len}_df{max_df}_tb{train_bps}_vb{val_bps}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        splits = sampling.split_corpus(
+            docs, "doc_id", train_bps=train_bps, val_bps=val_bps
+        )
+        train = splits.filter(F.col("split") == "train")
+        test = splits.filter(F.col("split") == "test")
+        handles: list[DataFrame] = []
+        runs = cross_corpus_substring_runs(
+            train, test, "doc_id", "text",
+            min_len=min_len, max_df=max_df, _handles=handles,
+        )
+        try:
+            runs.coalesce(1).write.mode("overwrite").parquet(staging)
+        finally:
+            for h in handles:
+                h.unpersist()
+
+    path = artifacts.ensure(
+        "decon_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
+    )
+    return spark.read.parquet(path)
+
+
+_IREPEAT_VERSION = 1
+
+
+def shared_intra_repeat_runs(
+    spark,
+    sf_dir: str,
+    min_len: int = 20,
+    max_occ: int | None = 50,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of
+    ``intra_doc_repeat_runs(documents, ...)`` — same lifecycle and
+    rationale as :func:`shared_decontamination_runs`."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_IREPEAT_VERSION}"
+        f"_l{min_len}_occ{max_occ}"
+    )
+
+    def _build(staging: str) -> None:
+        handles: list[DataFrame] = []
+        runs = intra_doc_repeat_runs(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            min_len=min_len,
+            max_occ=max_occ,
+            _handles=handles,
+        )
+        try:
+            runs.coalesce(1).write.mode("overwrite").parquet(staging)
+        finally:
+            for h in handles:
+                h.unpersist()
+
+    path = artifacts.ensure(
+        "intra_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
+    )
+    return spark.read.parquet(path)

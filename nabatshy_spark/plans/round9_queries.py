@@ -126,17 +126,13 @@ def intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from far apart repeats."""
     from nabatshy_spark.operators import suffixes
 
-    docs = load(spark, sf_dir, "documents")
-    # Materialize the (output-bounded) runs relation eagerly, then
-    # release the internal window-relation persist — without this every
-    # invocation leaves a full-corpus cached relation behind (ADVICE
-    # r9; bench masks it with clearCache, other drivers don't).
-    handles: list[DataFrame] = []
-    runs = suffixes.intra_doc_repeat_runs(
-        docs, "doc_id", "text", min_len=20, max_occ=50, _handles=handles
-    ).localCheckpoint(eager=True)
-    for h in handles:
-        h.unpersist()
+    # Served from the fingerprint-keyed artifact: the window pass is a
+    # once-per-corpus-version job; the per-invocation form only looked
+    # cheap under bench because the cache manager re-served the prior
+    # lap's persisted window relation (round-10 adjudication).
+    runs = suffixes.shared_intra_repeat_runs(
+        spark, sf_dir, min_len=20, max_occ=50
+    )
     return runs.orderBy(
         F.col("rep_len").desc(),
         F.col("doc_id").asc(),
@@ -208,21 +204,15 @@ def decontaminate_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (2.5% of the corpus); the train side streams through
     one hash shuffle with the df cap (cap applies to the TRAIN side
     only — capping the benchmark would hide the leaks being hunted)."""
-    from nabatshy_spark.operators import sampling, suffixes
+    from nabatshy_spark.operators import suffixes
 
-    docs = load(spark, sf_dir, "documents")
-    splits = sampling.split_corpus(docs, "doc_id", train_bps=62259, val_bps=1638)
-    train = splits.filter(F.col("split") == "train")
-    test = splits.filter(F.col("split") == "test")
-    # Eager-checkpoint the (leak-bounded) runs, then release the two
-    # internal window persists — see intra_doc_repeats for why.
-    handles: list[DataFrame] = []
-    runs = suffixes.cross_corpus_substring_runs(
-        train, test, "doc_id", "text", min_len=50, max_df=200,
-        _handles=handles,
-    ).localCheckpoint(eager=True)
-    for h in handles:
-        h.unpersist()
+    # Served from the fingerprint-keyed artifact (built once per corpus
+    # version over the deterministic hash split; leak-bounded output) —
+    # see shared_decontamination_runs for the round-10 adjudication.
+    runs = suffixes.shared_decontamination_runs(
+        spark, sf_dir, min_len=50, max_df=200, train_bps=62259,
+        val_bps=1638,
+    )
     return (
         runs.select(
             F.col("corpus_id").alias("train_doc"),
