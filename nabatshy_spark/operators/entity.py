@@ -362,13 +362,15 @@ def part_topk_matches(
         )
     # Same candidate machinery and score definition as the all-pairs
     # contract (blocked_candidate_pairs + _score_part_candidates) —
-    # only the canonical pass runs rep-capped. The min_jaccard prune is
-    # threshold-derived and recall-lossless, so the post-threshold
-    # match set is unchanged by it.
+    # only the canonical pass runs rep-capped. min_jaccard stays 0:
+    # the prune exists to shrink an UNBOUNDED verify join, but here
+    # candidates are already df- and rep-capped, and its survivor-count
+    # machinery re-references the posting subtree (plan audit: 29→17
+    # exchanges without it) — the post-threshold match set is identical
+    # either way (the prune is recall-lossless by construction).
     pairs = blocked_candidate_pairs(
         part, "p_partkey", "p_name", max_df=max_df,
         block_cols=["p_brand"], carry_cols=["p_brand", "p_size"],
-        min_jaccard=max(0.0, (threshold - 0.5) / 0.5),
         rep_cap=rep_cap,
     )
     matched = (
