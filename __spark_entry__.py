@@ -46,8 +46,9 @@ _PRIORITY = [
     # row). Staleness-driven (VERDICT r8 task #6 convention): (a) every
     # query whose code path round 10 touched, (b) the new round-10
     # query, (c) the oldest-evidence tail (r1, then r2).
-    # (b) NEW: the output-bounded ER surface + its recall gate.
-    "er_part_topk", "er_topk_eval",
+    # (b) NEW: the output-bounded ER surface + its recall gate, and
+    # the ExactSubstr APPLY step (sha256-pinned splice).
+    "er_part_topk", "er_topk_eval", "exactsubstr_rewrite_preview",
     # (a1) minhash banding rewrite (dedup.minhash_lsh_pairs: one
     # transform(sequence) band-key expression, long keys).
     "dedup_minhash_lsh", "minhash_dedup_eval",
@@ -77,7 +78,6 @@ _PRIORITY = [
     # (c2) next-oldest tail: external row last seen in r2.
     "chunk_documents", "corpus_split", "dedup_embedding",
     "dedup_simhash", "embedding_centroids", "embedding_quantize",
-    "event_funnel",
 ]
 
 

@@ -254,6 +254,7 @@ HEADLINE = [
     # (er_topk_eval is excluded like minhash_dedup_eval: an audit gate
     # that deliberately pays the quadratic all-pairs twin's cost)
     "er_part_topk",
+    "exactsubstr_rewrite_preview",
 ]
 
 

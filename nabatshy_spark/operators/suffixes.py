@@ -588,3 +588,65 @@ def shared_intra_repeat_runs(
         "intra_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
     )
     return spark.read.parquet(path)
+
+
+def exactsubstr_rewrite(
+    df: DataFrame, id_col: str, text_col: str, runs: DataFrame
+) -> DataFrame:
+    """APPLY the ExactSubstr cut plan (Lee et al. 2021 §4.2): splice
+    the keep-first cut intervals out of each affected document and
+    return the rewritten corpus — same schema as ``df``, unaffected
+    rows passed through byte-identical. This is the step
+    :func:`exactsubstr_cut_stats` audits; until round 10 it existed
+    only as the unit test's reference splice.
+
+    Mechanics: cut intervals (doc_b side of every verified run) merge
+    per document via :func:`merge_intervals` — the ONE interval-merge
+    definition, so the rewrite can never disagree with the audited
+    plan — then one ``aggregate`` expression walks the sorted interval
+    list building the kept-segment concatenation (per-document work is
+    O(intervals + |text|), affected documents only; the HOF runs
+    interpreted but over the dup-bounded affected set, never the
+    corpus).
+
+    Scale: at 100 TB this is the rewrite job between the runs artifact
+    and the exported corpus; everything is a join + per-row expression
+    — no shuffle beyond the merge's per-document window.
+    """
+    cuts = runs.select(
+        F.col("doc_b").alias(id_col),
+        F.col("pos_b").cast("long").alias("__s"),
+        (F.col("pos_b") + F.col("dup_len")).cast("long").alias("__e"),
+    )
+    merged = merge_intervals(cuts, id_col, "__s", "__e")
+    iv = merged.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__ms").cast("long").alias("s"),
+                    F.col("__me").cast("long").alias("e"),
+                )
+            )
+        ).alias("__iv")
+    )
+    splice = F.expr(
+        f"""concat(
+          aggregate(
+            __iv,
+            struct(cast(1 as bigint) as pos, '' as acc),
+            (st, x) -> struct(
+              x.e as pos,
+              concat(st.acc,
+                     substring({text_col}, cast(st.pos as int),
+                               cast(x.s - st.pos as int))) as acc),
+            st -> concat(st.acc,
+                         substring({text_col}, cast(st.pos as int),
+                                   cast(length({text_col}) - st.pos + 1
+                                        as int)))
+        ))"""
+    )
+    out = df.join(iv, id_col, "left")
+    return out.withColumn(
+        text_col,
+        F.when(F.col("__iv").isNull(), F.col(text_col)).otherwise(splice),
+    ).drop("__iv")

@@ -6059,3 +6059,48 @@ SELECT (SELECT count(DISTINCT p_partkey) FROM true_topk) AS n_records,
        round((SELECT count(*) FROM shared) * 1.0
              / (SELECT count(*) FROM true_topk), 6) AS edge_recall
 """
+
+# The APPLY step: independent splice via kept-segment string_agg over
+# the same merged intervals as the cut plan; sha256 pins the bytes.
+ORACLES["exactsubstr_rewrite_preview"] = _DUP_RUNS_CTE + """
+, cuts AS (
+  SELECT doc_b AS doc_id, pos_b AS s, pos_b + dup_len AS e FROM cand
+),
+ord AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM cuts
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+  FROM ord
+),
+merged AS (
+  SELECT doc_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY doc_id, g
+),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 1) AS s,
+         ms AS e
+  FROM merged
+  UNION ALL
+  SELECT m.doc_id, max(m.me) AS s, any_value(length(d.text)) + 1 AS e
+  FROM merged m JOIN documents d USING (doc_id) GROUP BY m.doc_id
+),
+spliced AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, s.s::INT, (s.e - s.s)::INT),
+                    '' ORDER BY s.s) AS new_text
+  FROM segs s JOIN documents d USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT sp.doc_id, d.n_chars::BIGINT AS old_len,
+       length(sp.new_text)::BIGINT AS new_len,
+       sha256(sp.new_text) AS new_sha
+FROM spliced sp JOIN documents d USING (doc_id)
+ORDER BY sp.doc_id
+"""

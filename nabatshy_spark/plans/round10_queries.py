@@ -98,3 +98,34 @@ def er_topk_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edge_recall"
         ),
     )
+
+
+@query("exactsubstr_rewrite_preview")
+def exactsubstr_rewrite_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup: splice the keep-first cut
+    intervals out of every affected document
+    (suffixes.exactsubstr_rewrite over the shared runs artifact) and
+    emit the verification record a curation run signs off on —
+    (doc_id, old_len, new_len, sha256 of the rewritten text). The
+    content hash makes the differential pin the SPLICED BYTES, not
+    just lengths; docs whose every byte came out identical in DuckDB's
+    independent string_agg splice prove the interval complement math
+    end-to-end. Unaffected documents are excluded (they pass through
+    byte-identical by construction, asserted in the unit)."""
+    from nabatshy_spark.operators import suffixes
+
+    runs = suffixes.shared_substring_runs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    rewritten = suffixes.exactsubstr_rewrite(docs, "doc_id", "text", runs)
+    affected = rewritten.join(
+        runs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id"
+    )
+    return (
+        affected.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("old_len"),
+            F.length("text").cast("long").alias("new_len"),
+            F.sha2("text", 256).alias("new_sha"),
+        )
+        .orderBy("doc_id")
+    )

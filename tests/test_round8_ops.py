@@ -284,7 +284,7 @@ def test_correctness_window_invariants():
     # its code changes touched must be inside the window.
     r10 = {
         # new this round
-        "er_part_topk", "er_topk_eval",
+        "er_part_topk", "er_topk_eval", "exactsubstr_rewrite_preview",
         # minhash banding rewrite
         "dedup_minhash_lsh", "minhash_dedup_eval",
         # chunked window hashing + decontamination prefilter

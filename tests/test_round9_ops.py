@@ -228,6 +228,15 @@ def test_exactsubstr_cut_keep_first_and_merge(spark):
         for b in wins:
             if a < b:
                 assert not (wins[a] & wins[b]), (a, b)
+    # the OPERATOR (round 10) must reproduce this reference splice
+    # byte-for-byte, including unaffected docs passing through
+    got = {
+        r.doc_id: r.text
+        for r in suffixes.exactsubstr_rewrite(
+            docs, "doc_id", "text", runs
+        ).collect()
+    }
+    assert got == rewritten
 
 
 def test_intra_doc_repeats_periodic_exact(spark):
