@@ -41,43 +41,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-10 window (exactly 50 — the driver checks the FIRST 50
+    # ---- Round-11 window (exactly 50 — the driver checks the FIRST 50
     # registered queries only; entry #51 would silently never get a
     # row). Staleness-driven (VERDICT r8 task #6 convention): (a) every
-    # query whose code path round 10 touched, (b) the new round-10
-    # query, (c) the oldest-evidence tail (r1, then r2).
-    # (b) NEW: the output-bounded ER surface + its recall gate, and
-    # the ExactSubstr APPLY step (sha256-pinned splice).
-    "er_part_topk", "er_topk_eval", "exactsubstr_rewrite_preview",
-    # (a1) minhash banding rewrite (dedup.minhash_lsh_pairs: one
-    # transform(sequence) band-key expression, long keys).
-    "dedup_minhash_lsh", "minhash_dedup_eval",
-    # (a2) chunked window hashing (suffixes.window_hash_postings) +
-    # the broadcast-semi-join bench prefilter in
-    # cross_corpus_substring_runs → the whole ExactSubstr family.
+    # query whose code path round 11 touched, (b) the new round-11
+    # query, (c) the oldest-evidence tail.
+    # (b) NEW: the document-ER bounded top-k contract.
+    "er_doc_topk",
+    # (a1) the ER candidate-DAG collapse (entity.py refactor +
+    # shared part_matches artifact) → the whole part-ER family.
+    "er_part_topk", "er_topk_eval", "er_part_pairs", "er_part_clusters",
+    # (a2) the shared-corpus-window-scan rebuild of the three runs
+    # artifacts (suffixes.dual_window_hash_postings +
+    # _ensure_default_artifacts) + the bench-broadcast fallback →
+    # the whole ExactSubstr family.
     "longest_dup_substrings", "dup_substring_doc_stats",
     "exactsubstr_cut_plan", "intra_doc_repeats",
     "exactsubstr_source_coverage", "decontaminate_exactsubstr",
-    # (a3) artifact-lifecycle unification (artifacts.py) → every
-    # consumer of a fingerprint-keyed artifact: the shared n-gram pair
-    # relation (7 oracle consumers), the contagg rollup, the z-order
-    # and bucketed layouts, and the IVF/IVFPQ indexes (rows-only).
-    "dedup_ngram_jaccard", "dedup_components", "dedup_cluster_stats",
-    "dedup_keep_best", "source_overlap_matrix", "dup_threshold_curve",
-    "split_leakage_audit", "continuous_aggregate",
+    "exactsubstr_rewrite_preview",
+    # (a3) artifact-lifecycle hardening (artifacts.py: secured root,
+    # quarantine-first sweep, staging cleanup on failed builds) →
+    # representative consumers of each artifact family.
+    "dedup_ngram_jaccard", "continuous_aggregate",
     "zorder_pruning_stats", "bucketed_revenue_join",
-    "ann_ivf_topk", "ann_ivfpq_topk",
-    # (c1) oldest-evidence tail: external row last seen in r1.
-    "region_nation_rollup", "relative_window", "running_user_value",
-    "sample_stratified", "search_dsl_fallback", "search_dsl_typed",
-    "search_page", "segments_with_big_orders", "service_dependency",
-    "sessionization", "slowest_traces", "text_fingerprint",
-    "text_langid", "text_normalize", "text_stats",
-    "text_tfidf_top_terms", "text_token_counts", "top_event_types",
-    "topk_per_group", "trace_rollup", "unpivot_status_price",
-    # (c2) next-oldest tail: external row last seen in r2.
-    "chunk_documents", "corpus_split", "dedup_embedding",
-    "dedup_simhash", "embedding_centroids", "embedding_quantize",
+    # (c) oldest-evidence tail: the complete r2-only set (external row
+    # last refreshed in round 2 — the spans attr/negation family, the
+    # A5/A8 hosts, and the remaining r2 extension queries), then the
+    # two oldest r4 rows.
+    "dedup_incremental", "event_funnel", "fuzzy_prefix_pairs",
+    "latest_event_per_user", "pagerank_trade", "price_histogram",
+    "props_json_stats", "rolling_user_value", "sample_capped_per_source",
+    "sample_weighted", "skew_salted_value_by_user",
+    "spans_attr_negation", "spans_attr_pair", "spans_distinct_services",
+    "spans_endpoint_latency", "spans_error_traces", "spans_hourly_heatmap",
+    "spans_search_metrics", "spans_search_page", "spans_search_sorted",
+    "spans_search_timerange", "spans_service_dependency",
+    "spans_service_issues", "spans_slow_vs_baseline",
+    "spans_slowest_traces", "spans_trace_details",
+    "sql_segment_order_stats", "sql_top_revenue_brands",
+    "text_search_bm25", "user_event_deltas", "value_outliers",
+    "vocab_top_terms",
+    "audio_wav_features", "corpus_length_stats",
 ]
 
 

@@ -255,7 +255,14 @@ HEADLINE = [
     # that deliberately pays the quadratic all-pairs twin's cost)
     "er_part_topk",
     "exactsubstr_rewrite_preview",
+    # round 11: the document-ER bounded contract
+    "er_doc_topk",
 ]
+
+# Headline queries added THIS round — each gets an automatic
+# fresh-session solo adjudication on its first recorded sweep (VERDICT
+# r10 task #3). Reset when a new round adds queries.
+NEW_THIS_ROUND = ["er_doc_topk"]
 
 
 def _ensure_scaled_spans(sf: float) -> None:
@@ -375,32 +382,50 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    # Two INTERLEAVED full laps over the headline set, min per query
+    # (VERDICT r10 task #5): the previous back-to-back min-of-2 sampled
+    # both measurements at the same sweep position, so ambient host/JVM
+    # drift over a ~3-minute sweep showed up as per-query swings up to
+    # 2× (curate_corpus 5.36 sweep vs 3.49 solo) and kept forcing
+    # manual adjudication. With the two samples taken a full lap apart,
+    # slow-varying drift hits each query in at most one lap and the min
+    # cancels it; the run cost is unchanged (warm + 2 measured runs per
+    # query either way).
+    import gc
+
+    names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        QUERIES[name](spark, sf_dir).collect()  # warm: compile + codegen
-        best = float("inf")
-        for _ in range(2):  # min of 2 measured runs damps GC/scheduler noise
+    for lap in range(2):
+        for i, name in enumerate(names, start=1):
+            if lap == 0:
+                # warm: compile + codegen (+ any artifact build, which
+                # is recorded separately via artifacts.BUILD_TIMES)
+                QUERIES[name](spark, sf_dir).collect()
+            # Clear BEFORE the timed run, not only between queries:
+            # operators that persist() internally (minhash/jaccard/
+            # shingle relations) would otherwise serve the lap-0
+            # measurement from the warm lap's cache via Spark's
+            # cache-manager plan matching — the round-10 decontaminate
+            # adjudication, closed in the protocol itself (round 11).
+            # This also drops earlier queries' leftover cached copies,
+            # so each query measures its own cost, not GC debt.
+            spark.catalog.clearCache()
+            # clearCache does NOT free localCheckpoint RDD blocks —
+            # those are only released by the ContextCleaner once the
+            # Python-side DataFrame refs die. Collect them promptly,
+            # and periodically ask the JVM for a full GC, so a
+            # 100+-query run doesn't build up storage-memory debt that
+            # inflates later measurements (observed: identical queries
+            # 8x slower at slot ~65 than solo).
+            gc.collect()
+            if i % 10 == 0:
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # Operators that persist() internally (minhash/jaccard/pipeline)
-        # leave cached copies behind per invocation; drop them so later
-        # queries measure their own cost, not earlier queries' GC debt.
-        spark.catalog.clearCache()
-        # clearCache does NOT free localCheckpoint RDD blocks — those
-        # are only released by the ContextCleaner once the Python-side
-        # DataFrame refs die. Collect them promptly, and periodically
-        # ask the JVM for a full GC, so a 100+-query run doesn't build
-        # up storage-memory debt that inflates later measurements
-        # (observed: identical queries 8x slower at slot ~65 than solo).
-        import gc
-
-        gc.collect()
-        if len(timings) % 10 == 0:
-            spark.sparkContext._jvm.System.gc()
+            elapsed = time.perf_counter() - t0
+            timings[name] = round(
+                min(timings.get(name, float("inf")), elapsed), 4
+            )
 
     # Outlier re-measure: a 100+-query single-JVM sweep shows transient
     # mid-run inflation (same query 4-8x slower in-sequence than solo,
@@ -488,15 +513,32 @@ def main() -> None:
         if sf == "0.1"
         else []
     )
+    # A query with NO previous-round entry bypassed the >1.5x gate
+    # entirely, so its FIRST recorded number was never solo-checked —
+    # er_part_topk entered the r10 books at 7.11 s sweep vs 2.96 s
+    # same-protocol solo with nobody required to reconcile that
+    # (VERDICT r10 task #3). Every first-timer now gets the same
+    # fresh-session solo re-measure and adjudication line as a mover.
+    # The list is EXPLICIT (updated alongside HEADLINE), not inferred
+    # from absence in the previous baseline: the prev map degrades to
+    # the recorded line's slowest ~50 whenever BENCH_DETAIL.json is
+    # from a different run (any intermediate local sweep overwrites
+    # it), and inferring "new" from that flagged ~150 established
+    # queries in one measured run — a 20-minute solo flood.
+    first_timers = (
+        [k for k in NEW_THIS_ROUND if k in timings and k not in prev]
+        if sf == "0.1" and prev
+        else []
+    )
+    solo_targets = list(dict.fromkeys(movers + first_timers))
     solo: dict[str, float] = {}
-    if movers:
+    if solo_targets:
         spark.stop()
         spark = get_spark("nabatshy_bench_solo")
         for t in TABLES:
             load(spark, sf_dir, t).count()
-        import gc
 
-        for name in movers:
+        for name in solo_targets:
             QUERIES[name](spark, sf_dir).collect()  # warm compile/codegen
             best = float("inf")
             for _ in range(4):
@@ -513,7 +555,7 @@ def main() -> None:
     # final sweep would leave its solo evidence only in prose. Append
     # each run's flagged movers + fresh-session solo numbers here; the
     # verdict can read every adjudication from this one file.
-    if movers:
+    if solo_targets:
         with open(os.path.join(here, "BENCH_ADJUDICATIONS.jsonl"), "a") as fh:
             fh.write(
                 json.dumps(
@@ -521,13 +563,15 @@ def main() -> None:
                         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                         "baseline_round": prev_round,
+                        # "prev": null marks a first-timer (no previous
+                        # round entry — adjudicated on entry, task #3).
                         "movers": {
                             k: {
                                 "sweep": timings[k],
-                                "prev": prev[k],
+                                "prev": prev.get(k),
                                 "solo": solo.get(k),
                             }
-                            for k in movers
+                            for k in solo_targets
                         },
                     },
                     sort_keys=True,

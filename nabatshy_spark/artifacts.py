@@ -87,6 +87,12 @@ def artifact_root() -> str:
 
 
 def _secure_dir(path: str) -> str:
+    # makedirs applies `mode` only to the LEAF dir; intermediates get
+    # umask-default bits, so callers creating <root>/<family> in one
+    # call could leave a group/world-writable root under a permissive
+    # umask — another user could then rename family dirs aside (TOCTOU)
+    # even though per-dir ownership checks block pre-planted contents
+    # (ADVICE r10). _resolve therefore secures root and family each.
     os.makedirs(path, mode=0o700, exist_ok=True)
     st = os.stat(path)
     if st.st_uid != os.getuid():
@@ -152,7 +158,22 @@ def _sweep(base: str, ttl: float) -> None:
             ):
                 shutil.rmtree(p, ignore_errors=True)
         elif age > ttl:
-            shutil.rmtree(p, ignore_errors=True)
+            # Same never-delete-in-place rule as _publish (ADVICE r10):
+            # a crashed partial build sitting at a key path could be
+            # replaced by a racer's valid quarantine-restore publish
+            # during a long rmtree — rename the expired entry aside
+            # atomically first, then delete the quarantined copy. The
+            # ".quarantine-" name keeps a concurrent sweep's handling
+            # of a leftover (if we die mid-rmtree) on the age-gated
+            # staging branch above.
+            quarantine = (
+                f"{p}.quarantine-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            )
+            try:
+                os.rename(p, quarantine)
+            except OSError:
+                continue  # a racer republished or swept it first
+            shutil.rmtree(quarantine, ignore_errors=True)
 
 
 def _publish(staging: str, path: str) -> bool:
@@ -203,6 +224,21 @@ def _publish(staging: str, path: str) -> bool:
         return False
 
 
+def _resolve(
+    family: str, key: str, env_var: str | None, base: str | None
+) -> tuple[str, str]:
+    """(root, path) for an artifact, securing every dir this module
+    creates: ``base`` (explicit override, e.g. a test tmpdir) wins over
+    the per-family ``env_var``, which wins over the shared root — and
+    when the shared root is used, it is secured BEFORE the family
+    subdir so no intermediate is left with umask-default permissions
+    (ADVICE r10)."""
+    root = base or (os.environ.get(env_var) if env_var else None)
+    if root is None:
+        root = os.path.join(_secure_dir(artifact_root()), family)
+    return _secure_dir(root), os.path.join(root, key)
+
+
 def ensure(
     family: str,
     key: str,
@@ -220,9 +256,7 @@ def ensure(
     ``base`` (explicit override, e.g. a test tmpdir) wins over the
     per-family ``env_var``, which wins over the shared root.
     """
-    root = base or (os.environ.get(env_var) if env_var else None)
-    root = _secure_dir(root or os.path.join(artifact_root(), family))
-    path = os.path.join(root, key)
+    root, path = _resolve(family, key, env_var, base)
     if _complete(path):
         try:
             os.utime(path)  # LRU marker: TTL is time-since-last-read
@@ -232,7 +266,16 @@ def ensure(
     _sweep(root, ttl)
     staging = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     t0 = time.perf_counter()
-    build(staging)
+    try:
+        build(staging)
+    except BaseException:
+        # A failed builder must not leave its staging tree behind: it
+        # is only swept after the 1 h staging TTL and only on a later
+        # cache miss in the same family root, so repeated failing
+        # builds of large artifacts (layout families are full table
+        # copies) would otherwise accumulate (ADVICE r10).
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     elapsed = round(time.perf_counter() - t0, 4)
     if not _complete(staging):
         shutil.rmtree(staging, ignore_errors=True)

@@ -26,79 +26,36 @@ from pyspark.sql import functions as F
 from nabatshy_spark.operators.dedup import connected_components
 
 
-def blocked_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    name_col: str,
-    max_df: int | None = None,
-    block_cols: list[str] | None = None,
+def candidate_pairs_from_sets(
+    sets: DataFrame,
+    *,
+    n_block: int = 0,
     carry_cols: list[str] | None = None,
+    max_df: int | None = None,
     min_jaccard: float = 0.0,
     rep_cap: int | None = None,
+    hash_canon_key: bool = False,
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 name token, with the token-Jaccard
-    ingredients (``inter``, ``n_a``, ``n_b``).
+    """The blocking/candidate core shared by every set-similarity ER
+    surface (round 11: factored out of :func:`blocked_candidate_pairs`
+    so the document contract reuses the SAME bounded semantics instead
+    of re-implementing them — VERDICT r10 task #4).
 
-    ``rep_cap`` bounds the canonical-name pass (round 10): instead of
-    all pairs within an identical-token-set group (Σ g², the quadratic
-    term on dup-heavy catalogs), each record pairs only with the
-    ``rep_cap`` LOWEST-ID representatives of its group — Σ g·rep_cap,
-    linear in group size. Groups ≤ rep_cap are exhaustively paired, so
-    the cap is invisible until it binds; a deterministic, documented
-    miss condition beyond that (non-rep×non-rep pairs are not
-    emitted). ``None`` keeps the exact full pass.
+    ``sets`` must carry ``id``, ``ts`` (the token/shingle array),
+    ``__bk0..__bk{n_block-1}`` equality-blocking keys, and any
+    ``carry_cols``. Semantics (token pass, df cap, canonical pass,
+    rep cap, Jaccard-upper-bound prune) are documented on
+    :func:`blocked_candidate_pairs`, which delegates here unchanged.
 
-    Multi-pass blocking, the scalable record-linkage shape:
-
-    - *Token pass*: inverted index on name tokens; ``max_df`` drops
-      tokens whose posting list exceeds the cap before the self-join
-      (stop-token suppression), bounding join cost at Σ min(df, cap)²
-      per token even when one token appears in half the corpus.
-    - *Canonical-name pass* (only when a cap is set): equality join on
-      the sorted token set. This closes the cap's one real hole —
-      records whose name is made ENTIRELY of ubiquitous tokens are
-      still perfect token-set matches of each other (a low-cardinality
-      catalog is exactly that), and group-key equality finds them at
-      Σ group² cost with no postings at all.
-
-    Scoring then recomputes the TRUE intersection per surviving
-    candidate via ``array_intersect`` on the full token arrays — so a
-    candidate found through one rare token still counts its capped
-    common tokens, and the emitted (inter, n_a, n_b) are exact
-    regardless of which pass produced the pair.  With ``max_df`` the
-    candidate SET is exact for pairs sharing a sub-cap token or with
-    identical token sets; anything lost shares only capped tokens AND
-    differs somewhere, i.e. sits at partial Jaccard.
-
-    ``block_cols`` adds conjunctive equality blocking: columns whose
-    equality the caller has PROVEN necessary for a match (e.g. a score
-    threshold unreachable without brand equality) join the block key
-    of both passes, dividing posting lists / name groups by that
-    column's cardinality at zero recall cost.
-
-    ``carry_cols`` rides attribute columns through to the output as
-    ``<col>_a`` / ``<col>_b`` so scorers don't need two more id-keyed
-    joins back to the source relation after candidate generation.
-
-    ``min_jaccard`` prunes candidates whose token-Jaccard UPPER BOUND
-    (shared surviving tokens + the smaller capped count, the most the
-    true intersection can reach) falls below it — recall-lossless for
-    any scorer that needs at least that Jaccard, and it shrinks the
-    exact-verify join from every co-token pair to the near-match set.
-    Callers derive it from their score threshold (see
-    :func:`score_part_pairs`); 0.0 disables the prune.
+    ``hash_canon_key`` switches the canonical pass's group key from the
+    sorted token array itself to ``md5(concat_ws(tab, sorted))`` —
+    logically the same grouping (collisions are negligible and the key
+    never reaches the output), but documents shuffle a 32-char digest
+    instead of their full shingle arrays. The part path keeps the raw
+    array key (its 2-token names are smaller than the digest).
     """
-    extra = list(block_cols or [])
     carry = list(carry_cols or [])
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.split(F.lower(F.trim(F.col(name_col))), r"\s+")
-        ).alias("ts"),
-        *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(extra)],
-        *[F.col(c) for c in carry],
-    )
-    bks = [f"__bk{i}" for i in range(len(extra))]
+    bks = [f"__bk{i}" for i in range(n_block)]
 
     def _bk_eq(x: str, y: str):
         cond = F.lit(True)
@@ -193,9 +150,14 @@ def blocked_candidate_pairs(
         )
     cand = cand.select("id_a", "id_b")
     if max_df is not None:
+        canon_key = (
+            F.md5(F.concat_ws("\t", F.sort_array("ts")))
+            if hash_canon_key
+            else F.sort_array("ts")
+        )
         # same single-small-file serialization risk as the token pass
         canon = sets.select(
-            "id", F.sort_array("ts").alias("key"), *bks
+            "id", canon_key.alias("key"), *bks
         ).repartition(fanout, "key", *bks)
         if rep_cap is not None:
             w = Window.partitionBy("key", *bks).orderBy("id")
@@ -244,6 +206,88 @@ def blocked_candidate_pairs(
     )
 
 
+def blocked_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_df: int | None = None,
+    block_cols: list[str] | None = None,
+    carry_cols: list[str] | None = None,
+    min_jaccard: float = 0.0,
+    rep_cap: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 name token, with the token-Jaccard
+    ingredients (``inter``, ``n_a``, ``n_b``).
+
+    ``rep_cap`` bounds the canonical-name pass (round 10): instead of
+    all pairs within an identical-token-set group (Σ g², the quadratic
+    term on dup-heavy catalogs), each record pairs only with the
+    ``rep_cap`` LOWEST-ID representatives of its group — Σ g·rep_cap,
+    linear in group size. Groups ≤ rep_cap are exhaustively paired, so
+    the cap is invisible until it binds; a deterministic, documented
+    miss condition beyond that (non-rep×non-rep pairs are not
+    emitted). ``None`` keeps the exact full pass.
+
+    Multi-pass blocking, the scalable record-linkage shape:
+
+    - *Token pass*: inverted index on name tokens; ``max_df`` drops
+      tokens whose posting list exceeds the cap before the self-join
+      (stop-token suppression), bounding join cost at Σ min(df, cap)²
+      per token even when one token appears in half the corpus.
+    - *Canonical-name pass* (only when a cap is set): equality join on
+      the sorted token set. This closes the cap's one real hole —
+      records whose name is made ENTIRELY of ubiquitous tokens are
+      still perfect token-set matches of each other (a low-cardinality
+      catalog is exactly that), and group-key equality finds them at
+      Σ group² cost with no postings at all.
+
+    Scoring then recomputes the TRUE intersection per surviving
+    candidate via ``array_intersect`` on the full token arrays — so a
+    candidate found through one rare token still counts its capped
+    common tokens, and the emitted (inter, n_a, n_b) are exact
+    regardless of which pass produced the pair.  With ``max_df`` the
+    candidate SET is exact for pairs sharing a sub-cap token or with
+    identical token sets; anything lost shares only capped tokens AND
+    differs somewhere, i.e. sits at partial Jaccard.
+
+    ``block_cols`` adds conjunctive equality blocking: columns whose
+    equality the caller has PROVEN necessary for a match (e.g. a score
+    threshold unreachable without brand equality) join the block key
+    of both passes, dividing posting lists / name groups by that
+    column's cardinality at zero recall cost.
+
+    ``carry_cols`` rides attribute columns through to the output as
+    ``<col>_a`` / ``<col>_b`` so scorers don't need two more id-keyed
+    joins back to the source relation after candidate generation.
+
+    ``min_jaccard`` prunes candidates whose token-Jaccard UPPER BOUND
+    (shared surviving tokens + the smaller capped count, the most the
+    true intersection can reach) falls below it — recall-lossless for
+    any scorer that needs at least that Jaccard, and it shrinks the
+    exact-verify join from every co-token pair to the near-match set.
+    Callers derive it from their score threshold (see
+    :func:`score_part_pairs`); 0.0 disables the prune.
+    """
+    extra = list(block_cols or [])
+    carry = list(carry_cols or [])
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col(name_col))), r"\s+")
+        ).alias("ts"),
+        *[F.col(c).alias(f"__bk{i}") for i, c in enumerate(extra)],
+        *[F.col(c) for c in carry],
+    )
+    return candidate_pairs_from_sets(
+        sets,
+        n_block=len(extra),
+        carry_cols=carry,
+        max_df=max_df,
+        min_jaccard=min_jaccard,
+        rep_cap=rep_cap,
+    )
+
+
 def _score_part_candidates(pairs: DataFrame) -> DataFrame:
     """THE part-ER score — 0.5·Jaccard(name tokens) + 0.3·[brand equal]
     + 0.2·(1 − min(|Δsize|, 10)/10) — over a candidate relation
@@ -275,6 +319,48 @@ def _score_part_candidates(pairs: DataFrame) -> DataFrame:
     )
 
 
+def part_matched_pairs(
+    part: DataFrame,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    rep_cap: int | None = None,
+) -> DataFrame:
+    """RAW scored matched pairs over ``part`` — the relation both ER
+    contracts and the eval gate derive from (round 11: factored out so
+    :func:`shared_part_matches` can materialize it ONCE instead of
+    every consumer re-expanding the candidate DAG — VERDICT r10 #1).
+
+    Columns (id_a, id_b, name_jaccard, brand_eq, size_sim, score) with
+    score ≥ threshold; floats UNROUNDED so downstream top-k ranks by
+    the exact double (rounding is the output queries' presentation
+    concern — ranking by a 6-dp rounding could order two near-ties
+    differently than the oracle's exact-score rank).
+
+    ``rep_cap=None`` is the exact all-pairs contract (threshold-derived
+    Jaccard prune enabled); with a cap, the canonical pass is
+    rep-capped and the prune is skipped (see
+    :func:`part_topk_matches`'s plan note).
+    """
+    block_cols = ["p_brand"] if threshold > 0.7 else None
+    # name_jaccard is the only unbounded-from-below component: brand_eq
+    # and size_sim cap at 0.3 + 0.2, so score >= threshold REQUIRES
+    # J >= (threshold - 0.5)/0.5 — a recall-lossless candidate prune.
+    # With a rep_cap the candidates are already df- and rep-capped and
+    # the prune's survivor-count machinery re-references the posting
+    # subtree (plan audit: 29→17 exchanges without it), so it is
+    # skipped there — the post-threshold match set is identical either
+    # way (the prune is recall-lossless by construction).
+    pairs = blocked_candidate_pairs(
+        part, "p_partkey", "p_name", max_df=max_df, block_cols=block_cols,
+        carry_cols=["p_brand", "p_size"],
+        min_jaccard=(
+            max(0.0, (threshold - 0.5) / 0.5) if rep_cap is None else 0.0
+        ),
+        rep_cap=rep_cap,
+    )
+    return _score_part_candidates(pairs).filter(F.col("score") >= threshold)
+
+
 def score_part_pairs(
     part: DataFrame,
     threshold: float = 0.8,
@@ -295,18 +381,7 @@ def score_part_pairs(
     condition, and it joins the block key (25× fewer candidates on a
     25-brand catalog) with zero recall loss.
     """
-    block_cols = ["p_brand"] if threshold > 0.7 else None
-    # name_jaccard is the only unbounded-from-below component: brand_eq
-    # and size_sim cap at 0.3 + 0.2, so score >= threshold REQUIRES
-    # J >= (threshold - 0.5)/0.5 — a recall-lossless candidate prune.
-    pairs = blocked_candidate_pairs(
-        part, "p_partkey", "p_name", max_df=max_df, block_cols=block_cols,
-        carry_cols=["p_brand", "p_size"],
-        min_jaccard=max(0.0, (threshold - 0.5) / 0.5),
-    )
-    scored = _score_part_candidates(pairs).filter(
-        F.col("score") >= threshold
-    )
+    scored = part_matched_pairs(part, threshold=threshold, max_df=max_df)
     return scored.select(
         "id_a",
         "id_b",
@@ -361,47 +436,270 @@ def part_topk_matches(
             "contract)"
         )
     # Same candidate machinery and score definition as the all-pairs
-    # contract (blocked_candidate_pairs + _score_part_candidates) —
-    # only the canonical pass runs rep-capped. min_jaccard stays 0:
-    # the prune exists to shrink an UNBOUNDED verify join, but here
-    # candidates are already df- and rep-capped, and its survivor-count
-    # machinery re-references the posting subtree (plan audit: 29→17
-    # exchanges without it) — the post-threshold match set is identical
-    # either way (the prune is recall-lossless by construction).
-    pairs = blocked_candidate_pairs(
-        part, "p_partkey", "p_name", max_df=max_df,
-        block_cols=["p_brand"], carry_cols=["p_brand", "p_size"],
-        rep_cap=rep_cap,
+    # contract — only the canonical pass runs rep-capped (see
+    # part_matched_pairs for the skipped-prune plan note).
+    matched = part_matched_pairs(
+        part, threshold=threshold, max_df=max_df, rep_cap=rep_cap
     )
-    matched = (
-        _score_part_candidates(pairs)
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", F.col("score").alias("__score"))
+    return directed_topk(
+        matched, "score", "p_partkey", "match_key", k, score_out="score"
     )
-    directed = matched.select(
-        F.col("id_a").alias("p_partkey"),
-        F.col("id_b").alias("match_key"),
-        "__score",
-    ).unionByName(
-        matched.select(
-            F.col("id_b").alias("p_partkey"),
-            F.col("id_a").alias("match_key"),
-            "__score",
+
+
+def directed_topk(
+    matched: DataFrame,
+    score_col: str,
+    out_id: str,
+    out_match: str,
+    k: int,
+    score_out: str = "score",
+) -> DataFrame:
+    """Per-record top-``k`` from an undirected matched-pair relation
+    (id_a, id_b, score): each pair becomes two directed edges via ONE
+    ``explode`` over the row (a two-branch union would scan the (often
+    artifact-backed) source twice — round-11 plan diet), then
+    row_number ≤ k by (score DESC, partner ASC). Ranks by the RAW
+    score and rounds only for output, so near-ties order exactly as
+    the oracle's exact-score rank."""
+    e = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("k"),
+                F.col("id_b").alias("m"),
+                F.col(score_col).alias("s"),
+            ),
+            F.struct(
+                F.col("id_b").alias("k"),
+                F.col("id_a").alias("m"),
+                F.col(score_col).alias("s"),
+            ),
         )
     )
-    tw = Window.partitionBy("p_partkey").orderBy(
-        F.col("__score").desc(), F.col("match_key").asc()
+    directed = matched.select(e.alias("e")).select(
+        F.col("e.k").alias(out_id),
+        F.col("e.m").alias(out_match),
+        F.col("e.s").alias("__score"),
+    )
+    tw = Window.partitionBy(out_id).orderBy(
+        F.col("__score").desc(), F.col(out_match).asc()
     )
     return (
         directed.withColumn("rank", F.row_number().over(tw))
         .filter(F.col("rank") <= k)
         .select(
-            "p_partkey",
-            "match_key",
+            out_id,
+            out_match,
             F.col("rank").cast("int").alias("rank"),
-            F.round("__score", 6).alias("score"),
+            F.round("__score", 6).alias(score_out),
         )
-        .orderBy("p_partkey", "rank")
+        .orderBy(out_id, "rank")
+    )
+
+
+_MATCHES_VERSION = 1
+
+
+def shared_part_matches(
+    spark,
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_df: int | None = 200,
+    rep_cap: int | None = None,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of
+    :func:`part_matched_pairs` — the scored-candidate relation
+    er_part_pairs, er_part_topk AND the er_topk_eval gate all consume
+    (VERDICT r10 task #1: before this, er_part_topk re-scanned ``part``
+    16× and the eval gate re-expanded the whole candidate DAG on both
+    sides — ex49/scan44, the worst plans in the audit). Same lifecycle
+    as dedup.shared_ngram_pairs: content fingerprint + operator version
+    + parameters key, staging+rename publish owned by
+    nabatshy_spark.artifacts.ensure; the matched relation is
+    output-bounded (threshold-crossing pairs only), so consumers read
+    hundreds of rows where they used to replay the blocking joins.
+
+    At 100 TB this is the only sane shape: candidate generation +
+    scoring is the scheduled once-per-catalog-version job; the top-k
+    projection, the pair report, and the recall gate are all cheap
+    reads of its output.
+    """
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "part.parquet")
+    thr = f"{threshold:g}".replace(".", "p")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_MATCHES_VERSION}"
+        f"_t{thr}_df{max_df}_rc{rep_cap}"
+    )
+
+    def _build(staging: str) -> None:
+        # repartition(1), NOT coalesce(1): the output is tiny, but
+        # coalesce propagates the 1-partition constraint into the last
+        # stage — here the verify join probing the full record sets —
+        # serializing it onto one core (measured 203 s vs 4 s on the
+        # document twin). repartition inserts a shuffle barrier, so
+        # upstream keeps its parallelism and only the write is single.
+        part_matched_pairs(
+            load(spark, sf_dir, "part"),
+            threshold=threshold,
+            max_df=max_df,
+            rep_cap=rep_cap,
+        ).repartition(1).write.mode("overwrite").parquet(staging)
+
+    path = artifacts.ensure(
+        "part_matches", key, _build, env_var="SPARK_GRAFT_ER_DIR"
+    )
+    return spark.read.parquet(path)
+
+
+def doc_matched_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 200,
+    rep_cap: int = 8,
+) -> DataFrame:
+    """RAW matched document pairs (id_a, id_b, jac ≥ threshold) by
+    exact word n-gram Jaccard over BOUNDED candidates — the matching
+    stage of the document-ER contract (see :func:`doc_topk_matches`).
+    Candidate generation: df-capped shingle postings (Σ min(df, cap)²,
+    the same inverted-index bound as dedup.ngram_jaccard_pairs) ∪
+    record×group-representative pairs over identical-shingle-set
+    groups (rep_cap lowest ids — Σ g·rep_cap, linear; exactly the
+    bound that keeps exact-duplicate clusters from going quadratic).
+
+    Wired to the existing machinery, not a re-implementation: shingles
+    come from ``dedup.shingles`` (the same 3-gram definition every
+    Jaccard-family query uses) and the candidate core is
+    :func:`candidate_pairs_from_sets` — the part contract and this one
+    cannot drift apart. The canonical group key is hashed
+    (``hash_canon_key``) so the group-by shuffles a 32-char digest,
+    not full shingle arrays. ``jac`` is emitted UNROUNDED so top-k
+    ranks on the exact double (the part_matched_pairs convention).
+    """
+    from nabatshy_spark.operators.dedup import shingles
+
+    # The shingled relation feeds five subtrees of the candidate core
+    # (posting explode, df cap, canonical pass, both verify sides);
+    # without pinning, each re-shingles the corpus — measured 6.5 s vs
+    # 3.7 s persisted at sf0.1. Same persist-and-leave discipline as
+    # dedup.ngram_jaccard_pairs' shingle persist (bench clears the
+    # cache per query; long-lived sessions use clearCache).
+    sets = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), n).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .persist()
+    )
+    # min_jaccard = threshold: the score IS the Jaccard here, so the
+    # core's exact upper-bound prune applies at full strength — only
+    # pairs whose capped-token slack could still reach the threshold
+    # ship their shingle arrays into the verify join. Without it every
+    # co-shingle pair is array-intersected, and the sf1 curve reads
+    # exponent 1.55 (157.8 s) vs sub-linear with the prune — on a
+    # document corpus the prune is the difference between "bounded"
+    # and "every pair sharing one common 3-gram".
+    pairs = candidate_pairs_from_sets(
+        sets,
+        max_df=max_df,
+        min_jaccard=threshold,
+        rep_cap=rep_cap,
+        hash_canon_key=True,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        ).alias("jac"),
+    ).filter(F.col("jac") >= threshold)
+
+
+_DOC_MATCHES_VERSION = 1
+
+
+def shared_doc_matches(
+    spark,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 200,
+    rep_cap: int = 8,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of :func:`doc_matched_pairs`
+    over the ``documents`` table — the document twin of
+    :func:`shared_part_matches`, same rationale: near-dup matching is
+    the once-per-corpus-version job (at 100 TB, THE scheduled dedup
+    pass), its output is dup-bounded, and every consumer (top-k view,
+    cluster rollups, keep-best policies) reads the artifact instead of
+    re-running the blocking joins."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    thr = f"{threshold:g}".replace(".", "p")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_DOC_MATCHES_VERSION}"
+        f"_n{n}_t{thr}_df{max_df}_rc{rep_cap}"
+    )
+
+    def _build(staging: str) -> None:
+        # repartition(1), not coalesce(1) — see shared_part_matches.
+        doc_matched_pairs(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+            rep_cap=rep_cap,
+        ).repartition(1).write.mode("overwrite").parquet(staging)
+
+    path = artifacts.ensure(
+        "doc_matches", key, _build, env_var="SPARK_GRAFT_ER_DIR"
+    )
+    return spark.read.parquet(path)
+
+
+def doc_topk_matches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int | None = 200,
+    rep_cap: int = 8,
+) -> DataFrame:
+    """Per-document top-``k`` near-duplicate matches by exact word
+    n-gram Jaccard — the output-bounded ER contract generalized from
+    ``part`` to the LLM-pipeline consumer, DOCUMENT entity resolution
+    (VERDICT r10 task #4): ≤ k rows per document; bounded candidate
+    generation documented on :func:`doc_matched_pairs`.
+
+    Deterministic miss condition (encoded identically in the DuckDB
+    oracle): a true top match reachable only through over-cap shingles
+    AND a non-representative of its over-cap identical-set group.
+    Scoring is the exact Jaccard from full shingle arrays, so reported
+    values are exact for every emitted pair. Emits
+    (doc_id, match_id, rank, jaccard), rank 1..k by
+    (jaccard DESC, match_id ASC).
+    """
+    matched = doc_matched_pairs(
+        docs, id_col, text_col,
+        n=n, threshold=threshold, max_df=max_df, rep_cap=rep_cap,
+    )
+    return directed_topk(
+        matched, "jac", id_col, "match_id", k, score_out="jaccard"
     )
 
 

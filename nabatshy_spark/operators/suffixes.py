@@ -141,6 +141,27 @@ def duplicated_substring_runs(
     wins = window_hash_postings(df, id_col, text_col, min_len).persist()
     if _handles is not None:
         _handles.append(wins)
+    return _dup_runs_from_postings(wins, df, id_col, text_col, min_len, max_df)
+
+
+def _dup_runs_from_postings(
+    wins: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Diagonal-run assembly from a precomputed (id, pos, __h) window
+    relation — the post-scan half of :func:`duplicated_substring_runs`.
+    ``wins`` should be persisted: it feeds the frequency pass and the
+    posting join. (Round 11 note: a combined builder deriving all
+    three runs families from ONE materialized dual-length window
+    relation was implemented, measured 1.7× SLOWER than the standalone
+    builds — the window relation is ~20× its source text, so caching
+    it costs more than regenerating it, and the decontamination family
+    loses its probe-inside-scan prune — and reverted; evidence in
+    SCALE.md round-11.)"""
     freq = wins.groupBy("__h").agg(
         F.count("*").alias("__c"),
         # min != max <=> >=2 distinct docs, without a countDistinct
@@ -218,16 +239,18 @@ def cross_corpus_substring_runs(
     capping it would hide exactly the leaks being hunted). Emits
     (corpus_id, bench_id, pos_c, pos_b, dup_len), equality-verified.
 
-    Scale (round 10, VERDICT task #5): the benchmark window-hash SET is
-    broadcast-sized by construction (a few thousand eval documents), so
-    it is pushed onto the corpus-side window generation as a BROADCAST
-    SEMI-JOIN — the probe rides in the same codegen stage as the window
-    scan, so a non-matching train window is dropped where it is
-    generated and NEVER shuffles. Exact (a set probe has no false
-    positives or negatives — strictly better than the lossy bloom
-    bitmap where the set fits a broadcast; if a benchmark ever outgrew
-    broadcast range, the same slot downgrades to sketches.bloom_pred
-    at a false-positive-rate cost the verify join absorbs). The df cap
+    Scale (round 10, VERDICT task #5): when the benchmark window-hash
+    SET is broadcast-sized (an eval benchmark always is), it is pushed
+    onto the corpus-side window generation as a BROADCAST SEMI-JOIN —
+    the probe rides in the same codegen stage as the window scan, so a
+    non-matching train window is dropped where it is generated and
+    NEVER shuffles. Exact (a set probe has no false positives or
+    negatives — strictly better than a lossy bloom bitmap where the
+    set fits a broadcast). Round 11 (ADVICE r10): the broadcast is
+    size-GATED — above ``_BENCH_BROADCAST_MAX_HASHES`` distinct hashes
+    the same slot downgrades to a plain shuffled semi-join instead of
+    collecting an arbitrarily large set to the driver (the function is
+    a generic two-corpus operator, not bench-only). The df cap
     is counted AFTER the prune — provably the same cap decisions, since
     pruning keeps every corpus occurrence of a shared hash, and only
     shared hashes can produce output. Before this restructure the cap's
@@ -240,13 +263,55 @@ def cross_corpus_substring_runs(
     if _handles is not None:
         _handles.append(bw)
     bench_hashes = bw.select("__h").distinct()
+    # Bench-side size gate (ADVICE r10): forcing the broadcast
+    # unconditionally would collect the whole bench hash set to the
+    # driver even when the "bench" relation is a second full corpus
+    # (the function is a generic cross-corpus operator, not bench-only),
+    # bypassing autoBroadcastJoinThreshold. Counting the distinct set is
+    # one cheap job over the already-persisted bw; under the bound the
+    # probe rides in the corpus window-generation codegen stage, above
+    # it the same slot downgrades to a plain shuffled semi-join (exact
+    # either way — a bloom_pred would trade false positives for memory
+    # only once even the SHUFFLE of corpus windows is the bottleneck).
+    n_bench = bench_hashes.count()
+    probe = (
+        F.broadcast(bench_hashes)
+        if n_bench <= _BENCH_BROADCAST_MAX_HASHES
+        else bench_hashes
+    )
     cw = (
         window_hash_postings(corpus, id_col, text_col, min_len)
-        .join(F.broadcast(bench_hashes), "__h", "left_semi")
+        .join(probe, "__h", "left_semi")
         .persist()
     )
     if _handles is not None:
         _handles.append(cw)
+    return _cross_runs_from_postings(
+        cw, bw, corpus, bench, id_col, text_col, min_len, max_df
+    )
+
+
+# ~32 MB of int64 hashes — comfortably inside executor broadcast range
+# while bounding driver collect for the generic two-corpus case.
+_BENCH_BROADCAST_MAX_HASHES = 4_000_000
+
+
+def _cross_runs_from_postings(
+    cw: DataFrame,
+    bw: DataFrame,
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Cross-corpus diagonal-run assembly from precomputed window
+    postings: ``cw`` = corpus-side (id, pos, __h) ALREADY semi-joined
+    to the bench hash set, ``bw`` = bench-side postings. The df cap is
+    counted after the prune — provably the same cap decisions, since
+    pruning keeps every corpus occurrence of a shared hash, and only
+    shared hashes can produce output."""
     if max_df is not None:
         ok = (
             cw.groupBy("__h")
@@ -320,6 +385,23 @@ def intra_doc_repeat_runs(
     wins = window_hash_postings(df, id_col, text_col, min_len).persist()
     if _handles is not None:
         _handles.append(wins)
+    return _intra_runs_from_postings(
+        wins, df, id_col, text_col, min_len, max_occ
+    )
+
+
+def _intra_runs_from_postings(
+    wins: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    max_occ: int | None,
+) -> DataFrame:
+    """Within-document diagonal-run assembly from a precomputed
+    (id, pos, __h) window relation — the post-scan half of
+    :func:`intra_doc_repeat_runs` (see :func:`_dup_runs_from_postings`
+    for why the scan is parameterized out)."""
     occ = wins.groupBy(id_col, "__h").agg(F.count("*").alias("__c"))
     dup = occ.filter(F.col("__c") >= 2)
     if max_occ is not None:
@@ -432,7 +514,8 @@ def exactsubstr_cut_stats(
 
 
 _RUNS_VERSION = 1
-
+_XCORPUS_VERSION = 1
+_IREPEAT_VERSION = 1
 
 def shared_substring_runs(
     spark,
@@ -488,9 +571,6 @@ def shared_substring_runs(
     return spark.read.parquet(path)
 
 
-_XCORPUS_VERSION = 1
-
-
 def shared_decontamination_runs(
     spark,
     sf_dir: str,
@@ -543,9 +623,6 @@ def shared_decontamination_runs(
         "decon_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
     )
     return spark.read.parquet(path)
-
-
-_IREPEAT_VERSION = 1
 
 
 def shared_intra_repeat_runs(

@@ -2073,6 +2073,7 @@ from nabatshy_spark.plans import round7_queries as _round7_queries  # noqa: E402
 from nabatshy_spark.plans import round8_queries as _round8_queries  # noqa: E402,F401
 from nabatshy_spark.plans import round9_queries as _round9_queries  # noqa: E402,F401
 from nabatshy_spark.plans import round10_queries as _round10_queries  # noqa: E402,F401
+from nabatshy_spark.plans import round11_queries as _round11_queries  # noqa: E402,F401
 
 
 @query("association_rules_parts")

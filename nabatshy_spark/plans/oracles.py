@@ -6104,3 +6104,67 @@ SELECT sp.doc_id, d.n_chars::BIGINT AS old_len,
 FROM spliced sp JOIN documents d USING (doc_id)
 ORDER BY sp.doc_id
 """
+
+# --- round 11: output-bounded DOCUMENT entity resolution --------------------
+
+# Mirrors entity.doc_topk_matches EXACTLY, including the bounded
+# candidate generation (df-capped 3-gram shingle postings ∪ rep-capped
+# identical-shingle-set groups, 8 lowest ids) — the same
+# cap-is-the-contract convention as _ER_TOPK_CAPPED_SQL, so the
+# differential is exact at any group size, not just where the caps
+# happen not to bind. Shingles are the _JACCARD_PAIRS_SQL definition
+# (distinct word 3-grams over a single space split).
+ORACLES["er_doc_topk"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id AS id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM t
+  WHERE len(w) >= 3
+),
+tok AS (SELECT id, unnest(s) AS g FROM base),
+keep AS (SELECT g FROM tok GROUP BY g HAVING count(*) <= 200),
+tokc AS (SELECT t2.* FROM tok t2 JOIN keep USING (g)),
+tpair AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM tokc a JOIN tokc b ON a.g = b.g AND a.id < b.id
+),
+canon AS (
+  SELECT id,
+         array_to_string(list_sort(s), chr(9)) AS key,
+         row_number() OVER (
+           PARTITION BY array_to_string(list_sort(s), chr(9))
+           ORDER BY id) AS r
+  FROM base
+),
+cpair AS (
+  SELECT DISTINCT least(c.id, p.id) AS id_a, greatest(c.id, p.id) AS id_b
+  FROM canon c JOIN canon p ON c.key = p.key AND p.r <= 8 AND c.id <> p.id
+),
+cand AS (SELECT * FROM tpair UNION SELECT * FROM cpair),
+scored AS (
+  SELECT cd.id_a, cd.id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM cand cd JOIN base a ON a.id = cd.id_a JOIN base b ON b.id = cd.id_b
+),
+thresh AS (SELECT * FROM scored WHERE jac >= 0.5),
+directed AS (
+  SELECT id_a AS doc_id, id_b AS match_id, jac FROM thresh
+  UNION ALL
+  SELECT id_b, id_a, jac FROM thresh
+),
+ranked AS (
+  SELECT doc_id, match_id, jac,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jac DESC, match_id ASC) AS rn
+  FROM directed
+)
+SELECT doc_id, match_id, CAST(rn AS INTEGER) AS rank,
+       round(jac, 6) AS jaccard
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rank
+"""

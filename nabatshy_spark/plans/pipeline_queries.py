@@ -30,9 +30,23 @@ def er_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs name Jaccard ≥ 0.6, which on this catalog's 2-token names
     forces identical token sets — so the capped pair set is provably
     identical to the exhaustive one the oracle enumerates. Scoring is
-    pure column arithmetic — no UDFs."""
-    return entity.score_part_pairs(
-        load(spark, sf_dir, "part"), threshold=0.8, max_df=200
+    pure column arithmetic — no UDFs.
+
+    Round 11: served from the shared ``part_matches`` artifact
+    (entity.shared_part_matches, one build per catalog version shared
+    with er_part_topk and er_topk_eval — VERDICT r10 task #1); floats
+    are stored raw and rounded here, bit-identical to the direct
+    operator."""
+    m = entity.shared_part_matches(
+        spark, sf_dir, threshold=0.8, max_df=200, rep_cap=None
+    )
+    return m.select(
+        "id_a",
+        "id_b",
+        F.round("name_jaccard", 6).alias("name_jaccard"),
+        "brand_eq",
+        F.round("size_sim", 6).alias("size_sim"),
+        F.round("score", 6).alias("score"),
     ).orderBy("id_a", "id_b")
 
 

@@ -3,7 +3,7 @@ ER surface — VERDICT r9 task #4)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nabatshy_spark.catalog import load
@@ -24,13 +24,24 @@ def er_part_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic miss condition (a true top match that is a
     non-representative of an over-cap group) is encoded IDENTICALLY in
     the DuckDB oracle, so the differential is exact at any group size;
-    er_part_pairs remains the registry's exact all-pairs twin."""
-    return entity.part_topk_matches(
-        load(spark, sf_dir, "part"),
-        threshold=0.8,
-        k=3,
-        max_df=200,
-        rep_cap=8,
+    er_part_pairs remains the registry's exact all-pairs twin.
+
+    Round 11 (VERDICT r10 task #1): the scored-candidate relation is
+    served from the fingerprint-keyed ``part_matches`` artifact
+    (entity.shared_part_matches — built once per catalog version,
+    shared with er_part_pairs and the eval gate), so this query is one
+    artifact scan + one explode + one window instead of re-expanding
+    the blocking DAG (was ex17/scan16, the most expensive headline
+    query). Scores rank RAW through parquet (exact doubles), output
+    identical bit-for-bit."""
+    return entity.directed_topk(
+        entity.shared_part_matches(
+            spark, sf_dir, threshold=0.8, max_df=200, rep_cap=8
+        ),
+        "score",
+        "p_partkey",
+        "match_key",
+        3,
     )
 
 
@@ -45,29 +56,32 @@ def er_topk_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0; above that the lost edges are non-representative partners
     whose size happened to be closer than every representative's.
     Emits one row: record coverage and edge recall, both derived from
-    deterministic integer counts."""
-    part = load(spark, sf_dir, "part")
-    capped = entity.part_topk_matches(
-        part, threshold=0.8, k=3, max_df=200, rep_cap=8
-    ).select("p_partkey", "match_key")
-    pairs = entity.score_part_pairs(part, threshold=0.8, max_df=200)
-    directed = pairs.select(
-        F.col("id_a").alias("p_partkey"),
-        F.col("id_b").alias("match_key"),
+    deterministic integer counts.
+
+    Round 11: both sides read the shared ``part_matches`` artifacts
+    (exact all-pairs and rep-capped — VERDICT r10 task #1; this gate's
+    plan re-expanded BOTH candidate DAGs, ex49/scan44, the single worst
+    plan in the audit). The quadratic twin's cost now lives in the
+    all-pairs artifact BUILD line, paid once per catalog version."""
+    capped = entity.directed_topk(
+        entity.shared_part_matches(
+            spark, sf_dir, threshold=0.8, max_df=200, rep_cap=8
+        ),
         "score",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("p_partkey"),
-            F.col("id_a").alias("match_key"),
-            "score",
-        )
-    )
-    w = Window.partitionBy("p_partkey").orderBy(
-        F.col("score").desc(), F.col("match_key").asc()
-    )
+        "p_partkey",
+        "match_key",
+        3,
+    ).select("p_partkey", "match_key")
     true_topk = (
-        directed.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= 3)
+        entity.directed_topk(
+            entity.shared_part_matches(
+                spark, sf_dir, threshold=0.8, max_df=200, rep_cap=None
+            ),
+            "score",
+            "p_partkey",
+            "match_key",
+            3,
+        )
         .select("p_partkey", "match_key", F.lit(1).alias("__t"))
     )
     # One full-outer join + one aggregate: every count comes from a

@@ -406,8 +406,16 @@ def test_keep_best_single_corpus_scan_for_ranking(spark, sf_dir):
 def test_er_pairs_uses_brand_blocked_candidates(spark, sf_dir):
     # threshold 0.8 > 0.7 ⇒ brand is a necessary condition and must be
     # part of the candidate-join keys (conjunctive blocking), not only
-    # a post-join filter.
-    p = _plan(spark, "er_part_pairs", sf_dir)
+    # a post-join filter. Round 11: er_part_pairs reads the part_matches
+    # artifact, so the invariant is asserted on the plan the artifact
+    # BUILD executes (entity.part_matched_pairs).
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import entity
+
+    df = entity.part_matched_pairs(
+        load(spark, sf_dir, "part"), threshold=0.8, max_df=200
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "__bk0" in p, "brand block key must reach the join"
 
 

@@ -280,25 +280,25 @@ def test_correctness_window_invariants():
     assert len(P) == 50 and len(set(P)) == 50
     assert all(k in qs for k in P)
     assert list(qs)[:50] == P
-    # round-10 rotation rule: this round's new queries and the queries
+    # round-11 rotation rule: this round's new queries and the queries
     # its code changes touched must be inside the window.
-    r10 = {
+    r11 = {
         # new this round
-        "er_part_topk", "er_topk_eval", "exactsubstr_rewrite_preview",
-        # minhash banding rewrite
-        "dedup_minhash_lsh", "minhash_dedup_eval",
-        # chunked window hashing + decontamination prefilter
+        "er_doc_topk",
+        # ER candidate-DAG collapse (entity.py refactor + shared
+        # part_matches artifact)
+        "er_part_topk", "er_topk_eval", "er_part_pairs",
+        "er_part_clusters",
+        # one-corpus-window-scan artifact rebuild + broadcast fallback
         "longest_dup_substrings", "dup_substring_doc_stats",
         "exactsubstr_cut_plan", "intra_doc_repeats",
         "exactsubstr_source_coverage", "decontaminate_exactsubstr",
-        # artifact-lifecycle unification consumers
-        "dedup_ngram_jaccard", "dedup_components", "dedup_cluster_stats",
-        "dedup_keep_best", "source_overlap_matrix", "dup_threshold_curve",
-        "split_leakage_audit", "continuous_aggregate",
+        "exactsubstr_rewrite_preview",
+        # artifact-lifecycle hardening: representative consumers
+        "dedup_ngram_jaccard", "continuous_aggregate",
         "zorder_pruning_stats", "bucketed_revenue_join",
-        "ann_ivf_topk", "ann_ivfpq_topk",
     }
-    assert r10 <= set(P), r10 - set(P)
+    assert r11 <= set(P), r11 - set(P)
     rows_only_ok = {
         "hll_user_rollup", "embedding_pca_variance", "ann_recall_report",
         "distinct_users_approx", "profile_orders_approx", "ann_pq_topk",

@@ -47,12 +47,22 @@ def main() -> None:
     dirs = [d for d in SF_DIRS if os.path.isdir(d)]
     print("| query | " + " | ".join(os.path.basename(d) for d in dirs) + " |")
     print("|---" * (len(dirs) + 1) + "|")
+    import gc
+
     for name in names:
         cells = []
         for d in dirs:
             QUERIES[name](spark, d).collect()  # warm
             best = float("inf")
             for _ in range(2):
+                # Clear BETWEEN runs, not just per sf dir: operators
+                # that persist() internally (shingle/window relations)
+                # would otherwise serve the measured laps from the warm
+                # lap's cache via Spark's cache-manager plan matching —
+                # the round-10 decontaminate adjudication, now applied
+                # to the curve protocol too (round 11).
+                spark.catalog.clearCache()
+                gc.collect()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, d).collect()
                 best = min(best, time.perf_counter() - t0)
