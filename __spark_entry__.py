@@ -46,15 +46,16 @@ _PRIORITY = [
     # row). Staleness-driven (VERDICT r8 task #6 convention): (a) every
     # query whose code path round 11 touched, (b) the new round-11
     # query, (c) the oldest-evidence tail.
-    # (b) NEW: the document-ER bounded top-k contract.
-    "er_doc_topk",
+    # (b) NEW: the document-ER bounded contract family (top-k, cluster
+    # rollup, recall gate).
+    "er_doc_topk", "er_doc_clusters", "er_doc_topk_eval",
     # (a1) the ER candidate-DAG collapse (entity.py refactor +
     # shared part_matches artifact) → the whole part-ER family.
     "er_part_topk", "er_topk_eval", "er_part_pairs", "er_part_clusters",
-    # (a2) the shared-corpus-window-scan rebuild of the three runs
-    # artifacts (suffixes.dual_window_hash_postings +
-    # _ensure_default_artifacts) + the bench-broadcast fallback →
-    # the whole ExactSubstr family.
+    # (a2) the suffixes.py refactor (postings-parameterized run cores,
+    # tried-and-reverted shared-scan build — see SCALE.md round-11) +
+    # the bench-hash broadcast size gate → the whole ExactSubstr
+    # family.
     "longest_dup_substrings", "dup_substring_doc_stats",
     "exactsubstr_cut_plan", "intra_doc_repeats",
     "exactsubstr_source_coverage", "decontaminate_exactsubstr",
@@ -81,7 +82,6 @@ _PRIORITY = [
     "sql_segment_order_stats", "sql_top_revenue_brands",
     "text_search_bm25", "user_event_deltas", "value_outliers",
     "vocab_top_terms",
-    "audio_wav_features", "corpus_length_stats",
 ]
 
 

@@ -255,14 +255,17 @@ HEADLINE = [
     # that deliberately pays the quadratic all-pairs twin's cost)
     "er_part_topk",
     "exactsubstr_rewrite_preview",
-    # round 11: the document-ER bounded contract
+    # round 11: the document-ER bounded contract + its cluster rollup
+    # (er_doc_topk_eval is excluded like er_topk_eval/minhash_dedup_eval:
+    # an audit gate that deliberately pays the exact uncapped twin's cost)
     "er_doc_topk",
+    "er_doc_clusters",
 ]
 
 # Headline queries added THIS round — each gets an automatic
 # fresh-session solo adjudication on its first recorded sweep (VERDICT
 # r10 task #3). Reset when a new round adds queries.
-NEW_THIS_ROUND = ["er_doc_topk"]
+NEW_THIS_ROUND = ["er_doc_topk", "er_doc_clusters"]
 
 
 def _ensure_scaled_spans(sf: float) -> None:

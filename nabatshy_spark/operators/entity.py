@@ -703,28 +703,21 @@ def doc_topk_matches(
     )
 
 
-def part_entity_clusters(
-    part: DataFrame,
-    threshold: float = 0.9,
-    max_df: int | None = None,
-) -> DataFrame:
-    """Cluster-size histogram of matched part entities.
-
-    Edges = scored pairs ≥ threshold; components via the
-    large-star/small-star rounds in ``dedup.connected_components``;
-    isolated records count as singleton clusters.  Output is the
-    histogram (cluster_size, n_clusters) — the shape reviewers actually
-    look at for an ER run.
-    """
-    edges = score_part_pairs(part, threshold=threshold, max_df=max_df).select(
+def cluster_histogram(matched: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters) histogram of the entities induced by
+    an undirected matched-pair relation (id_a, id_b): components via
+    the large-star/small-star rounds in ``dedup.connected_components``,
+    with every node in ``nodes`` (single ``node`` column) counted —
+    isolated records are singleton clusters. ONE definition shared by
+    the part and document cluster rollups."""
+    edges = matched.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     comp = connected_components(edges, "a", "b").withColumnRenamed(
         "doc_id", "node"
     )
-    all_ids = part.select(F.col("p_partkey").alias("node"))
     labeled = (
-        all_ids.join(comp, "node", "left")
+        nodes.join(comp, "node", "left")
         .select(
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
@@ -734,4 +727,21 @@ def part_entity_clusters(
         sizes.groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+def part_entity_clusters(
+    part: DataFrame,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cluster-size histogram of matched part entities.
+
+    Edges = scored pairs ≥ threshold; components + singleton handling
+    via :func:`cluster_histogram` — the shape reviewers actually look
+    at for an ER run.
+    """
+    return cluster_histogram(
+        score_part_pairs(part, threshold=threshold, max_df=max_df),
+        part.select(F.col("p_partkey").alias("node")),
     )

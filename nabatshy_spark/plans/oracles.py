@@ -6107,15 +6107,17 @@ ORDER BY sp.doc_id
 
 # --- round 11: output-bounded DOCUMENT entity resolution --------------------
 
-# Mirrors entity.doc_topk_matches EXACTLY, including the bounded
+# Mirrors entity.doc_matched_pairs EXACTLY, including the bounded
 # candidate generation (df-capped 3-gram shingle postings ∪ rep-capped
 # identical-shingle-set groups, 8 lowest ids) — the same
 # cap-is-the-contract convention as _ER_TOPK_CAPPED_SQL, so the
 # differential is exact at any group size, not just where the caps
 # happen not to bind. Shingles are the _JACCARD_PAIRS_SQL definition
-# (distinct word 3-grams over a single space split).
-ORACLES["er_doc_topk"] = """
-WITH t AS (
+# (distinct word 3-grams over a single space split). ONE fragment
+# shared by er_doc_topk, er_doc_clusters and the er_doc_topk_eval
+# gate, so the consumers can never encode different cap semantics.
+_ER_DOC_CAPPED_SQL = """
+t AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 base AS (
@@ -6151,7 +6153,10 @@ scored AS (
            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
   FROM cand cd JOIN base a ON a.id = cd.id_a JOIN base b ON b.id = cd.id_b
 ),
-thresh AS (SELECT * FROM scored WHERE jac >= 0.5),
+thresh AS (SELECT * FROM scored WHERE jac >= 0.5)"""
+
+ORACLES["er_doc_topk"] = f"""
+WITH {_ER_DOC_CAPPED_SQL},
 directed AS (
   SELECT id_a AS doc_id, id_b AS match_id, jac FROM thresh
   UNION ALL
@@ -6167,4 +6172,96 @@ SELECT doc_id, match_id, CAST(rn AS INTEGER) AS rank,
        round(jac, 6) AS jaccard
 FROM ranked WHERE rn <= 3
 ORDER BY doc_id, rank
+"""
+
+# Cluster rollup over the SAME capped matched relation (threshold 0.5)
+# — connected components via a recursive CTE (the er_part_clusters
+# convention), singleton documents included so the histogram covers
+# the whole corpus.
+ORACLES["er_doc_clusters"] = f"""
+WITH RECURSIVE {_ER_DOC_CAPPED_SQL},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM thresh
+  UNION
+  SELECT id_b, id_a FROM thresh
+),
+reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (SELECT src, min(node) AS component FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id AS node, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM labeled GROUP BY component
+)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+# Recall gate for the doc caps: truth = per-doc top-3 from the EXACT
+# uncapped pair relation (_JACCARD_PAIRS_SQL semantics, no df cap, all
+# within-group pairs); capped = the shared fragment er_doc_topk runs.
+# Same one-row integer-count shape as er_topk_eval.
+ORACLES["er_doc_topk_eval"] = f"""
+WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tsh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS s
+  FROM tw WHERE len(w) >= 3
+),
+tex AS (SELECT doc_id, unnest(s) AS g FROM tsh),
+tsz AS (SELECT doc_id, len(s) AS sz FROM tsh),
+tinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tex a JOIN tex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact_pairs AS (
+  SELECT id_a, id_b, i * 1.0 / (x.sz + y.sz - i) AS jac
+  FROM tinter
+  JOIN tsz x ON tinter.id_a = x.doc_id
+  JOIN tsz y ON tinter.id_b = y.doc_id
+  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+),
+tdirected AS (
+  SELECT id_a AS doc_id, id_b AS match_id, jac FROM exact_pairs
+  UNION ALL
+  SELECT id_b, id_a, jac FROM exact_pairs
+),
+true_topk AS (
+  SELECT doc_id, match_id FROM (
+    SELECT doc_id, match_id,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(jac, 6) DESC, match_id ASC) AS rn
+    FROM tdirected) WHERE rn <= 3
+),
+{_ER_DOC_CAPPED_SQL},
+cdirected AS (
+  SELECT id_a AS doc_id, id_b AS match_id, jac FROM thresh
+  UNION ALL
+  SELECT id_b, id_a, jac FROM thresh
+),
+capped AS (
+  SELECT doc_id, match_id FROM (
+    SELECT doc_id, match_id,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jac DESC, match_id ASC) AS rn
+    FROM cdirected) WHERE rn <= 3
+),
+shared AS (
+  SELECT t.* FROM true_topk t
+  WHERE EXISTS (SELECT 1 FROM capped c
+                WHERE c.doc_id = t.doc_id AND c.match_id = t.match_id)
+)
+SELECT (SELECT count(DISTINCT doc_id) FROM true_topk) AS n_records,
+       (SELECT count(*) FROM true_topk) AS true_edges,
+       (SELECT count(*) FROM capped) AS capped_edges,
+       (SELECT count(*) FROM shared) AS shared_edges,
+       round((SELECT count(*) FROM shared) * 1.0
+             / (SELECT count(*) FROM true_topk), 6) AS edge_recall
 """

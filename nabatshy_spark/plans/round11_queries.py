@@ -42,3 +42,88 @@ def er_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         score_out="jaccard",
     )
+
+
+@query("er_doc_clusters")
+def er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document clusters at Jaccard ≥ 0.5: connected
+    components (large-star/small-star) over the SAME bounded matched
+    relation er_doc_topk ranks (the ``doc_matches`` artifact),
+    singleton documents included, reported as a cluster-size histogram
+    — the corpus-level view a curation run signs off on before
+    keep-best dedup. The DuckDB twin runs a recursive CTE over the
+    shared capped fragment, so the two consumers cannot encode
+    different cap semantics."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.catalog import load
+
+    return entity.cluster_histogram(
+        entity.shared_doc_matches(spark, sf_dir),
+        load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("node")
+        ),
+    )
+
+
+@query("er_doc_topk_eval")
+def er_doc_topk_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative gate for the document caps (the er_topk_eval
+    convention): compare er_doc_topk's edges against the TRUE per-doc
+    top-3 derived from the EXACT uncapped pair relation
+    (dedup.ngram_jaccard_pairs with no df cap — the audit deliberately
+    pays the unbounded cost, like minhash_dedup_eval). Where no
+    shingle exceeds the df cap and no identical-set group exceeds
+    rep_cap the recall is exactly 1.0. Both sides rank by the 6-dp
+    jaccard (the exact relation emits rounded values; identical
+    doubles round identically in DuckDB), ties broken by match id.
+    One row of deterministic integer counts + the recall ratio."""
+    from pyspark.sql import functions as F
+
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import dedup
+
+    capped = entity.directed_topk(
+        entity.shared_doc_matches(spark, sf_dir),
+        "jac",
+        "doc_id",
+        "match_id",
+        3,
+    ).select("doc_id", "match_id", F.lit(1).alias("__c"))
+    exact = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_df=None,
+    ).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("jaccard").alias("jac"),
+    )
+    true_topk = (
+        entity.directed_topk(exact, "jac", "doc_id", "match_id", 3)
+        .select("doc_id", "match_id", F.lit(1).alias("__t"))
+    )
+    # One full-outer join + one aggregate (the er_topk_eval shape): the
+    # truth and capped subtrees are each referenced once.
+    joined = true_topk.join(capped, ["doc_id", "match_id"], "full_outer")
+    return joined.agg(
+        F.countDistinct(
+            F.when(F.col("__t") == 1, F.col("doc_id"))
+        ).alias("n_records"),
+        F.sum(F.when(F.col("__t") == 1, 1).otherwise(0)).alias("true_edges"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("capped_edges"),
+        F.sum(
+            F.when((F.col("__t") == 1) & (F.col("__c") == 1), 1).otherwise(0)
+        ).alias("shared_edges"),
+    ).select(
+        "n_records",
+        "true_edges",
+        "capped_edges",
+        "shared_edges",
+        F.round(F.col("shared_edges") / F.col("true_edges"), 6).alias(
+            "edge_recall"
+        ),
+    )

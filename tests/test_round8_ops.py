@@ -284,7 +284,7 @@ def test_correctness_window_invariants():
     # its code changes touched must be inside the window.
     r11 = {
         # new this round
-        "er_doc_topk",
+        "er_doc_topk", "er_doc_clusters", "er_doc_topk_eval",
         # ER candidate-DAG collapse (entity.py refactor + shared
         # part_matches artifact)
         "er_part_topk", "er_topk_eval", "er_part_pairs",
