@@ -35,6 +35,7 @@ def candidate_pairs_from_sets(
     min_jaccard: float = 0.0,
     rep_cap: int | None = None,
     hash_canon_key: bool = False,
+    rep_flag_cap: int | None = None,
 ) -> DataFrame:
     """The blocking/candidate core shared by every set-similarity ER
     surface (round 11: factored out of :func:`blocked_candidate_pairs`
@@ -53,7 +54,20 @@ def candidate_pairs_from_sets(
     never reaches the output), but documents shuffle a 32-char digest
     instead of their full shingle arrays. The part path keeps the raw
     array key (its 2-token names are smaller than the digest).
+
+    ``rep_flag_cap`` (round 11, only with ``rep_cap=None`` and a df
+    cap): run the EXACT uncapped candidate pass but additionally emit
+    ``in_rep_cap`` — whether the pair would also have been generated
+    by the rep-capped pass with that cap (true for every token-pass
+    pair; for canonical pairs, true iff either endpoint ranks ≤ cap in
+    its identical-set group). One build then serves both the exact and
+    the rep-capped contract as filters of one relation: the rep-capped
+    candidate set is tokencand ∪ {pairs with a ≤cap-ranked endpoint}
+    by construction, and the threshold-derived prune only ever drops
+    pairs that fail the score threshold in both contracts.
     """
+    if rep_flag_cap is not None and (rep_cap is not None or max_df is None):
+        raise ValueError("rep_flag_cap requires rep_cap=None and a df cap")
     carry = list(carry_cols or [])
     bks = [f"__bk{i}" for i in range(n_block)]
 
@@ -148,7 +162,11 @@ def candidate_pairs_from_sets(
                 >= min_jaccard * (F.col("__na") + F.col("__nb")) - 1e-9
             )
         )
-    cand = cand.select("id_a", "id_b")
+    if rep_flag_cap is not None:
+        # token-pass pairs are candidates of BOTH contracts
+        cand = cand.select("id_a", "id_b", F.lit(True).alias("__rc"))
+    else:
+        cand = cand.select("id_a", "id_b")
     if max_df is not None:
         canon_key = (
             F.md5(F.concat_ws("\t", F.sort_array("ts")))
@@ -175,6 +193,13 @@ def candidate_pairs_from_sets(
                 .distinct()
             )
         else:
+            if rep_flag_cap is not None:
+                # group rank by id — the rep-capped pass pairs members
+                # with the rep_cap LOWEST-ID representatives, so a full
+                # pair {a, b} is also a capped candidate iff either
+                # endpoint ranks ≤ cap in the group
+                w = Window.partitionBy("key", *bks).orderBy("id")
+                canon = canon.withColumn("__r", F.row_number().over(w))
             ca = canon.alias("ca")
             cb = canon.alias("cb")
             canon_pairs = ca.join(
@@ -183,10 +208,28 @@ def candidate_pairs_from_sets(
                 & (F.col("ca.id") < F.col("cb.id"))
                 & _bk_eq("ca", "cb"),
             ).select(
-                F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b")
+                F.col("ca.id").alias("id_a"),
+                F.col("cb.id").alias("id_b"),
+                *(
+                    [
+                        (
+                            (F.col("ca.__r") <= rep_flag_cap)
+                            | (F.col("cb.__r") <= rep_flag_cap)
+                        ).alias("__rc")
+                    ]
+                    if rep_flag_cap is not None
+                    else []
+                ),
             )
         cand = cand.unionByName(canon_pairs)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    if rep_flag_cap is not None:
+        # dedup via aggregate so the flag survives: a pair found by
+        # both passes is a capped candidate if EITHER pass says so
+        cand = cand.groupBy("id_a", "id_b").agg(
+            F.max("__rc").alias("in_rep_cap")
+        )
+    else:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     return (
@@ -202,6 +245,7 @@ def candidate_pairs_from_sets(
             F.size(F.col("sb.ts")).alias("n_b"),
             *[F.col(f"sa.{c}").alias(f"{c}_a") for c in carry],
             *[F.col(f"sb.{c}").alias(f"{c}_b") for c in carry],
+            *(["in_rep_cap"] if rep_flag_cap is not None else []),
         )
     )
 
@@ -215,6 +259,7 @@ def blocked_candidate_pairs(
     carry_cols: list[str] | None = None,
     min_jaccard: float = 0.0,
     rep_cap: int | None = None,
+    rep_flag_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 name token, with the token-Jaccard
     ingredients (``inter``, ``n_a``, ``n_b``).
@@ -285,20 +330,25 @@ def blocked_candidate_pairs(
         max_df=max_df,
         min_jaccard=min_jaccard,
         rep_cap=rep_cap,
+        rep_flag_cap=rep_flag_cap,
     )
 
 
-def _score_part_candidates(pairs: DataFrame) -> DataFrame:
+def _score_part_candidates(
+    pairs: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
     """THE part-ER score — 0.5·Jaccard(name tokens) + 0.3·[brand equal]
     + 0.2·(1 − min(|Δsize|, 10)/10) — over a candidate relation
     carrying (inter, n_a, n_b, p_brand_a/b, p_size_a/b). One
     definition consumed by both score_part_pairs and
     part_topk_matches (and mirrored by the DuckDB twins), so a weight
     or cap change can never leave the truth and capped relations
-    scored by different rules."""
+    scored by different rules. ``extra_cols`` ride through unchanged
+    (the unified artifact's in_rep_cap flag)."""
     return pairs.select(
         "id_a",
         "id_b",
+        *(extra_cols or []),
         (
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
         ).alias("name_jaccard"),
@@ -324,6 +374,7 @@ def part_matched_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
     rep_cap: int | None = None,
+    rep_flag_cap: int | None = None,
 ) -> DataFrame:
     """RAW scored matched pairs over ``part`` — the relation both ER
     contracts and the eval gate derive from (round 11: factored out so
@@ -357,8 +408,11 @@ def part_matched_pairs(
             max(0.0, (threshold - 0.5) / 0.5) if rep_cap is None else 0.0
         ),
         rep_cap=rep_cap,
+        rep_flag_cap=rep_flag_cap,
     )
-    return _score_part_candidates(pairs).filter(F.col("score") >= threshold)
+    return _score_part_candidates(
+        pairs, extra_cols=(["in_rep_cap"] if rep_flag_cap is not None else None)
+    ).filter(F.col("score") >= threshold)
 
 
 def score_part_pairs(
@@ -497,6 +551,11 @@ def directed_topk(
 
 
 _MATCHES_VERSION = 1
+# The unified part_matches artifact (round 11): one exact t0.8 build
+# with an in_rep_cap flag serves every (threshold ≥ 0.8) ×
+# (rep_cap ∈ {None, 8}) consumer as a filter — see shared_part_matches.
+_UNIFIED_THRESHOLD = 0.8
+_UNIFIED_REP_CAP = 8
 
 
 def shared_part_matches(
@@ -522,6 +581,23 @@ def shared_part_matches(
     scoring is the scheduled once-per-catalog-version job; the top-k
     projection, the pair report, and the recall gate are all cheap
     reads of its output.
+
+    Round 11 (second pass): the family's three configurations
+    (t0.8/rcNone, t0.8/rc8, t0.9/rcNone) were three separate builds —
+    three expansions of the same blocking DAG, 15.9 s of the sf0.1
+    artifact line. They are all filters of ONE relation: the unified
+    t0.8 build runs the exact uncapped pass once with an ``in_rep_cap``
+    flag (see :func:`candidate_pairs_from_sets`), and
+
+    - ``threshold > 0.8`` is a score filter (every pair scoring ≥ t
+      also scores ≥ 0.8 and candidate generation is
+      threshold-independent above 0.7 — brand blocking + the
+      recall-lossless prune, see :func:`part_matched_pairs`);
+    - ``rep_cap = _UNIFIED_REP_CAP`` is the flag filter (token-pass
+      candidates are shared; a canonical pair is rep-capped iff an
+      endpoint ranks ≤ cap — the flag's definition).
+
+    Any other configuration still gets its own per-config build.
     """
     import os
 
@@ -529,10 +605,19 @@ def shared_part_matches(
     from nabatshy_spark.catalog import load
 
     src = os.path.join(sf_dir, "part.parquet")
+    unified = threshold >= _UNIFIED_THRESHOLD and rep_cap in (
+        None,
+        _UNIFIED_REP_CAP,
+    )
     thr = f"{threshold:g}".replace(".", "p")
+    ut = f"{_UNIFIED_THRESHOLD:g}".replace(".", "p")
     key = (
         f"{artifacts.source_fingerprint(src)}_v{_MATCHES_VERSION}"
-        f"_t{thr}_df{max_df}_rc{rep_cap}"
+        + (
+            f"_t{ut}_df{max_df}_u{_UNIFIED_REP_CAP}"
+            if unified
+            else f"_t{thr}_df{max_df}_rc{rep_cap}"
+        )
     )
 
     def _build(staging: str) -> None:
@@ -544,15 +629,25 @@ def shared_part_matches(
         # upstream keeps its parallelism and only the write is single.
         part_matched_pairs(
             load(spark, sf_dir, "part"),
-            threshold=threshold,
+            threshold=_UNIFIED_THRESHOLD if unified else threshold,
             max_df=max_df,
-            rep_cap=rep_cap,
+            rep_cap=None if unified else rep_cap,
+            rep_flag_cap=_UNIFIED_REP_CAP if unified else None,
         ).repartition(1).write.mode("overwrite").parquet(staging)
 
     path = artifacts.ensure(
         "part_matches", key, _build, env_var="SPARK_GRAFT_ER_DIR"
     )
-    return spark.read.parquet(path)
+    m = spark.read.parquet(path)
+    if unified:
+        if threshold > _UNIFIED_THRESHOLD:
+            m = m.filter(F.col("score") >= threshold)
+        if rep_cap == _UNIFIED_REP_CAP:
+            m = m.filter(F.col("in_rep_cap"))
+        m = m.select(
+            "id_a", "id_b", "name_jaccard", "brand_eq", "size_sim", "score"
+        )
+    return m
 
 
 def doc_matched_pairs(

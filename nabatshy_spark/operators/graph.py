@@ -45,13 +45,29 @@ def pagerank(
     edges allowed — they weight the transition like a multigraph).
     Returns (node, rank) for every node appearing as src or dst,
     rank rounded to 6 places for cross-engine comparison."""
-    # Materialize the edge relation once: its lineage is often an
-    # expensive join build (e.g. fact ⋈ three dims), and every
-    # iteration — plus the nodes/outdeg prep — re-reads it.
-    edges = edges.select(src, dst).localCheckpoint(eager=False)
+    # Collapse parallel edges to (src, dst, multiplicity) FIRST: a
+    # multigraph's transition weight from s is (edges s→d)/outdeg(s),
+    # so the aggregated graph is the same linear operator — but every
+    # downstream relation (nodes, outdeg, the per-iteration join+agg)
+    # now works on the DISTINCT-pair relation instead of the raw edge
+    # multiset. On fact-derived graphs (one edge per lineitem, 25²
+    # distinct nation pairs) that turns five fact-sized iteration
+    # shuffles into catalog-sized ones; the one fact-sized pass left
+    # is this aggregation, whose partial (map-side) combine shrinks
+    # the shuffle to the distinct pairs per task (guide §2.3
+    # "aggregate before you shuffle"). The per-edge sum Σ r/outdeg
+    # regroups to r·m/outdeg — same value up to FP reassociation,
+    # which the 6-dp output round absorbs (the unrolled SQL oracle
+    # already sums in its own order).
+    m_edges = (
+        edges.select(src, dst)
+        .groupBy(src, dst)
+        .agg(F.count("*").alias("__m"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        m_edges.select(F.col(src).alias("node"))
+        .unionByName(m_edges.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -59,15 +75,15 @@ def pagerank(
     if n_nodes == 0:
         # empty graph (an empty ingest window is a normal state)
         return nodes.withColumn("rank", F.lit(0.0))
-    # Pre-divide each edge's contribution weight by its source's
-    # out-degree (multigraph: parallel edges each carry 1/outdeg).
-    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count("*").alias("__outdeg")
+    # Pre-divide each distinct edge's contribution weight by its
+    # source's out-degree (multigraph: m parallel edges carry m/outdeg).
+    outdeg = m_edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum("__m").alias("__outdeg")
     )
     w_edges = (
-        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        m_edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__m")
         .join(outdeg, F.col("__src") == F.col("node"))
-        .select("__src", "__dst", (F.lit(1.0) / F.col("__outdeg")).alias("__w"))
+        .select("__src", "__dst", (F.col("__m") / F.col("__outdeg")).alias("__w"))
         .localCheckpoint(eager=False)  # read by every iteration
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

@@ -259,8 +259,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(
         flags.filter("__k").select("doc_id"), "doc_id", "left_semi"
     ).cache()
+    # near-dup pairs from the shared curated-pair artifact (same
+    # relation curate_corpus consumes — see dedup.shared_curated_pairs)
     near = dedup.dedup_pipeline(
-        kept, "doc_id", "text", n=3, threshold=0.5, max_df=200
+        kept, "doc_id", "text", n=3, threshold=0.5, max_df=200,
+        pairs_override=dedup.shared_curated_pairs(
+            spark, sf_dir, n=3, threshold=0.5, max_df=200
+        ),
     )
     tail = near.agg(
         F.count("*").alias("s4"),

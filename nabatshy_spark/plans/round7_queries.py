@@ -305,26 +305,33 @@ def dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet_layout_audit's file-level view with column-level encoding
     economics).
 
-    Scale: one pruned single-column scan per column (column pruning
-    makes each branch ~1/|cols| of the table bytes), ordinary
-    two-phase distinct — the EXPAND-free per-column shape
-    column_stats_profile established."""
+    Scale: ONE pruned single-column scan per column (column pruning
+    makes each branch ~1/|cols| of the table bytes): group by the
+    value — the partial (map-side) agg collapses each task to the
+    column's local vocabulary before the one shuffle — then every
+    statistic falls out of the (value, count) relation in a single
+    tiny aggregate: n_rows = Σ count, plain bytes = Σ len·count,
+    ndv = |groups|, dictionary payload = Σ len. Round 11: this
+    replaces the former full-scan + distinct-scan pair per column
+    (2 scans / 2 wide aggregates → 1 scan / 1 group-by; identical
+    integers — NULL groups count toward n_rows and ndv exactly as the
+    distinct() form did, and length(NULL) drops out of both byte
+    sums)."""
     outs = []
     for tname, c in _DICT_COLS:
         t = load(spark, sf_dir, tname).select(F.col(c).alias("__v"))
-        full = t.agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.length("__v")).alias("plain_bytes"),
-        )
-        # Dictionary payload = Σ length over DISTINCT VALUES (what the
-        # dictionary page stores), not Σ of distinct length integers.
-        dist = t.distinct().agg(
+        g = t.groupBy("__v").agg(F.count("*").alias("__n"))
+        stats = g.agg(
+            F.sum("__n").alias("n_rows"),
             F.count("*").alias("ndv"),
+            F.sum(F.length("__v") * F.col("__n")).alias("plain_bytes"),
+            # Dictionary payload = Σ length over DISTINCT VALUES (what
+            # the dictionary page stores).
             F.sum(F.length("__v")).alias("__payload"),
         )
         bits = F.ceil(F.log2(F.col("ndv")))
         outs.append(
-            full.crossJoin(dist).select(
+            stats.select(
                 F.lit(f"{tname}.{c}").alias("column_name"),
                 "n_rows",
                 "ndv",

@@ -152,6 +152,31 @@ def test_part_topk_artifact_serves_identical_results(spark, sf_dir, monkeypatch,
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_artifact))
 
 
+def test_unified_matches_filters_equal_direct_builds(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Round-11 unified part_matches artifact: every configuration it
+    serves by FILTER must equal the per-config direct operator exactly
+    — t0.9/rcNone is a score filter (candidate generation is
+    threshold-independent above 0.7; the prune is recall-lossless) and
+    t0.8/rcNone is the unified relation minus the flag column."""
+    from nabatshy_spark.catalog import load
+
+    monkeypatch.setenv("SPARK_GRAFT_ER_DIR", str(tmp_path))
+    part = load(spark, sf_dir, "part")
+    for thr, rc in [(0.9, None), (0.8, None)]:
+        direct = entity.part_matched_pairs(
+            part, threshold=thr, max_df=200, rep_cap=rc
+        ).collect()
+        via = entity.shared_part_matches(
+            spark, sf_dir, threshold=thr, max_df=200, rep_cap=rc
+        ).collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple, via)), (
+            thr,
+            rc,
+        )
+
+
 def test_doc_matches_artifact_serves_identical_results(
     spark, sf_dir, monkeypatch, tmp_path
 ):
