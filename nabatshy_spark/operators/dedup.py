@@ -1144,6 +1144,7 @@ def dedup_pipeline(
     threshold: float = 0.5,
     max_df: int | None = None,
     pairs_override: DataFrame | None = None,
+    exact_sur_override: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup — the composition a training-data
     pipeline actually runs: (1) exact dedup by content hash, (2) exact
@@ -1164,8 +1165,20 @@ def dedup_pipeline(
     per invocation. It must be exactly
     ``ngram_jaccard_pairs(sur_docs, id_col, text_col, n, threshold,
     max_df)`` for the same input; the artifact key encodes that.
+
+    ``exact_sur_override`` substitutes the stage-(1) exact-survivor id
+    relation — for callers that already fingerprinted the corpus in an
+    earlier pass (curation_funnel's flag relation carries the same
+    sha256 per kept doc). Must equal
+    ``exact_dedup(df, id_col, text_col).select(id_col)`` — i.e. the
+    min id per content fingerprint — or stage (2)'s survivor base
+    diverges from the pair relation's.
     """
-    exact_sur = exact_dedup(df, id_col, text_col).select(id_col)
+    exact_sur = (
+        exact_sur_override
+        if exact_sur_override is not None
+        else exact_dedup(df, id_col, text_col).select(id_col)
+    )
     # NOT checkpointed deliberately: the three consumers each take a
     # different narrow projection of the survivors, and recomputing the
     # (cheap, codegen'd) filter per consumer beats materializing full

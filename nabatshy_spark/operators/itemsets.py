@@ -110,6 +110,14 @@ def frequent_pairs(
     pair_sup, _, _ = _pair_support_relations(
         df, basket_col, item_col, min_support, max_basket
     )
+    return topk_pairs(pair_sup, k)
+
+
+def topk_pairs(pair_sup: DataFrame, k: int) -> DataFrame:
+    """frequent_pairs' output step over a (item_a, item_b, support)
+    relation — public so callers serving the supports from the shared
+    artifact (:func:`shared_part_basket_stats`) produce the identical
+    result without re-mining."""
     return pair_sup.orderBy(
         F.col("support").desc(),
         F.col("item_a").asc(),
@@ -142,6 +150,19 @@ def association_rules(
     pair_sup, item_sup, n_baskets = _pair_support_relations(
         df, basket_col, item_col, min_support, max_basket
     )
+    return rules_from_supports(pair_sup, item_sup, n_baskets, k)
+
+
+def rules_from_supports(
+    pair_sup: DataFrame,
+    item_sup: DataFrame,
+    n_baskets: DataFrame,
+    k: int,
+) -> DataFrame:
+    """association_rules' scoring/output step over pre-computed
+    support relations — public so callers serving the supports from
+    the shared artifact (:func:`shared_part_basket_stats`) produce the
+    identical result without re-mining."""
     sa = item_sup.select(
         F.col("item").alias("item_a"), F.col("__sup").alias("__sa")
     )
@@ -171,4 +192,80 @@ def association_rules(
             F.col("item_b").asc(),
         )
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared part-basket support artifact
+# ---------------------------------------------------------------------------
+
+# Versions the support artifact: the lineitem fingerprint tracks the
+# data; this tracks _pair_support_relations' semantics (capping,
+# dedup-within-basket, in-array pair expansion). Bump on any change
+# there, or a warm artifact root serves pre-change supports.
+_BASKET_STATS_VERSION = 1
+
+
+def shared_part_basket_stats(
+    spark,
+    sf_dir: str,
+    min_support: int = 3,
+    max_basket: int = 1000,
+):
+    """Fingerprint-keyed materialization of the A-priori support
+    relations over the (order, part) baskets: pair supports (already
+    filtered to >= min_support), frequent-item supports, and the
+    capped-basket grand total — the three outputs of
+    :func:`_pair_support_relations` that frequent_part_pairs and
+    association_rules_parts each re-mined from the fact table per run
+    (round-11 measurement: the basket regroup + pair expansion is
+    ~1.5 s of each query at sf0.1, twice per sweep, for one
+    deterministic relation). All three are integer-valued (the total
+    is a count cast to double — exact), so the parquet round-trip is
+    bit-exact and both consumers are unchanged. At 100 TB pair-support
+    mining is the scheduled once-per-corpus job; ranking and rule
+    scoring are cheap reads of its output.
+
+    Returns (pair_sup, item_sup, n_baskets) DataFrames.
+    """
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_BASKET_STATS_VERSION}"
+        f"_s{min_support}_b{max_basket}"
+    )
+
+    def _build(staging: str) -> None:
+        pair_sup, item_sup, n_baskets = _pair_support_relations(
+            load(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            min_support,
+            max_basket,
+        )
+        pair_sup.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "pairs")
+        )
+        item_sup.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "items")
+        )
+        n_baskets.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "total")
+        )
+        # Multi-relation artifact: each parquet dir has its own
+        # _SUCCESS; the lifecycle gate checks the top level.
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
+            pass
+
+    path = artifacts.ensure(
+        "basket_stats", key, _build, env_var="SPARK_GRAFT_BASKET_DIR"
+    )
+    return (
+        spark.read.parquet(os.path.join(path, "pairs")),
+        spark.read.parquet(os.path.join(path, "items")),
+        spark.read.parquet(os.path.join(path, "total")),
     )

@@ -872,18 +872,13 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-truncated lineage."""
     from nabatshy_spark.operators import graph
 
-    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
-    return graph.pagerank(edges, iterations=5).select(
+    # Round 11: the aggregated (src, dst, parallel-edge count) relation
+    # is served from the shared trade-edge artifact (one fact pass per
+    # corpus, four graph-query consumers — graph.shared_trade_edges);
+    # cnt is exactly the multiplicity pagerank's internal aggregation
+    # computed, so the power iteration is unchanged.
+    edges = graph.shared_trade_edges(spark, sf_dir).select("src", "dst", "cnt")
+    return graph.pagerank(edges, iterations=5, mult_col="cnt").select(
         F.col("node").alias("nationkey"), "rank"
     )
 
@@ -1639,17 +1634,10 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     together they give the topology dashboard rank + cohesion."""
     from nabatshy_spark.operators import graph
 
-    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
-    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-    )
+    # Round 11: served from the shared trade-edge artifact — the
+    # operator's first step is normalize+distinct, so the aggregated
+    # (src, dst) pair relation induces the identical simple graph.
+    edges = graph.shared_trade_edges(spark, sf_dir).select("src", "dst")
     return graph.triangle_counts(edges).select(
         F.col("node").alias("nationkey"), "triangles"
     )
@@ -1811,13 +1799,13 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join and a basket-size cap bounding the quadratic expansion."""
     from nabatshy_spark.operators import itemsets
 
-    return itemsets.frequent_pairs(
-        load(spark, sf_dir, "lineitem"),
-        "l_orderkey",
-        "l_partkey",
-        min_support=3,
-        k=100,
+    # Round 11: pair supports from the shared basket-stats artifact
+    # (one A-priori mining pass per corpus, shared with
+    # association_rules_parts — itemsets.shared_part_basket_stats).
+    pair_sup, _, _ = itemsets.shared_part_basket_stats(
+        spark, sf_dir, min_support=3
     )
+    return itemsets.topk_pairs(pair_sup, k=100)
 
 
 @query("dedup_cluster_stats")
@@ -1978,24 +1966,11 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated per iteration."""
     from nabatshy_spark.operators import graph
 
-    cust = F.broadcast(
-        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
-    supp = F.broadcast(
-        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    pair_rev = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", rev.alias("__r"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.sum("__r").alias("__rev"))
+    # Round 11: the per-pair revenue aggregate is served from the
+    # shared trade-edge artifact (rev = the identical groupBy sum,
+    # doubles bit-exact through parquet).
+    pair_rev = graph.shared_trade_edges(spark, sf_dir).select(
+        "src", "dst", F.col("rev").alias("__rev")
     )
     top = pair_rev.orderBy(
         F.col("__rev").desc(), F.col("src").asc(), F.col("dst").asc()
@@ -2093,10 +2068,10 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast."""
     from nabatshy_spark.operators import itemsets
 
-    return itemsets.association_rules(
-        load(spark, sf_dir, "lineitem"),
-        "l_orderkey",
-        "l_partkey",
-        min_support=3,
-        k=100,
+    # Round 11: support relations from the shared basket-stats
+    # artifact (one mining pass per corpus, shared with
+    # frequent_part_pairs).
+    pair_sup, item_sup, n_baskets = itemsets.shared_part_basket_stats(
+        spark, sf_dir, min_support=3
     )
+    return itemsets.rules_from_supports(pair_sup, item_sup, n_baskets, k=100)

@@ -258,20 +258,31 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     kept = docs.join(
         flags.filter("__k").select("doc_id"), "doc_id", "left_semi"
-    ).cache()
+    )
     # near-dup pairs from the shared curated-pair artifact (same
-    # relation curate_corpus consumes — see dedup.shared_curated_pairs)
+    # relation curate_corpus consumes — see dedup.shared_curated_pairs),
+    # and exact survivors derived from the checkpointed flag relation —
+    # flags already carries each kept doc's sha256 (__fp), so min-id-
+    # per-fingerprint here IS exact_dedup(kept) without re-reading and
+    # re-hashing the text (round 11: one fewer corpus scan; `kept` is
+    # now consumed once, so the former .cache() is gone too).
+    exact_sur = (
+        flags.filter("__k")
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     near = dedup.dedup_pipeline(
         kept, "doc_id", "text", n=3, threshold=0.5, max_df=200,
         pairs_override=dedup.shared_curated_pairs(
             spark, sf_dir, n=3, threshold=0.5, max_df=200
         ),
+        exact_sur_override=exact_sur,
     )
     tail = near.agg(
         F.count("*").alias("s4"),
         F.count_if(sampling.hash_sample_pred("doc_id", 6554)).alias("s5"),
     ).collect()[0]
-    kept.unpersist()
     rows = [
         (0, "input", head.s0),
         (1, "quality_gte_0.6", head.s1),
@@ -2708,26 +2719,16 @@ def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     result exactly reproducible by the unrolled SQL oracle. The
     question differs from connected components: the dense trade graph
     is one component, communities are where volume CLUSTERS."""
-    from nabatshy_spark.operators.graph import label_propagation
+    from nabatshy_spark.operators.graph import (
+        label_propagation,
+        shared_trade_edges,
+    )
 
-    cust = F.broadcast(
-        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    )
-    supp = F.broadcast(
-        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    )
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    vol = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("__v"))
+    # Round 11: the per-pair volume aggregate is served from the shared
+    # trade-edge artifact (cnt = the identical groupBy count; the mean
+    # threshold below is an exact integer-sum average either way).
+    vol = shared_trade_edges(spark, sf_dir).select(
+        "src", "dst", F.col("cnt").alias("__v")
     )
     mean_v = vol.agg(F.avg("__v").alias("__m"))
     strong = (

@@ -367,13 +367,13 @@ def degree_distribution_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one orderkey join (both sides bucketable), one distinct on
     (part, customer) — the heavy shuffle — then dimension-sized
     aggregates; the histogram is |buckets| rows."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    from nabatshy_spark.operators import graph
+
+    # Round 11: the distinct (part, cust) relation comes from the
+    # shared bipartite edge artifact (already distinct by build).
     deg = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("l_partkey", "o_custkey")
-        .distinct()
-        .groupBy("l_partkey")
+        graph.shared_part_cust_edges(spark, sf_dir)
+        .groupBy("part")
         .agg(F.count("*").alias("__deg"))
     )
     return (
@@ -488,11 +488,10 @@ def kcore_trade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges localCheckpoint per round so lineage stays one round deep."""
     from nabatshy_spark.operators import graph
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
-    )
+    # Round 11: the distinct (part, cust) pair relation is served from
+    # the shared bipartite edge artifact (the operator's first step is
+    # `.distinct()`, so the pre-distinct relation is identity).
+    edges = graph.shared_part_cust_edges(spark, sf_dir)
     return graph.bipartite_core_prune(edges, "part", "cust", k=25, rounds=3)
 
 
