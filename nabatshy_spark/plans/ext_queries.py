@@ -857,10 +857,13 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     N-way self-join; cost is the queried posting lists only."""
     from nabatshy_spark.operators import invindex
 
-    postings = invindex.build_postings(
-        load(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-    return invindex.search_and(postings, ["join", "hash", "vector"], k=20)
+    # Round 11: postings served from the shared term-bucket-partitioned
+    # layout (invindex.shared_postings) — the scan is pruned to the
+    # queried terms' buckets; search_and's own isin filter runs on top,
+    # so the result is identical to the inline build.
+    terms = ["join", "hash", "vector"]
+    postings, _ = invindex.shared_postings(spark, sf_dir, terms=terms)
+    return invindex.search_and(postings, terms, k=20)
 
 
 @query("pagerank_trade")
@@ -999,12 +1002,11 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists only + one groupBy(doc) + TakeOrdered."""
     from nabatshy_spark.operators import invindex
 
-    docs = load(spark, sf_dir, "documents")
-    postings = invindex.build_postings(docs, "doc_id", "text")
-    doc_lens = docs.select(
-        F.col("doc_id").alias("doc"), F.size(F.split("text", " ")).alias("dl")
-    )
-    return invindex.search_bm25(postings, doc_lens, ["join", "hash", "vector"], k=20)
+    # Round 11: pruned postings + doc_lens from the shared layout
+    # artifact (see text_search_and).
+    terms = ["join", "hash", "vector"]
+    postings, doc_lens = invindex.shared_postings(spark, sf_dir, terms=terms)
+    return invindex.search_bm25(postings, doc_lens, terms, k=20)
 
 
 @query("fuzzy_prefix_pairs")
@@ -1255,14 +1257,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear, fusion on 2·20 rows."""
     from nabatshy_spark.operators import invindex
 
-    docs = load(spark, sf_dir, "documents")
-    postings = invindex.build_postings(docs, "doc_id", "text")
-    doc_lens = docs.select(
-        F.col("doc_id").alias("doc"), F.size(F.split("text", " ")).alias("dl")
-    )
+    # Round 11: pruned postings + doc_lens from the shared layout
+    # artifact (see text_search_and).
+    terms = ["join", "hash", "vector"]
+    postings, doc_lens = invindex.shared_postings(spark, sf_dir, terms=terms)
     return invindex.hybrid_search(
         postings, doc_lens, load(spark, sf_dir, "embeddings"),
-        ["join", "hash", "vector"], query_vec_id=0, k=10,
+        terms, query_vec_id=0, k=10,
     )
 
 

@@ -2519,18 +2519,21 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus."""
     from nabatshy_spark.operators import invindex
 
-    docs = load(spark, sf_dir, "documents")
-    postings = invindex.build_postings(docs, "doc_id", "text")
-    doc_lens = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.size(F.split("text", " ")).alias("dl"),
+    # Round 11: postings + doc_lens from the shared term-bucket-
+    # partitioned layout (invindex.shared_postings), pruned to the
+    # eval terms' buckets; the broadcast qdf join restricts to the
+    # exact terms downstream, so results are identical. N/avgdl come
+    # from doc_lens, untouched by the prune.
+    eval_terms = [
+        ("q1", "join"), ("q1", "hash"), ("q1", "vector"),
+        ("q2", "data"), ("q2", "query"),
+        ("q3", "stream"), ("q3", "window"), ("q3", "sort"),
+    ]
+    postings, doc_lens = invindex.shared_postings(
+        spark, sf_dir, terms=[t for _, t in eval_terms]
     )
     qdf = spark.createDataFrame(
-        [
-            ("q1", "join"), ("q1", "hash"), ("q1", "vector"),
-            ("q2", "data"), ("q2", "query"),
-            ("q3", "stream"), ("q3", "window"), ("q3", "sort"),
-        ],
+        eval_terms,
         "query_id string, term string",
     )
     n_terms = qdf.groupBy("query_id").agg(
@@ -2661,14 +2664,11 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives by construction. Queried posting lists only."""
     from nabatshy_spark.operators import invindex
 
-    docs = load(spark, sf_dir, "documents")
-    postings = invindex.build_postings(docs, "doc_id", "text")
-    doc_lens = docs.select(
-        F.col("doc_id").alias("doc"), F.size(F.split("text", " ")).alias("dl")
-    )
-    return invindex.hard_negatives(
-        postings, doc_lens, ["join", "hash", "vector"], k=20
-    )
+    # Round 11: pruned postings + doc_lens from the shared layout
+    # artifact (see search_eval_ndcg).
+    terms = ["join", "hash", "vector"]
+    postings, doc_lens = invindex.shared_postings(spark, sf_dir, terms=terms)
+    return invindex.hard_negatives(postings, doc_lens, terms, k=20)
 
 
 @query("l_diversity_audit")

@@ -255,3 +255,48 @@ def test_shared_root_intermediate_is_0700(monkeypatch, tmp_path):
     root = os.path.join(str(tmp_path), f"nabatshy_artifacts_{os.getuid()}")
     assert os.stat(root).st_mode & 0o077 == 0
     assert os.stat(os.path.join(root, "famx")).st_mode & 0o077 == 0
+
+
+def test_shared_postings_pruned_reads_equal_direct_build(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Round-11 postings layout artifact: the bucket-pruned read must
+    serve every search surface identically to the inline postings
+    build — the prune is a superset filter (driver-side crc32 bucket
+    twin), and tf/dl are integers, exact through parquet."""
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import invindex
+
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_DIR", str(tmp_path))
+    docs = load(spark, sf_dir, "documents")
+    direct_p = invindex.build_postings(docs, "doc_id", "text")
+    direct_dl = docs.selectExpr(
+        "doc_id as doc", "size(split(text, ' ')) as dl"
+    )
+    terms = ["join", "hash", "vector"]
+    art_p, art_dl = invindex.shared_postings(spark, sf_dir, terms=terms)
+    # bucket prune is a superset of the term filter: term-filtered
+    # relations must match exactly
+    d = direct_p.filter(direct_p.term.isin(terms)).collect()
+    a = art_p.filter(art_p.term.isin(terms)).collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, a))
+    assert sorted(map(tuple, direct_dl.collect())) == sorted(
+        map(tuple, art_dl.collect())
+    )
+    # end-to-end: BM25 over artifact == BM25 over inline build
+    d_bm = invindex.search_bm25(direct_p, direct_dl, terms, k=20).collect()
+    a_bm = invindex.search_bm25(art_p, art_dl, terms, k=20).collect()
+    assert [tuple(r) for r in d_bm] == [tuple(r) for r in a_bm]
+    # driver-side bucket twin really is the layout's bucket fn
+    from pyspark.sql import functions as F
+
+    onedf = spark.createDataFrame(
+        [Row(term=t) for t in ["join", "hash", "vector", "zzz", "énergie"]]
+    ).select(
+        "term",
+        (F.crc32(F.col("term")) % invindex._N_TERM_BUCKETS)
+        .cast("int")
+        .alias("b"),
+    )
+    for r in onedf.collect():
+        assert r.b == invindex._term_bucket_py(r.term)
