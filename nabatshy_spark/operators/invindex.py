@@ -380,10 +380,29 @@ def shared_postings(
     path = artifacts.ensure(
         "postings", key, _build, env_var="SPARK_GRAFT_POSTINGS_DIR"
     )
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    # Explicit schemas (driver-side analysis of the same expressions the
+    # build writes — no job): a 0-row corpus writes NO partition dirs
+    # under partitionBy, and schema inference on an empty layout throws.
+    # An empty ingest window is a normal production state; with the
+    # schema supplied the read returns the correct empty relations.
+    docs0 = load(spark, sf_dir, "documents")
+    p_schema = (
+        build_postings(docs0, "doc_id", "text")
+        .withColumn("__tb", F.lit(0).cast("int"))
+        .schema
+    )
+    dl_schema = docs0.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.split("text", " ")).alias("dl"),
+    ).schema
+    postings = spark.read.schema(p_schema).parquet(
+        os.path.join(path, "postings")
+    )
     if terms is not None:
         buckets = sorted({_term_bucket_py(t) for t in terms})
         postings = postings.filter(F.col("__tb").isin(buckets))
     postings = postings.select("term", "doc", "tf")
-    doc_lens = spark.read.parquet(os.path.join(path, "doc_lens"))
+    doc_lens = spark.read.schema(dl_schema).parquet(
+        os.path.join(path, "doc_lens")
+    )
     return postings, doc_lens
