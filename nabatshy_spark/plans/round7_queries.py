@@ -322,7 +322,9 @@ def dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = load(spark, sf_dir, tname).select(F.col(c).alias("__v"))
         g = t.groupBy("__v").agg(F.count("*").alias("__n"))
         stats = g.agg(
-            F.sum("__n").alias("n_rows"),
+            # coalesce: the pre-round-11 form counted rows directly, so
+            # an empty column gave n_rows = 0, not NULL (ADVICE r11).
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
             F.count("*").alias("ndv"),
             F.sum(F.length("__v") * F.col("__n")).alias("plain_bytes"),
             # Dictionary payload = Σ length over DISTINCT VALUES (what

@@ -237,12 +237,18 @@ def minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_true = exact.count()
+    # ONE full-budget signature artifact serves all three configs: the
+    # seeded hash family is prefix-stable, so sig[:32]/sig[:64] ARE the
+    # 32-/64-hash signatures and banding only reads indices below each
+    # budget (see minhash_lsh_pairs' sig_override note, round 12).
+    sigs = dedup.shared_minhash_signatures(spark, sf_dir, n=3, num_hashes=128)
     reports = []
     for n_hashes in [32, 64, 128]:
         got = (
             dedup.minhash_lsh_pairs(
                 docs, "doc_id", "text", n=3, threshold=0.5,
                 num_hashes=n_hashes, rows_per_band=2,
+                sig_override=sigs,
             )
             .select("doc_a", "doc_b")
             .localCheckpoint()
