@@ -41,47 +41,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, and anything added this round.  Previously-passed core queries
 # fill the remaining slots; their round-1 rows stand as external evidence.
 _PRIORITY = [
-    # ---- Round-11 window (exactly 50 — the driver checks the FIRST 50
+    # ---- Round-12 window (exactly 50 — the driver checks the FIRST 50
     # registered queries only; entry #51 would silently never get a
     # row). Staleness-driven (VERDICT r8 task #6 convention): (a) every
-    # query whose code path round 11 touched, (b) the new round-11
-    # query, (c) the oldest-evidence tail.
-    # (b) NEW: the document-ER bounded contract family (top-k, cluster
-    # rollup, recall gate).
-    "er_doc_topk", "er_doc_clusters", "er_doc_topk_eval",
-    # (a1) the ER candidate-DAG collapse (entity.py refactor +
-    # shared part_matches artifact) → the whole part-ER family.
-    "er_part_topk", "er_topk_eval", "er_part_pairs", "er_part_clusters",
-    # (a2) the suffixes.py refactor (postings-parameterized run cores,
-    # tried-and-reverted shared-scan build — see SCALE.md round-11) +
-    # the bench-hash broadcast size gate → the whole ExactSubstr
-    # family.
+    # query whose code path round 12 touched, (b) every query the
+    # staleness ledger (tools/gen_row_staleness.py) flags as
+    # code-newer-than-evidence, (c) the oldest-evidence tail.
+    # (a1) the artifact-served paths of this optimization round:
+    # incremental-dedup corpus index, MinHash signature relation (and
+    # its multi-budget eval gate), hot-chunk scrub, the curation flag
+    # family, the doc-ER eval truth artifact, the dup-vocabulary span
+    # filter.
+    "dedup_incremental", "dedup_minhash_lsh", "minhash_dedup_eval",
+    "boilerplate_scrub", "curate_corpus", "curation_funnel",
+    "er_doc_topk_eval", "er_doc_topk", "er_doc_clusters",
+    "dup_span_chars",
+    # (a2) the two-level ExactSubstr builds (level-1 dup-window
+    # artifact feeding the substr- and decon-runs families).
     "longest_dup_substrings", "dup_substring_doc_stats",
-    "exactsubstr_cut_plan", "intra_doc_repeats",
-    "exactsubstr_source_coverage", "decontaminate_exactsubstr",
-    "exactsubstr_rewrite_preview",
-    # (a3) artifact-lifecycle hardening (artifacts.py: secured root,
-    # quarantine-first sweep, staging cleanup on failed builds) →
-    # representative consumers of each artifact family.
-    "dedup_ngram_jaccard", "continuous_aggregate",
-    "zorder_pruning_stats", "bucketed_revenue_join",
-    # (c) oldest-evidence tail: the complete r2-only set (external row
-    # last refreshed in round 2 — the spans attr/negation family, the
-    # A5/A8 hosts, and the remaining r2 extension queries), then the
-    # two oldest r4 rows.
-    "dedup_incremental", "event_funnel", "fuzzy_prefix_pairs",
-    "latest_event_per_user", "pagerank_trade", "price_histogram",
-    "props_json_stats", "rolling_user_value", "sample_capped_per_source",
-    "sample_weighted", "skew_salted_value_by_user",
-    "spans_attr_negation", "spans_attr_pair", "spans_distinct_services",
-    "spans_endpoint_latency", "spans_error_traces", "spans_hourly_heatmap",
-    "spans_search_metrics", "spans_search_page", "spans_search_sorted",
-    "spans_search_timerange", "spans_service_dependency",
-    "spans_service_issues", "spans_slow_vs_baseline",
-    "spans_slowest_traces", "spans_trace_details",
-    "sql_segment_order_stats", "sql_top_revenue_brands",
-    "text_search_bm25", "user_event_deltas", "value_outliers",
-    "vocab_top_terms",
+    "exactsubstr_cut_plan", "exactsubstr_source_coverage",
+    "decontaminate_exactsubstr", "exactsubstr_rewrite_preview",
+    # (a3) entity.py unified-predicate fix (latent config) → the
+    # part-ER family; pair-artifact key disambiguation → the eight
+    # shared_ngram_pairs consumers; dictionary advisor empty-contract
+    # fix; part-cust edge build parallelism → its two consumers.
+    "er_part_topk", "er_part_pairs", "er_part_clusters", "er_topk_eval",
+    "dedup_ngram_jaccard", "dedup_components", "dedup_cluster_stats",
+    "dedup_keep_best", "source_overlap_matrix", "dup_threshold_curve",
+    "split_leakage_audit",
+    "dictionary_encoding_advisor", "degree_distribution_trade",
+    "kcore_trade_pruning",
+    # (b) remaining staleness-ledger rows (evidence older than the
+    # last code touch, rounds 11-12).
+    "association_rules_parts", "frequent_part_pairs",
+    "hybrid_search_rrf", "lpa_trade_communities", "search_eval_ndcg",
+    "search_hard_negatives", "text_search_and", "trade_reach_hops",
+    "trade_triangles",
+    # (c) oldest-evidence tail: rows last externally refreshed in
+    # round 4.
+    "spans_trace_waterfall", "corpus_length_stats", "pack_chunks",
+    "spans_critical_path", "spans_fanout_stats", "spans_concurrency",
+    "spans_error_root_cause", "spans_exemplars",
+    "spans_error_propagation", "spans_apdex", "embedding_norm_stats",
 ]
 
 

@@ -54,6 +54,16 @@ from collections.abc import Callable
 # "family/key" -> build wall seconds, for builds THIS process published.
 BUILD_TIMES: dict[str, float] = {}
 
+# Stack of child-build wall seconds for the builds currently running in
+# this process: a build that calls ensure() for ANOTHER family (round
+# 12: substr/decon builds derive from the level-1 dup-window artifact,
+# the curated-pairs build reads the curation flags) would otherwise
+# have the child's seconds recorded twice — once under the child's own
+# BUILD_TIMES line and once inside the parent's wall. Each frame
+# accumulates the wall time of nested ensure() build paths; the parent
+# records its wall MINUS that, so artifact_build_sec stays a true sum.
+_ACTIVE_BUILDS: list[float] = []
+
 _STAGING_TTL = 3600  # orphaned staging/quarantine dirs: swept after 1 h
 DEFAULT_TTL = 7 * 86400  # published artifacts: swept after 7 idle days
 
@@ -266,17 +276,25 @@ def ensure(
     _sweep(root, ttl)
     staging = f"{path}.staging-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     t0 = time.perf_counter()
+    _ACTIVE_BUILDS.append(0.0)
     try:
-        build(staging)
-    except BaseException:
-        # A failed builder must not leave its staging tree behind: it
-        # is only swept after the 1 h staging TTL and only on a later
-        # cache miss in the same family root, so repeated failing
-        # builds of large artifacts (layout families are full table
-        # copies) would otherwise accumulate (ADVICE r10).
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    elapsed = round(time.perf_counter() - t0, 4)
+        try:
+            build(staging)
+        except BaseException:
+            # A failed builder must not leave its staging tree behind:
+            # it is only swept after the 1 h staging TTL and only on a
+            # later cache miss in the same family root, so repeated
+            # failing builds of large artifacts (layout families are
+            # full table copies) would otherwise accumulate (ADVICE
+            # r10).
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+    finally:
+        child_secs = _ACTIVE_BUILDS.pop()
+        if _ACTIVE_BUILDS:
+            # charge this ensure()'s full wall to the enclosing build
+            _ACTIVE_BUILDS[-1] += time.perf_counter() - t0
+    elapsed = round(time.perf_counter() - t0 - child_secs, 4)
     if not _complete(staging):
         shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(

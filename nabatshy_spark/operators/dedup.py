@@ -1786,7 +1786,11 @@ def ngram_containment_pairs(
 
 
 def duplicate_ngram_coverage(
-    df: DataFrame, id_col: str, text_col: str, k: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    dup_vocab_override: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document fraction of character ``k``-gram windows that also
     occur in at least one OTHER document — the per-doc "how much of me
@@ -1828,23 +1832,35 @@ def duplicate_ngram_coverage(
     # the reverted one-scan ExactSubstr window relation (SCALE.md).
     # The repartition by id makes the (id, sh) aggregation
     # exchange-free, so each pass is explode + local hash agg.
-    g = sh.groupBy(id_col, "__sh").agg(F.count("*").alias("__c"))
-    # Only duplicated shingles (df ≥ 2) matter downstream: the join
-    # ships the dup vocabulary, not every shingle's df, and
-    # n_windows needs no join at all — Σ occurrence counts per doc is
-    # exactly the window count ``len − k + 1``, already on the docs
-    # relation.
-    dup_sh = (
-        g.groupBy("__sh")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("__sh")
-    )
-    dupw = (
-        g.join(dup_sh, "__sh")
-        .groupBy(id_col)
-        .agg(F.sum("__c").alias("dup_windows"))
-    )
+    if dup_vocab_override is not None:
+        # The dup vocabulary comes precomputed (shared_dup_char_vocab,
+        # round 12): ONE explode pass — windows probe the (broadcast-
+        # sized) vocabulary and count per doc; dup_windows = number of
+        # window positions whose shingle is duplicated, identical to
+        # Σ __c over dup shingles of the compacted relation.
+        dupw = (
+            sh.join(dup_vocab_override, "__sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("dup_windows"))
+        )
+    else:
+        g = sh.groupBy(id_col, "__sh").agg(F.count("*").alias("__c"))
+        # Only duplicated shingles (df ≥ 2) matter downstream: the join
+        # ships the dup vocabulary, not every shingle's df, and
+        # n_windows needs no join at all — Σ occurrence counts per doc
+        # is exactly the window count ``len − k + 1``, already on the
+        # docs relation.
+        dup_sh = (
+            g.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") >= 2)
+            .select("__sh")
+        )
+        dupw = (
+            g.join(dup_sh, "__sh")
+            .groupBy(id_col)
+            .agg(F.sum("__c").alias("dup_windows"))
+        )
     return (
         docs.select(id_col, (F.col("__len") - (k - 1)).alias("n_windows"))
         .join(dupw, id_col, "left")
@@ -1861,7 +1877,11 @@ def duplicate_ngram_coverage(
 
 
 def duplicate_span_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    dup_vocab_override: DataFrame | None = None,
 ) -> DataFrame:
     """Character-level duplicated-SPAN coverage per document: the union
     of all duplicated ``k``-gram windows (gaps-and-islands over window
@@ -1892,9 +1912,13 @@ def duplicate_span_stats(
     # build side shrinks from every shingle's df to the dup vocabulary
     # (broadcastable), instead of shipping a df for every window just
     # to filter on it afterwards. Row set identical: a window survives
-    # iff its shingle's df ≥ 2 either way.
+    # iff its shingle's df ≥ 2 either way. With ``dup_vocab_override``
+    # (shared_dup_char_vocab, round 12) the df derivation — a second
+    # full explode pass — disappears from the per-run plan entirely.
     dup_sh = (
-        sh.select(id_col, "__sh")
+        dup_vocab_override
+        if dup_vocab_override is not None
+        else sh.select(id_col, "__sh")
         .distinct()
         .groupBy("__sh")
         .agg(F.count("*").alias("__df"))
@@ -1932,6 +1956,77 @@ def duplicate_span_stats(
         )
         .orderBy(id_col)
     )
+
+
+# Bump when the char-window definition (substring windows, df ≥ 2 over
+# distinct docs) changes — see key note on shared_ngram_pairs.
+_DUP_VOCAB_VERSION = 1
+
+
+def shared_dup_char_vocab(spark, sf_dir: str, k: int = 20) -> DataFrame:
+    """Fingerprint-keyed materialization of the DUPLICATED char-window
+    vocabulary over ``documents``: the ``k``-char substrings occurring
+    in ≥ 2 distinct documents — the df ≥ 2 set BOTH
+    :func:`duplicate_ngram_coverage` and :func:`duplicate_span_stats`
+    derive per run with a full explode + aggregate pass (the same
+    doc-frequency definition in both: rows of the per-(doc, shingle)
+    compaction / distinct per shingle).
+
+    Why (round 12, guide §2.3/§2.4): the two queries each exploded the
+    corpus twice per run — once to compute this vocabulary, once to
+    probe it. With the artifact each query is ONE explode pass + a
+    broadcast probe; the vocabulary build is the once-per-corpus job.
+    Duplication-bounded (distinct duplicated k-grams), string-exact
+    through parquet. Explicit read schema: an empty corpus writes no
+    part files."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"dupvocab_{artifacts.source_fingerprint(src)}"
+        f"_v{_DUP_VOCAB_VERSION}_k{k}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        d = (
+            docs.repartition(par, "doc_id")
+            .select(
+                F.col("doc_id"),
+                F.col("text").alias("__t"),
+                F.length("text").alias("__len"),
+            )
+            .filter(F.col("__len") >= k)
+        )
+        sh = d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("__len") - (k - 1))
+            ).alias("__pos"),
+            "__t",
+        ).select("doc_id", F.expr(f"substring(__t, __pos, {k})").alias("__sh"))
+        (
+            sh.select("doc_id", "__sh")
+            .distinct()
+            .groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") >= 2)
+            .select("__sh")
+            # bounded file count, parallel reduce (the repartition(1)
+            # vs coalesce(1) lesson — the distinct keeps its width)
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+
+    path = artifacts.ensure(
+        "dup_vocab", key, _build, env_var="SPARK_GRAFT_PAIRS_DIR"
+    )
+    return spark.read.schema("__sh string").parquet(path)
 
 
 def ngram_jaccard_pairs_prefix(

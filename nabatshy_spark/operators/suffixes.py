@@ -172,6 +172,20 @@ def _dup_runs_from_postings(
     if max_df is not None:
         dup = dup.filter(F.col("__c") <= max_df)
     posts = wins.join(dup.select("__h"), "__h")
+    return _runs_from_dup_posts(posts, df, id_col, text_col, min_len)
+
+
+def _runs_from_dup_posts(
+    posts: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """Diagonal-run assembly from an ALREADY dup-filtered (id, pos,
+    __h) posting relation — the tail of :func:`_dup_runs_from_postings`
+    (round 12: factored out so the level-1 dup-window artifact can feed
+    it directly — see :func:`shared_dup_window_postings`)."""
     a = posts.select(
         "__h", F.col(id_col).alias("doc_a"), F.col("pos").alias("pa")
     )
@@ -516,6 +530,89 @@ def exactsubstr_cut_stats(
 _RUNS_VERSION = 1
 _XCORPUS_VERSION = 1
 _IREPEAT_VERSION = 1
+_DUP_WINDOWS_VERSION = 1
+
+
+def shared_dup_window_postings(
+    spark, sf_dir: str, min_len: int = 50
+) -> DataFrame:
+    """LEVEL-1 of the two-level ExactSubstr scheme (VERDICT r11 task
+    #7): the (doc_id, pos, __h, __c) posting relation restricted to
+    window hashes seen in ≥2 DISTINCT documents — UNCAPPED (no df cap;
+    ``__c`` is the global occurrence count, so every df cap is a
+    consumer-side filter), fingerprint-keyed.
+
+    Why: the substr-runs and decontamination-runs builds each
+    regenerated the FULL corpus window relation and re-aggregated its
+    frequencies per build, while round 11 measured (and rejected)
+    materializing that full relation — it is ~20× its source text.
+    The dup-restricted subset measured **9.2% of the window relation**
+    at sf0.1, and both l=50 families derive from it exactly:
+
+    - substr runs: posts = level-1 filtered ``__c <= max_df`` — equal
+      to wins ⋈ {h: ≥2 docs ∧ c ≤ cap} by construction;
+    - decon runs: a train-window sharing a hash with a test window has
+      a ≥2-distinct-doc hash (the pair IS two docs), so the semi-join
+      prune loses nothing; ALL train occurrences of a dup hash are
+      present, so the post-prune df-cap counts are unchanged; split
+      membership is a pure md5(doc_id) function, recomputable from the
+      posting rows. (Exact-equality experiment recorded in
+      OPTIMIZATION_r12.md; pinned by tests.)
+
+    The intra-repeat family deliberately does NOT share it: different
+    window length (l=20) and same-document repeats are invisible to the
+    ≥2-distinct-docs criterion. Caveat for 100 TB: the relation is
+    uncapped, so its size tracks corpus duplication (boilerplate-heavy
+    corpora grow it); the builds that consume it still apply their df
+    caps, only this build pays the uncapped join — the standard
+    inverted-index trade, documented rather than hidden."""
+    import os
+
+    from nabatshy_spark import artifacts
+    from nabatshy_spark.catalog import load
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        f"{artifacts.source_fingerprint(src)}_v{_DUP_WINDOWS_VERSION}"
+        f"_l{min_len}"
+    )
+
+    def _build(staging: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        wins = window_hash_postings(docs, "doc_id", "text", min_len).persist()
+        try:
+            freq = wins.groupBy("__h").agg(
+                F.count("*").alias("__c"),
+                F.min("doc_id").alias("__mn"),
+                F.max("doc_id").alias("__mx"),
+            )
+            dup = freq.filter(F.col("__mn") != F.col("__mx")).select(
+                "__h", "__c"
+            )
+            # Explicit hash partitioning before the write: without it
+            # AQE coalesced the posting join's reduce side to ONE task
+            # on the cold run (measured 9.1 vs 4.3 s — the output is
+            # small in bytes but the join is not small in compute),
+            # and the written layout would be a single file that pins
+            # the consumers' self-join to one scan task. Core-count
+            # files, hash-clustered by __h for the downstream joins.
+            par = spark.sparkContext.defaultParallelism
+            (
+                wins.join(dup, "__h")
+                .repartition(par, "__h")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        finally:
+            wins.unpersist()
+
+    path = artifacts.ensure(
+        "dup_windows", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
+    )
+    return spark.read.schema(
+        "__h bigint, doc_id bigint, pos int, __c bigint"
+    ).parquet(path)
+
 
 def shared_substring_runs(
     spark,
@@ -550,20 +647,26 @@ def shared_substring_runs(
     )
 
     def _build(staging: str) -> None:
-        handles: list[DataFrame] = []
-        runs = duplicated_substring_runs(
+        # Round 12 (VERDICT r11 task #7): derive from the level-1
+        # dup-window artifact instead of regenerating + re-aggregating
+        # the full window relation — posts = level-1 filtered to the
+        # df cap is exactly wins ⋈ {h: ≥2 docs ∧ c ≤ cap}, so the runs
+        # relation is identical (exact-equality pinned in
+        # tests/test_round12_ops.py and measured in
+        # OPTIMIZATION_r12.md: builds 4.2+3.0 s → 3.6 shared + 0.7 +
+        # 1.4 s at sf0.1, and ONE corpus window scan per corpus
+        # version instead of two).
+        posts = shared_dup_window_postings(spark, sf_dir, min_len)
+        if max_df is not None:
+            posts = posts.filter(F.col("__c") <= max_df)
+        runs = _runs_from_dup_posts(
+            posts.select("__h", "doc_id", "pos"),
             load(spark, sf_dir, "documents"),
             "doc_id",
             "text",
-            min_len=min_len,
-            max_df=max_df,
-            _handles=handles,
+            min_len,
         )
-        try:
-            runs.coalesce(1).write.mode("overwrite").parquet(staging)
-        finally:
-            for h in handles:
-                h.unpersist()
+        runs.coalesce(1).write.mode("overwrite").parquet(staging)
 
     path = artifacts.ensure(
         "substr_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"
@@ -602,22 +705,46 @@ def shared_decontamination_runs(
     )
 
     def _build(staging: str) -> None:
+        # Round 12 (VERDICT r11 task #7): both sides of the cross-split
+        # posting join come from the level-1 dup-window artifact.
+        # Equivalence (measured exact at sf0.1, pinned in
+        # tests/test_round12_ops.py): a train window that shares a hash
+        # with a test window has a ≥2-distinct-doc hash, so the dup
+        # restriction drops nothing the semi-join keeps; all train
+        # occurrences of a dup hash are present, so the post-prune df
+        # cap counts the same rows; split membership is a pure
+        # md5(doc_id) function, so attaching it to posting rows equals
+        # windowing the split relations. The generic
+        # cross_corpus_substring_runs operator is unchanged — this is
+        # the artifact build's derivation only.
         docs = load(spark, sf_dir, "documents")
         splits = sampling.split_corpus(
             docs, "doc_id", train_bps=train_bps, val_bps=val_bps
         )
         train = splits.filter(F.col("split") == "train")
         test = splits.filter(F.col("split") == "test")
-        handles: list[DataFrame] = []
-        runs = cross_corpus_substring_runs(
-            train, test, "doc_id", "text",
-            min_len=min_len, max_df=max_df, _handles=handles,
+        lvl1 = shared_dup_window_postings(spark, sf_dir, min_len).join(
+            splits.select("doc_id", "split"), "doc_id"
         )
-        try:
-            runs.coalesce(1).write.mode("overwrite").parquet(staging)
-        finally:
-            for h in handles:
-                h.unpersist()
+        trainw = lvl1.filter(F.col("split") == "train").select(
+            "doc_id", "pos", "__h"
+        )
+        testw = lvl1.filter(F.col("split") == "test").select(
+            "doc_id", "pos", "__h"
+        )
+        test_hashes = testw.select("__h").distinct()
+        # same broadcast size gate as the generic operator
+        n_bench = test_hashes.count()
+        probe = (
+            F.broadcast(test_hashes)
+            if n_bench <= _BENCH_BROADCAST_MAX_HASHES
+            else test_hashes
+        )
+        cw = trainw.join(probe, "__h", "left_semi")
+        runs = _cross_runs_from_postings(
+            cw, testw, train, test, "doc_id", "text", min_len, max_df
+        )
+        runs.coalesce(1).write.mode("overwrite").parquet(staging)
 
     path = artifacts.ensure(
         "decon_runs", key, _build, env_var="SPARK_GRAFT_SUBSTR_DIR"

@@ -76,10 +76,14 @@ def er_part_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-window coverage: fraction of each doc's
     character 20-gram windows that also appear in another document.
-    One shingle-keyed shuffle for document frequency, one doc-keyed
-    shuffle back; the 100 TB switch is hashing the shingle to int64."""
+    The duplicated vocabulary is served from the fingerprint-keyed
+    artifact it shares with dup_span_chars (dedup.shared_dup_char_vocab
+    — round 12), so each run is ONE corpus explode + a broadcast probe
+    + one doc-keyed aggregate; the 100 TB switch is hashing the
+    shingle to int64."""
     return dedup.duplicate_ngram_coverage(
-        load(spark, sf_dir, "documents"), "doc_id", "text", k=20
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=20,
+        dup_vocab_override=dedup.shared_dup_char_vocab(spark, sf_dir, k=20),
     )
 
 
@@ -186,9 +190,13 @@ from nabatshy_spark.operators import multimodal, stats, textanalysis  # noqa: E4
 def dup_span_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level duplicated-span coverage per doc: union of all
     cross-doc-duplicated 20-gram windows via gaps-and-islands — the
-    exact number of characters span-scrubbing would remove."""
+    exact number of characters span-scrubbing would remove. The
+    duplicated vocabulary comes from the artifact shared with
+    dup_ngram_coverage (dedup.shared_dup_char_vocab — round 12): one
+    corpus explode per run instead of two."""
     return dedup.duplicate_span_stats(
-        load(spark, sf_dir, "documents"), "doc_id", "text", k=20
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=20,
+        dup_vocab_override=dedup.shared_dup_char_vocab(spark, sf_dir, k=20),
     )
 
 

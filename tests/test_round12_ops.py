@@ -199,6 +199,110 @@ def test_hot_chunk_artifact_and_one_pass_scrub_identical(
     assert len(inline) > 0
 
 
+def test_substr_runs_artifact_two_level_identical(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The substr-runs artifact derived from the level-1 dup-window
+    posting relation equals the direct operator exactly (round 12,
+    VERDICT r11 task #7: posts = level-1 filtered to the df cap IS
+    wins ⋈ {h: ≥2 docs ∧ c ≤ cap})."""
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import suffixes
+
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_DIR", str(tmp_path))
+    docs = load(spark, sf_dir, "documents")
+    handles = []
+    direct = suffixes.duplicated_substring_runs(
+        docs, "doc_id", "text", min_len=50, max_df=200, _handles=handles
+    ).collect()
+    via = suffixes.shared_substring_runs(spark, sf_dir, 50, 200).collect()
+    for h in handles:
+        h.unpersist()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via))
+    spark.catalog.clearCache()
+
+
+def test_decon_runs_artifact_two_level_identical(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The decontamination-runs artifact derived from level-1 equals
+    the generic cross-corpus operator over the split relations exactly
+    — the dup restriction loses no shared hash (a leak pair is two
+    distinct docs) and the post-prune df cap counts the same rows."""
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.operators import sampling, suffixes
+
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_DIR", str(tmp_path))
+    docs = load(spark, sf_dir, "documents")
+    splits = sampling.split_corpus(
+        docs, "doc_id", train_bps=62259, val_bps=1638
+    )
+    train = splits.filter(F.col("split") == "train")
+    test = splits.filter(F.col("split") == "test")
+    handles = []
+    direct = suffixes.cross_corpus_substring_runs(
+        train, test, "doc_id", "text", min_len=50, max_df=200,
+        _handles=handles,
+    ).collect()
+    via = suffixes.shared_decontamination_runs(
+        spark, sf_dir, min_len=50, max_df=200,
+        train_bps=62259, val_bps=1638,
+    ).collect()
+    for h in handles:
+        h.unpersist()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via))
+    spark.catalog.clearCache()
+
+
+def test_dup_char_vocab_serves_both_window_queries_identically(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """duplicate_ngram_coverage and duplicate_span_stats fed the shared
+    duplicated-vocabulary artifact equal their self-derived forms row
+    for row (same df ≥ 2 definition in both; dup_windows = count of
+    window positions probing the vocabulary = Σ occurrence counts)."""
+    from nabatshy_spark.catalog import load
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIRS_DIR", str(tmp_path))
+    docs = load(spark, sf_dir, "documents")
+    vocab = dedup.shared_dup_char_vocab(spark, sf_dir, k=20)
+    for fn in (dedup.duplicate_ngram_coverage, dedup.duplicate_span_stats):
+        inline = fn(docs, "doc_id", "text", k=20).collect()
+        via = fn(
+            docs, "doc_id", "text", k=20, dup_vocab_override=vocab
+        ).collect()
+        assert sorted(map(tuple, inline)) == sorted(map(tuple, via)), fn
+        assert len(inline) > 0
+
+
+def test_nested_build_times_are_exclusive(tmp_path):
+    """A build that ensure()s another artifact records its OWN seconds
+    only — the child's wall is charged to the child's line, so
+    BENCH_DETAIL's artifact_build_sec sums to true wall (round 12:
+    substr/decon derive from the level-1 dup-window artifact,
+    curated_pairs reads the curation flags)."""
+    import os
+    import time
+
+    from nabatshy_spark import artifacts
+
+    def child_build(st):
+        os.makedirs(st)
+        time.sleep(0.3)
+        open(os.path.join(st, "_SUCCESS"), "w").close()
+
+    def parent_build(st):
+        artifacts.ensure(
+            "r12childfam", "k", child_build, base=str(tmp_path / "c")
+        )
+        os.makedirs(st)
+        open(os.path.join(st, "_SUCCESS"), "w").close()
+
+    artifacts.ensure("r12parentfam", "k", parent_build, base=str(tmp_path / "p"))
+    assert artifacts.BUILD_TIMES["r12childfam/k"] >= 0.3
+    assert artifacts.BUILD_TIMES["r12parentfam/k"] < 0.3
+
+
 def test_one_pass_scrub_all_hot_and_empty_docs(spark):
     """Edge rows of the flag-and-aggregate restructure: a doc whose
     every chunk is boilerplate yields (n_kept=0, clean_md5=md5('')),
