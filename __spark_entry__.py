@@ -55,7 +55,7 @@ _PRIORITY = [
     "dedup_incremental", "dedup_minhash_lsh", "minhash_dedup_eval",
     "boilerplate_scrub", "curate_corpus", "curation_funnel",
     "er_doc_topk_eval", "er_doc_topk", "er_doc_clusters",
-    "dup_span_chars",
+    "dup_span_chars", "dup_ngram_coverage",
     # (a2) the two-level ExactSubstr builds (level-1 dup-window
     # artifact feeding the substr- and decon-runs families).
     "longest_dup_substrings", "dup_substring_doc_stats",
@@ -82,7 +82,7 @@ _PRIORITY = [
     "spans_trace_waterfall", "corpus_length_stats", "pack_chunks",
     "spans_critical_path", "spans_fanout_stats", "spans_concurrency",
     "spans_error_root_cause", "spans_exemplars",
-    "spans_error_propagation", "spans_apdex", "embedding_norm_stats",
+    "spans_error_propagation", "spans_apdex",
 ]
 
 

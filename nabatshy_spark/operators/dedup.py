@@ -1526,17 +1526,24 @@ def shared_incremental_corpus_index(
         try:
             # digests / hot set / hot counts are vocabulary- or
             # doc-bounded → single file; shingle arrays and rare
-            # postings are corpus-proportional → keep the build's
-            # parallel partitioning for the write.
+            # postings are corpus-proportional → parallel-readable but
+            # FILE-BOUNDED (the build's raw partitioning wrote 32
+            # ~55 KB files per relation at sf0.1 — per-file open
+            # overhead on every consumer read for no parallelism
+            # gain). Scale-adaptive count, keyed so the downstream
+            # joins read hash-clustered files.
+            nf = max(8, spark.sparkContext.defaultParallelism // 4)
             rel["hashes"].repartition(1).write.mode("overwrite").parquet(
                 os.path.join(staging, "hashes")
             )
             rel["shingles"].select(
                 "__cid", F.size("__sh").alias("__csz"), "__sh"
-            ).write.mode("overwrite").parquet(os.path.join(staging, "shingles"))
-            rel["rare"].write.mode("overwrite").parquet(
-                os.path.join(staging, "rare")
+            ).repartition(nf, "__cid").write.mode("overwrite").parquet(
+                os.path.join(staging, "shingles")
             )
+            rel["rare"].repartition(nf, "__s").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staging, "rare"))
             if rel["hot"] is not None:
                 rel["hot"].repartition(1).write.mode("overwrite").parquet(
                     os.path.join(staging, "hot")

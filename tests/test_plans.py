@@ -214,11 +214,19 @@ def test_dynamic_partition_pruning_on_partitioned_events(spark, tmp_path):
 
 
 def test_boilerplate_scrub_broadcasts_hot_set(spark, sf_dir):
-    """The hot-chunk removal must be a broadcast LeftAnti hash join —
-    never a shuffled anti-join of the exploded corpus — and the final
-    per-doc stats join stays a plain equi-join."""
+    """The hot-chunk probe must be a BROADCAST hash join — never a
+    shuffled join of the exploded corpus. Round 12: the anti-join
+    became a broadcast left-outer flag join (one exploded pass,
+    flag-and-aggregate) probing the hot-chunk ARTIFACT, so the plan
+    must show a broadcast LeftOuter against the hot_chunks scan and no
+    per-run chunk-frequency aggregate (one corpus-side aggregate only:
+    the per-doc reassembly)."""
     plan = _plan(spark, "boilerplate_scrub", sf_dir)
-    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:500]
+    assert re.search(r"BroadcastHashJoin .*LeftOuter", plan), plan[:500]
+    assert "hot_chunks" in plan
+    # the df-frequency aggregate is gone from the per-run plan: the
+    # only count_distinct-style aggregate would be the hot-set build
+    assert "countDistinct" not in plan and "count(distinct" not in plan
 
 
 def test_mixture_sample_broadcasts_rates(spark, sf_dir):

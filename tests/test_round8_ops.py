@@ -280,25 +280,29 @@ def test_correctness_window_invariants():
     assert len(P) == 50 and len(set(P)) == 50
     assert all(k in qs for k in P)
     assert list(qs)[:50] == P
-    # round-11 rotation rule: this round's new queries and the queries
-    # its code changes touched must be inside the window.
-    r11 = {
-        # new this round
-        "er_doc_topk", "er_doc_clusters", "er_doc_topk_eval",
-        # ER candidate-DAG collapse (entity.py refactor + shared
-        # part_matches artifact)
-        "er_part_topk", "er_topk_eval", "er_part_pairs",
-        "er_part_clusters",
-        # one-corpus-window-scan artifact rebuild + broadcast fallback
+    # round-12 rotation rule: the queries this round's code changes
+    # touched must be inside the window (no new queries this round —
+    # optimization only).
+    r12 = {
+        # artifact-served paths of the optimization round
+        "dedup_incremental", "dedup_minhash_lsh", "minhash_dedup_eval",
+        "boilerplate_scrub", "curate_corpus", "curation_funnel",
+        "er_doc_topk_eval", "dup_span_chars", "dup_ngram_coverage",
+        # two-level ExactSubstr builds
         "longest_dup_substrings", "dup_substring_doc_stats",
-        "exactsubstr_cut_plan", "intra_doc_repeats",
-        "exactsubstr_source_coverage", "decontaminate_exactsubstr",
-        "exactsubstr_rewrite_preview",
-        # artifact-lifecycle hardening: representative consumers
-        "dedup_ngram_jaccard", "continuous_aggregate",
-        "zorder_pruning_stats", "bucketed_revenue_join",
+        "exactsubstr_cut_plan", "exactsubstr_source_coverage",
+        "decontaminate_exactsubstr", "exactsubstr_rewrite_preview",
+        # entity unified-predicate gate + pair-key disambiguation
+        "er_part_topk", "er_topk_eval", "dedup_ngram_jaccard",
+        # advisor empty-contract fix; part-cust build parallelism
+        "dictionary_encoding_advisor", "degree_distribution_trade",
+        "kcore_trade_pruning",
     }
-    assert r11 <= set(P), r11 - set(P)
+    missing = r12 - set(P)
+    # dup_ngram_coverage shares the dup-vocab artifact but sits outside
+    # the 50-slot window only if the staleness ledger already carries a
+    # fresher row — it must NOT be missing here.
+    assert not missing, missing
     rows_only_ok = {
         "hll_user_rollup", "embedding_pca_variance", "ann_recall_report",
         "distinct_users_approx", "profile_orders_approx", "ann_pq_topk",
