@@ -288,6 +288,7 @@ def bipartite_core_prune(
     right: str,
     k: int,
     rounds: int,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Bounded-round (k,k)-core pruning of a bipartite graph: each
     round SIMULTANEOUSLY drops left nodes with < k distinct right
@@ -306,9 +307,18 @@ def bipartite_core_prune(
     core". Scale shape: each round is two groupBy-count shuffles on a
     node key plus two semi-joins; edges are localCheckpointed per round
     so round r+1 reads a materialized relation, not a 2r-join lineage.
+
+    ``edges_distinct=True`` asserts the caller's relation is already
+    one row per edge (the shared edge artifacts are distinct by build),
+    skipping the dedup exchange — a full shuffle of the edge relation
+    that re-proved a property the build already established (round 12,
+    guide §2.4 "a distinct on data that is already unique").
     """
     rows = []
-    cur = edges.select(left, right).distinct().localCheckpoint(eager=False)
+    cur = edges.select(left, right)
+    if not edges_distinct:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint(eager=False)
     for r in range(1, rounds + 1):
         lkeep = (
             cur.groupBy(left).agg(F.count("*").alias("__d"))

@@ -1518,7 +1518,20 @@ def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="sbp_ckpt_")
     srcdir = tempfile.mkdtemp(prefix="sbp_src_")
     _os.symlink(src, _os.path.join(srcdir, "events.parquet"))
+    # State-store sizing (round 12): the streaming aggregation's state
+    # partition count is frozen from spark.sql.shuffle.partitions at
+    # checkpoint creation, and EVERY micro-batch in complete mode
+    # rewrites every state partition's delta+snapshot files. The state
+    # here is hour×event_type — dimension-bounded (hundreds of rows),
+    # so one state partition per core pays 32 stores' file churn for
+    # kilobytes of state. Size it by state volume, not core count,
+    # parameterized like the session's other scale knobs; production
+    # sizing note in OPTIMIZATION_r12.md. Restored in finally — the
+    # conf is session-global and the batch queries must keep theirs.
+    state_parts = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", state_parts)
         stream = spark.readStream.schema(raw_schema).parquet(srcdir)
         ts_type = dict(stream.dtypes).get("ts")
         if ts_type == "bigint":
@@ -1553,6 +1566,7 @@ def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         schema = out.schema
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(qname)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(srcdir, ignore_errors=True)

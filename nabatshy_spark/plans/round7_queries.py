@@ -491,10 +491,13 @@ def kcore_trade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nabatshy_spark.operators import graph
 
     # Round 11: the distinct (part, cust) pair relation is served from
-    # the shared bipartite edge artifact (the operator's first step is
-    # `.distinct()`, so the pre-distinct relation is identity).
+    # the shared bipartite edge artifact. Round 12: the artifact is
+    # distinct BY BUILD, so the operator's dedup exchange is skipped
+    # (edges_distinct=True — §2.4, a distinct on already-unique data).
     edges = graph.shared_part_cust_edges(spark, sf_dir)
-    return graph.bipartite_core_prune(edges, "part", "cust", k=25, rounds=3)
+    return graph.bipartite_core_prune(
+        edges, "part", "cust", k=25, rounds=3, edges_distinct=True
+    )
 
 
 @query("event_value_twap")

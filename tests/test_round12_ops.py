@@ -331,3 +331,77 @@ def test_one_pass_scrub_all_hot_and_empty_docs(spark):
     # doc 6 keeps its unique tail chunk(s) only
     assert out[6].n_removed >= 1 and out[6].n_kept >= 1
     assert out[6].clean_md5 != empty_md5
+
+
+def test_critical_path_grouped_vectorized_random_forest(spark):
+    """The vectorized per-bucket DP must equal the iterative-join form
+    on an adversarial forest: duplicate span ids ACROSS traces (the
+    (trace, span) key-width case), orphan parent references, multiple
+    roots per trace, and shuffled row order."""
+    import random
+
+    from nabatshy_spark.operators.spans import (
+        critical_path,
+        critical_path_grouped,
+    )
+
+    rng = random.Random(12)
+    rows = []
+    for t in range(120):
+        tid = f"t{t:03d}"
+        k = rng.randint(1, 12)
+        for s in range(k):
+            sid = f"s{s:02d}"  # same ids reused in every trace
+            if s == 0:
+                parent = ""
+            elif rng.random() < 0.05:
+                parent = "missing-parent"  # orphan subtree top
+            elif rng.random() < 0.1:
+                parent = ""  # extra root
+            else:
+                parent = f"s{rng.randint(0, s - 1):02d}"
+            rows.append(
+                Row(
+                    trace_id=tid,
+                    span_id=sid,
+                    parent_span_id=parent,
+                    duration_ns=rng.randint(1_000, 9_999_999),
+                )
+            )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows)
+    a = {r.trace_id: r.critical_ms for r in critical_path(df).collect()}
+    b = {
+        r.trace_id: r.critical_ms
+        for r in critical_path_grouped(df, buckets=7).collect()
+    }
+    assert a == b
+
+
+def test_bipartite_core_prune_edges_distinct_identical(spark):
+    """edges_distinct=True on a pre-distincted relation must give the
+    same per-round audit rows as the default path on the raw
+    (duplicated) edge relation."""
+    import random
+
+    from nabatshy_spark.operators.graph import bipartite_core_prune
+
+    rng = random.Random(7)
+    rows = [
+        Row(part=rng.randint(0, 30), cust=rng.randint(0, 30))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows)
+    base = [
+        tuple(r)
+        for r in bipartite_core_prune(
+            df, "part", "cust", k=3, rounds=3
+        ).collect()
+    ]
+    pre = [
+        tuple(r)
+        for r in bipartite_core_prune(
+            df.distinct(), "part", "cust", k=3, rounds=3, edges_distinct=True
+        ).collect()
+    ]
+    assert base == pre
