@@ -305,57 +305,87 @@ def dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet_layout_audit's file-level view with column-level encoding
     economics).
 
-    Scale: ONE pruned single-column scan per column (column pruning
-    makes each branch ~1/|cols| of the table bytes): group by the
-    value — the partial (map-side) agg collapses each task to the
-    column's local vocabulary before the one shuffle — then every
-    statistic falls out of the (value, count) relation in a single
-    tiny aggregate: n_rows = Σ count, plain bytes = Σ len·count,
-    ndv = |groups|, dictionary payload = Σ len. Round 11: this
-    replaces the former full-scan + distinct-scan pair per column
-    (2 scans / 2 wide aggregates → 1 scan / 1 group-by; identical
-    integers — NULL groups count toward n_rows and ndv exactly as the
-    distinct() form did, and length(NULL) drops out of both byte
-    sums)."""
-    outs = []
+    Scale: ONE pruned scan per TABLE (round 12; was one scan + two
+    exchanges per COLUMN): each table's profiled columns are stacked
+    into (column_name, value) rows — same total bytes as the former
+    per-column scans, since a columnar scan of k columns reads exactly
+    what k single-column scans read — then a single
+    groupBy(column_name, value) with map-side partial aggregation
+    collapses each task to its local per-column vocabulary before the
+    ONE shuffle, and every statistic falls out of the (column, value,
+    count) relation in one dimension-sized aggregate: n_rows = Σ count,
+    plain bytes = Σ len·count, ndv = |groups|, dictionary payload =
+    Σ len. Identical integers to the per-column form (rows-equal
+    asserted before the rewrite landed): stack keeps NULL values as
+    rows, so NULL groups count toward n_rows and ndv exactly as
+    before, and length(NULL) drops out of both byte sums. The literal
+    column-name spine (left join) preserves the empty-table contract —
+    a column with no rows still reports n_rows = 0, ndv = 0 (ADVICE
+    r11); its nullability is declared so the output schema is
+    unchanged."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    by_table: dict[str, list[str]] = {}
     for tname, c in _DICT_COLS:
-        t = load(spark, sf_dir, tname).select(F.col(c).alias("__v"))
-        g = t.groupBy("__v").agg(F.count("*").alias("__n"))
-        stats = g.agg(
-            # coalesce: the pre-round-11 form counted rows directly, so
-            # an empty column gave n_rows = 0, not NULL (ADVICE r11).
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
-            F.count("*").alias("ndv"),
-            F.sum(F.length("__v") * F.col("__n")).alias("plain_bytes"),
-            # Dictionary payload = Σ length over DISTINCT VALUES (what
-            # the dictionary page stores).
-            F.sum(F.length("__v")).alias("__payload"),
-        )
-        bits = F.ceil(F.log2(F.col("ndv")))
-        outs.append(
-            stats.select(
-                F.lit(f"{tname}.{c}").alias("column_name"),
-                "n_rows",
-                "ndv",
-                F.round(F.col("plain_bytes") / F.col("n_rows"), 2).alias(
-                    "avg_len"
-                ),
-                "plain_bytes",
-                (
-                    F.col("__payload")
-                    + F.floor((F.col("n_rows") * bits + 7) / 8)
-                ).cast("long").alias("dict_bytes"),
-            ).select(
-                "*",
-                F.when(F.col("dict_bytes") < F.col("plain_bytes"), "dict")
-                .otherwise("plain")
-                .alias("recommend"),
+        by_table.setdefault(tname, []).append(c)
+    parts = []
+    for tname, cols in by_table.items():
+        args = ", ".join(f"'{tname}.{c}', {c}" for c in cols)
+        parts.append(
+            load(spark, sf_dir, tname)
+            .select(*cols)
+            .select(
+                F.expr(f"stack({len(cols)}, {args})").alias(
+                    "column_name", "__v"
+                )
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("column_name")
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    g = stacked.groupBy("column_name", "__v").agg(F.count("*").alias("__n"))
+    stats = g.groupBy("column_name").agg(
+        F.sum("__n").alias("__nr"),
+        F.count("*").alias("__ndv"),
+        F.sum(F.length("__v") * F.col("__n")).alias("plain_bytes"),
+        # Dictionary payload = Σ length over DISTINCT VALUES (what
+        # the dictionary page stores).
+        F.sum(F.length("__v")).alias("__payload"),
+    )
+    spine = spark.createDataFrame(
+        [(f"{t}.{c}",) for t, c in _DICT_COLS],
+        StructType([StructField("column_name", StringType(), False)]),
+    )
+    bits = F.ceil(F.log2(F.col("ndv")))
+    return (
+        spine.join(stats, "column_name", "left")
+        .select(
+            "column_name",
+            F.coalesce(F.col("__nr"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("__ndv"), F.lit(0)).alias("ndv"),
+            "plain_bytes",
+            "__payload",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "ndv",
+            F.round(F.col("plain_bytes") / F.col("n_rows"), 2).alias(
+                "avg_len"
+            ),
+            "plain_bytes",
+            (
+                F.col("__payload") + F.floor((F.col("n_rows") * bits + 7) / 8)
+            ).cast("long").alias("dict_bytes"),
+        )
+        .select(
+            "*",
+            F.when(F.col("dict_bytes") < F.col("plain_bytes"), "dict")
+            .otherwise("plain")
+            .alias("recommend"),
+        )
+        .orderBy("column_name")
+    )
 
 
 @query("degree_distribution_trade")

@@ -405,3 +405,29 @@ def test_bipartite_core_prune_edges_distinct_identical(spark):
         ).collect()
     ]
     assert base == pre
+
+
+def test_dictionary_advisor_empty_tables(spark, sf_dir, tmp_path):
+    """The one-pass stacked rewrite must preserve the empty-ingest
+    contract (ADVICE r11): every profiled column still reports a row
+    with n_rows = 0, ndv = 0, NULL byte stats and the 'plain' verdict
+    even when its table has no rows (the stacked relation alone would
+    simply drop the column; the literal spine restores it)."""
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.plans.queries import QUERIES
+
+    for t in ("orders", "customer", "part", "lineitem"):
+        load(spark, sf_dir, t).limit(0).write.mode("overwrite").parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    rows = {
+        r.column_name: r
+        for r in QUERIES["dictionary_encoding_advisor"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(rows) == 9
+    for r in rows.values():
+        assert r.n_rows == 0 and r.ndv == 0
+        assert r.plain_bytes is None and r.dict_bytes is None
+        assert r.avg_len is None and r.recommend == "plain"
