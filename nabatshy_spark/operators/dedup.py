@@ -1773,6 +1773,11 @@ def ngram_containment_pairs(
         .agg(F.count("*").alias("__i"))
         .join(sizes.select(F.col(id_col).alias("__ida"), F.col("__sz").alias("__sa")), "__ida")
         .join(sizes.select(F.col(id_col).alias("__idb"), F.col("__sz").alias("__sb")), "__idb")
+        # colliding-pair-bounded and consumed by BOTH direction
+        # projections: checkpointed so the Σ df² intersection join runs
+        # once, not once per direction (round 12 small-hub-reuse move;
+        # the before-plan ran the whole self-join chain twice).
+        .localCheckpoint(eager=False)
     )
     ab = inter.select(
         F.col("__ida").alias("contained"),

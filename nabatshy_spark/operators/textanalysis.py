@@ -353,6 +353,11 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
     )
     doc_tok = toks.groupBy(id_col, "__t").agg(F.count("*").alias("__c"))
+    # Round 12 measured (and rejected) a localCheckpoint on vocab to
+    # cut the third explode: solo 0.60 → 0.86 s. All three explode
+    # branches run concurrently on idle cores at this size, so the
+    # checkpoint's materialize-then-compute barrier only adds wall —
+    # the psi_order_value_drift / dup_ngram_coverage mechanism.
     vocab = toks.groupBy("__t").agg(F.count("*").alias("__vc"))
     total = vocab.agg(F.sum("__vc").alias("__n"))
     scored = (
@@ -714,8 +719,22 @@ def bigram_logprob_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    doc_xy = trans.groupBy(id_col, "x", "y").agg(F.count("*").alias("c"))
-    xy = doc_xy.groupBy("x", "y").agg(F.sum("c").alias("cxy"))
+    # Both LM tables hang off doc_xy, and doc_xy feeds the scoring
+    # join too: without the checkpoints the tokenize + transition
+    # explode + compaction ran FIVE times per invocation (before-plan:
+    # 10 scans of the corpus; round 12 small-hub-reuse move). doc_xy
+    # is transition-compacted (≪ raw transitions) and xy is
+    # bigram-vocabulary-sized — both bounded, both reused.
+    doc_xy = (
+        trans.groupBy(id_col, "x", "y")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    xy = (
+        doc_xy.groupBy("x", "y")
+        .agg(F.sum("c").alias("cxy"))
+        .localCheckpoint(eager=False)
+    )
     xdot = xy.groupBy("x").agg(F.sum("cxy").alias("cx"))
     uni = xy.groupBy("y").agg(F.sum("cxy").alias("cy"))
     n = xy.agg(F.sum("cxy").alias("n"))
@@ -779,11 +798,28 @@ def cross_doc_ngram_dup(
             )
         ).alias("__g"),
     )
-    dg = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    gd = dg.groupBy("__g").agg(F.count("*").alias("__nd"))
+    # dg feeds both the doc-frequency aggregate and the scoring join:
+    # checkpointed so the gram explode + compaction run once, not
+    # twice (round 12 small-hub-reuse move — dg is occurrence-
+    # compacted, ≪ raw gram rows).
+    dg = (
+        grams.groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    # Only the DUPLICATED vocabulary matters downstream (a gram with
+    # __nd == 1 contributes 0 either way), so the join ships the df>1
+    # subset and a left join restores the single-doc grams as misses —
+    # identical sums, smaller build side (§2.3, the dup_span_chars
+    # move).
+    gd = (
+        dg.groupBy("__g")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+    )
     dup = F.when(F.col("__nd") > 1, F.col("__c")).otherwise(F.lit(0))
     return (
-        dg.join(gd, "__g")
+        dg.join(gd, "__g", "left")
         .groupBy(id_col)
         .agg(
             F.sum("__c").alias("n_grams"),

@@ -1564,6 +1564,10 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        # |nations| rows, consumed twice (grand total, then the share
+        # projection): checkpointed so the orders join chain runs once
+        # (round 12).
+        .localCheckpoint(eager=False)
     )
     total = per_nation.agg(F.sum("revenue").alias("__total"))
     return (

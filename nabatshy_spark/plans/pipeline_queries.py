@@ -891,6 +891,11 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "s_suppkey")
         .agg(F.sum("r").alias("sr"))
+        # |nations|×|suppliers|-bounded and consumed twice (totals,
+        # then the share join): checkpointed so the fact join runs
+        # once, not per consumer (round 12, the spans_mad_outliers /
+        # chi2 small-relation-reuse move).
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("nation").agg(
         F.sum("sr").alias("tr"), F.count("*").alias("n_suppliers")
@@ -1856,6 +1861,10 @@ def hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.lit(3600000000)).cast("long").alias("hidx"),
             F.col("cnt").cast("double").alias("cnt"),
         )
+        # time-range-bounded and consumed four ways (mean, denominator,
+        # both lag-join sides): checkpointed so the events scan +
+        # hourly aggregate run once, not per consumer (round 12).
+        .localCheckpoint(eager=False)
     )
     mu = hourly.agg(F.avg("cnt").alias("mu"))
     base = hourly.crossJoin(F.broadcast(mu)).select(

@@ -652,6 +652,11 @@ def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = F.when(
             F.col("__p") < e, len(_PSI_EDGES) - 1 - i
         ).otherwise(bucket)
+    # Round 12 measured (and rejected) a localCheckpoint on this
+    # |years|×|bands| relation: solo 0.57 → 0.72 s. The three orders
+    # scans it would save are tiny and run CONCURRENTLY on idle cores,
+    # while the checkpoint serializes a materialize-then-compute
+    # barrier — the dup_ngram_coverage round-11 lesson again.
     counts = o.withColumn("__b", bucket).groupBy("yr", "__b").agg(
         F.count("*").alias("__n")
     )

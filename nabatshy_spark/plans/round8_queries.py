@@ -339,15 +339,21 @@ def customer_yearly_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-custkey relations (dimension-sized), so each set op is one
     small shuffle."""
     o = load(spark, sf_dir, "orders")
+    # Each yearly cohort is dimension-sized and consumed three ways
+    # (direct count, intersect, subtract): checkpointed so the orders
+    # scan + distinct run once per year, not once per set op — the
+    # before-plan scanned orders 8× (round 12).
     a95 = (
         o.filter(F.year("o_orderdate") == 1995)
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a96 = (
         o.filter(F.year("o_orderdate") == 1996)
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     cohorts = [
         ("active_1995", a95),
@@ -509,6 +515,11 @@ def chi2_priority_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
+    # The ≤15-row contingency relation is checkpointed: four consumers
+    # (cells, both margins, the grand total) would otherwise each
+    # re-run the fact join + aggregate — the before-plan scanned
+    # lineitem and orders 4× each for a relation of 15 rows (round 12,
+    # same move as spans_mad_outliers' median relation).
     obs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -516,6 +527,7 @@ def chi2_priority_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("flag"),
         )
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     row_m = obs.groupBy("priority").agg(F.sum("n").alias("__rn"))
     col_m = obs.groupBy("flag").agg(F.sum("n").alias("__cn"))

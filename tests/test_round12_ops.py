@@ -431,3 +431,27 @@ def test_dictionary_advisor_empty_tables(spark, sf_dir, tmp_path):
         assert r.n_rows == 0 and r.ndv == 0
         assert r.plain_bytes is None and r.dict_bytes is None
         assert r.avg_len is None and r.recommend == "plain"
+
+
+def test_column_stats_profile_empty_table(spark, sf_dir, tmp_path):
+    """The typed-stack rewrite must preserve the union-of-globals
+    empty-table contract: zero lineitem rows still yield one row per
+    profiled column with ndv = 0 and NULL n_nulls/min/max."""
+    from nabatshy_spark.catalog import load
+    from nabatshy_spark.plans.queries import QUERIES
+    from nabatshy_spark.plans.round6_queries import _STATS_COLS
+
+    load(spark, sf_dir, "lineitem").limit(0).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r.col_name: r
+        for r in QUERIES["column_stats_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sorted(rows) == sorted(_STATS_COLS)
+    for r in rows.values():
+        assert r.ndv == 0
+        assert r.n_nulls is None
+        assert r.min_value is None and r.max_value is None
